@@ -1,0 +1,129 @@
+"""Match-quality evaluation against a gold standard.
+
+Replaces the reference's driver-side evaluation machinery -- the
+stringly-keyed left outer join (EntityResolution.scala:230-280), the
+101-bin histogram accumulator (VectorAccumulatorParam.scala,
+ScalableEntityResolution.scala:38-48,161-171) and the driver-loop
+threshold sweep (ScalableEntityResolution.scala:172-259) -- with three
+declarative queries: a left join + grouped aggregate, a groupBy-floor
+histogram, and a window cumulative sum. All scale-out: the only small
+result is the final 101-row metrics table itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def evaluate_gold(sims: DataFrame, gold: DataFrame) -> DataFrame:
+    """-> one row per is_dup class: (is_dup, n, avg_sim).
+
+    Reference evaluateModel (EntityResolution.scala:230-280) returns
+    (dup count, mean dup sim, mean non-dup sim); this is the same
+    information as a 2-row DataFrame from ONE pass (the reference walks
+    the uncached lineage three times). ``gold`` is (a_id, b_id);
+    membership is a left join null-check -- semantically the semi/anti
+    join split, fused so the similarity table is scanned once.
+    """
+    g = gold.select("a_id", "b_id", F.lit(1).alias("_gold"))
+    return (
+        sims.join(F.broadcast(g), ["a_id", "b_id"], "left")
+        .groupBy(F.col("_gold").isNotNull().alias("is_dup"))
+        .agg(F.count("*").alias("n"), F.avg("sim").alias("avg_sim"))
+    )
+
+
+def gold_standard_sims(sims: DataFrame, gold: DataFrame) -> DataFrame:
+    """Similarity of every gold pair, 0.0 when the candidate join never
+    produced the pair (reference analyseDataset's gs_value default,
+    ScalableEntityResolution.scala:321-327)."""
+    return gold.join(sims, ["a_id", "b_id"], "left").select(
+        "a_id", "b_id", F.coalesce("sim", F.lit(0.0)).alias("sim")
+    )
+
+
+def sim_histogram(sims: DataFrame, n_bins: int = 100) -> DataFrame:
+    """(bin, cnt): bin = int(sim * n_bins) clamped to [0, n_bins] --
+    the reference's accumulator histogram (ScalableEntityResolution.scala:
+    329-347) as a plain partial-aggregated groupBy."""
+    bin_col = F.least(
+        F.floor(F.col("sim") * n_bins).cast("long"), F.lit(n_bins).cast("long")
+    )
+    return sims.groupBy(bin_col.alias("bin")).agg(F.count("*").alias("cnt"))
+
+
+def threshold_sweep(
+    sims: DataFrame, gold: DataFrame, n_thresholds: int = 100
+) -> DataFrame:
+    """Precision/recall/F1 at thresholds i/n, i = 0..n -> DataFrame
+    (threshold, tp, fp, fn, precision, recall, fmeasure), n+1 rows.
+
+    Semantics (reference falsepos/falseneg/truepos, ScalableEntity-
+    Resolution.scala:222-259): a PREDICTED duplicate at threshold t is a
+    candidate pair with sim >= t; gold pairs missing from the candidates
+    count with sim 0.0. Computed by binning both the all-pairs and the
+    gold-pairs similarity distributions once, then a descending cumulative
+    sum over the 101-row bin table -- the sweep costs one window over a
+    tiny table instead of 101 filter-count jobs.
+    """
+    dup_sims = gold_standard_sims(sims, gold)
+    bins_all = sim_histogram(sims, n_thresholds).withColumnRenamed("cnt", "cnt_all")
+    bins_dup = sim_histogram(dup_sims, n_thresholds).withColumnRenamed("cnt", "cnt_dup")
+
+    grid = sims.sparkSession.range(0, n_thresholds + 1).select(
+        F.col("id").alias("bin")
+    )
+    total_dups = dup_sims.agg(F.count("*").alias("n_dups"))
+
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = (
+        grid.join(bins_all, "bin", "left")
+        .join(bins_dup, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("cnt_all", F.lit(0)).alias("cnt_all"),
+            F.coalesce("cnt_dup", F.lit(0)).alias("cnt_dup"),
+        )
+        .withColumn("pred_pos", F.sum("cnt_all").over(w))
+        .withColumn("tp", F.sum("cnt_dup").over(w))
+        .crossJoin(F.broadcast(total_dups))
+    )
+    return binned.select(
+        (F.col("bin") / n_thresholds).alias("threshold"),
+        F.col("tp"),
+        (F.col("pred_pos") - F.col("tp")).alias("fp"),
+        (F.col("n_dups") - F.col("tp")).alias("fn"),
+        F.when(F.col("pred_pos") > 0, F.col("tp") / F.col("pred_pos")).alias("precision"),
+        (F.col("tp") / F.col("n_dups")).alias("recall"),
+        F.when(
+            (F.col("pred_pos") + F.col("n_dups")) > 0,
+            2.0 * F.col("tp") / (F.col("pred_pos") + F.col("n_dups")),
+        ).alias("fmeasure"),
+    )
+
+
+def idf_histogram(idf_df: DataFrame, n_bins: int = 50) -> DataFrame:
+    """Relative-frequency histogram of IDF values (reference
+    SimilarityApp.scala:38-58, minus the JFreeChart window): equi-width
+    bins over [min, max], top edge folded into the last bin."""
+    stats = idf_df.agg(
+        F.min("idf").alias("lo"),
+        F.max("idf").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    return (
+        idf_df.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("idf") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / n_bins)),
+                F.lit(n_bins - 1).cast("long"),
+            ).alias("bin"),
+            "n",
+        )
+        .groupBy("bin", "n")
+        .agg(F.count("*").alias("cnt"))
+        .select("bin", "cnt", (F.col("cnt") / F.col("n")).alias("rel_freq"))
+    )

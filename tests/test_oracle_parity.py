@@ -1,0 +1,86 @@
+"""Mirror of the driver's t2 correctness gate: run every queries() entry
+on Spark and its oracle_sql() twin on DuckDB over the same parquet tables,
+and require identical (order-insensitive) values.
+
+Scale factor defaults to sf0.001 for speed; set ORACLE_SF=0.01 to run at
+the driver's gate scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from sparkbigdatatextanalysis_spark.sources.parquet_io import TABLES
+
+SF = os.environ.get("ORACLE_SF", "0.001")
+SF_DIR = f"/root/testdata/sf{SF}"
+
+KEYS = sorted(entrymod.queries().keys())
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        dt = df[c].dtype
+        if pd.api.types.is_bool_dtype(dt):
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(dt):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(dt):
+            df[c] = df[c].astype("float64")
+        else:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_oracle_match(spark, key):
+    oracle = entrymod.oracle_sql()
+    if key not in oracle:
+        pytest.skip(f"{key}: no SQL oracle (rows-only check)")
+    got = _canon(entrymod.queries()[key](spark, SF_DIR).toPandas())
+    exp = _canon(_duck(oracle[key]))
+    assert list(got.columns) == list(exp.columns), (
+        f"{key}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{key}: {len(got)} rows != {len(exp)}"
+    for c in got.columns:
+        g, e = got[c].to_numpy(), exp[c].to_numpy()
+        if got[c].dtype == "float64":
+            both_nan = np.isnan(g) & np.isnan(e)
+            ok = both_nan | (g == e)
+            assert ok.all(), (
+                f"{key}.{c}: {int((~ok).sum())} mismatches, "
+                f"max abs diff {np.nanmax(np.abs(g - e))}"
+            )
+        else:
+            mism = g != e
+            assert not mism.any(), (
+                f"{key}.{c}: {int(mism.sum())} mismatches, first: "
+                f"{g[mism][:3]} vs {e[mism][:3]}"
+            )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
