@@ -22,9 +22,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkbigdatatextanalysis_spark.functions.hashing import (
+    MERSENNE31,
+    char_fold_hash_sql,
+    word_shingles_sql,
+)
 from sparkbigdatatextanalysis_spark.functions.text import ENGLISH_STOPWORDS
+from sparkbigdatatextanalysis_spark.operators import ann as ann_ops
+from sparkbigdatatextanalysis_spark.operators import dedup as dd
 from sparkbigdatatextanalysis_spark.operators import evaluation as ev
 from sparkbigdatatextanalysis_spark.operators import similarity as sim
+from sparkbigdatatextanalysis_spark.operators import textstats as ts
 from sparkbigdatatextanalysis_spark.operators import tfidf as tfidf_ops
 
 SF0001 = "/root/testdata/sf0.001"
@@ -203,6 +211,103 @@ def q_idf_histogram(spark, sf_dir):
     return ev.idf_histogram(_idf(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extension queries (dedup / ANN / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+EMBED_NEAR_DUP_THRESHOLD = 0.35  # 99.9th pct of the synthetic cosine dist
+ANN_N_QUERIES = 5
+ANN_K = 5
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir)).select("doc_id", "content_hash", "keep")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sh = dd.shingle_hashes(_docs(spark, sf_dir))
+    return dd.minhash_signatures(sh).select(F.col("id").alias("doc_id"), "i", "sig")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash_signatures(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    out = dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    out = dd.embedding_near_dup_pairs(_emb(spark, sf_dir), EMBED_NEAR_DUP_THRESHOLD)
+    return out.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+
+
+def _ann_queries(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id").where(F.col("vec_id") < ANN_N_QUERIES)
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = ann_ops.cosine_topk_bruteforce(emb, _ann_queries(emb), k=ANN_K)
+    return out.select(
+        "q_id", "n_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 6).alias("cos"),
+    )
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = ann_ops.cosine_topk_lsh(emb, _ann_queries(emb), k=ANN_K)
+    return out.select(
+        "q_id", "n_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 6).alias("cos"),
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    out = ts.language_id(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("doc_id"), "lang_pred", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    out = ts.text_quality(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("doc_id"), "n_chars", "n_tokens", "mean_token_len",
+        "stopword_ratio", "punct_ratio", "digit_ratio", "quality_score",
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    out = ts.token_counts(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    out = ts.doc_fingerprints(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("doc_id"), "fingerprint",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_concat": q_scan_concat,
@@ -225,6 +330,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_join_eval": q_gold_join_eval,
         "threshold_sweep": q_threshold_sweep,
         "idf_histogram": q_idf_histogram,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -291,6 +408,91 @@ gold AS (
   SELECT doc_id AS a_id, doc_id + 1 AS b_id FROM documents WHERE doc_id % 2 = 0
 )
 """
+
+
+# --- extension-oracle building blocks (mirror functions.hashing exactly) ---
+
+_DEDUP_BASE = f"""
+dtok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+  FROM documents
+),
+shing AS (
+  SELECT doc_id, {word_shingles_sql("toks", 3)} AS shingles FROM dtok
+),
+shh AS (
+  SELECT doc_id, {char_fold_hash_sql("shingle")} AS sh
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shing)
+)
+"""
+
+_MINHASH_PARAMS_SQL = "params(i, a, b) AS (VALUES " + ", ".join(
+    f"({i}, {a}, {b})" for i, a, b in dd.MINHASH_PARAMS
+) + ")"
+
+_MINHASH_SIGS_SQL = f"""
+sigs AS (
+  SELECT doc_id, i, min((a * sh + b) % {MERSENNE31}) AS sig
+  FROM shh CROSS JOIN params
+  GROUP BY doc_id, i
+)
+"""
+
+_EMB_NORM_SQL = """
+v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+nv AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(range(1, len(v) + 1), j -> v[j] * v[j])),
+              (a, b) -> a + b)) AS norm
+  FROM v
+)
+"""
+
+
+def _emb_dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), j -> {a}[j] * {b}[j])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+_PLANES_SQL = "[" + ", ".join(
+    "[" + ", ".join(str(v) for v in row) + "]" for row in ann_ops.HYPERPLANES
+) + "]"
+
+_ANN_ROWS_PER_BAND = ann_ops.N_PLANES // ann_ops.LSH_BANDS
+
+_LSH_SIGS_SQL = f"""
+qv AS (
+  SELECT vec_id, [floor(x::DOUBLE * {ann_ops.QUANT})::BIGINT for x in embedding] AS q
+  FROM embeddings
+),
+planes AS (
+  SELECT i::INT AS i, ({_PLANES_SQL})[i::INT + 1] AS p
+  FROM range(0, {ann_ops.N_PLANES}) t(i)
+),
+bits AS (
+  SELECT vec_id, i,
+         CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                list_transform(range(1, len(q) + 1), j -> q[j] * p[j])),
+                (a, b) -> a + b) >= 0
+              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM qv CROSS JOIN planes
+),
+lsig AS (
+  SELECT vec_id, (i // {_ANN_ROWS_PER_BAND})::INT AS band,
+         sum(bit * (1::BIGINT << (i % {_ANN_ROWS_PER_BAND})::INT))::BIGINT AS bucket
+  FROM bits GROUP BY 1, 2
+)
+"""
+
+
+def _lang_hits_sql(words: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter(toks, t -> list_contains({lst}, t)))"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -420,5 +622,181 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bin, count(*) AS cnt, count(*) / any_value(n) AS rel_freq
             FROM binned GROUP BY bin
+        """,
+        "dedup_exact": """
+            SELECT doc_id, sha256(text) AS content_hash,
+                   doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+            FROM documents
+        """,
+        "minhash_signatures": f"""
+            WITH {_DEDUP_BASE}, {_MINHASH_PARAMS_SQL}, {_MINHASH_SIGS_SQL}
+            SELECT doc_id, i, sig FROM sigs
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_DEDUP_BASE}, {_MINHASH_PARAMS_SQL}, {_MINHASH_SIGS_SQL},
+            bands AS (
+              SELECT doc_id, (i // {dd.LSH_ROWS})::INT AS band,
+                     array_to_string(array_agg(sig ORDER BY i), ',') AS key
+              FROM sigs GROUP BY doc_id, band
+            )
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b USING (band, key)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH dtok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            tokh AS (
+              SELECT doc_id, {char_fold_hash_sql("token")} AS h
+              FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM dtok)
+            ),
+            bits AS (SELECT j::INT AS j, (1::BIGINT << j::INT) AS p2 FROM range(0, 31) t(j)),
+            votes AS (
+              SELECT doc_id, j, p2,
+                     sum(CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM tokh CROSS JOIN bits GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, sum(CASE WHEN vote >= 0 THEN p2 ELSE 0 END)::BIGINT AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_DEDUP_BASE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+              FROM shh a JOIN shh b USING (sh)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a_id, b_id,
+                   round(n_inter / (na.n_sh + nb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = a_id
+            JOIN sizes nb ON nb.doc_id = b_id
+        """,
+        "dedup_embedding": f"""
+            WITH {_EMB_NORM_SQL},
+            pairs AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     {_emb_dot_sql("a.v", "b.v")} / (a.norm * b.norm) AS cos
+              FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+            )
+            SELECT a_id, b_id, round(cos, 6) AS cos
+            FROM pairs WHERE cos >= {EMBED_NEAR_DUP_THRESHOLD}
+        """,
+        "ann_topk_bruteforce": f"""
+            WITH {_EMB_NORM_SQL},
+            q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM nv WHERE vec_id < {ANN_N_QUERIES}),
+            scored AS (
+              SELECT q_id, c.vec_id AS n_id,
+                     round({_emb_dot_sql("qv", "c.v")} / (qn * c.norm), 9) AS cos
+              FROM q CROSS JOIN nv c WHERE c.vec_id <> q_id
+            ),
+            ranked AS (
+              SELECT q_id, n_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+              FROM scored
+            )
+            SELECT q_id, n_id, rank, round(cos, 6) AS cos
+            FROM ranked WHERE rank <= {ANN_K}
+        """,
+        "ann_topk_lsh": f"""
+            WITH {_EMB_NORM_SQL}, {_LSH_SIGS_SQL},
+            qs AS (SELECT vec_id AS q_id, band, bucket FROM lsig WHERE vec_id < {ANN_N_QUERIES}),
+            cand AS (
+              SELECT DISTINCT q_id, s.vec_id AS n_id
+              FROM qs JOIN lsig s USING (band, bucket)
+              WHERE s.vec_id <> q_id
+            ),
+            scored AS (
+              SELECT q_id, n_id,
+                     round({_emb_dot_sql("qn.v", "cn.v")} / (qn.norm * cn.norm), 9) AS cos
+              FROM cand
+              JOIN nv qn ON qn.vec_id = q_id
+              JOIN nv cn ON cn.vec_id = n_id
+            ),
+            ranked AS (
+              SELECT q_id, n_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+              FROM scored
+            )
+            SELECT q_id, n_id, rank, round(cos, 6) AS cos
+            FROM ranked WHERE rank <= {ANN_K}
+        """,
+        "text_lang_id": f"""
+            WITH dtok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            sc AS (
+              SELECT doc_id,
+                     {_lang_hits_sql(ts.LANG_MARKERS["en"])} AS s_en,
+                     {_lang_hits_sql(ts.LANG_MARKERS["de"])} AS s_de,
+                     {_lang_hits_sql(ts.LANG_MARKERS["fr"])} AS s_fr,
+                     {_lang_hits_sql(ts.LANG_MARKERS["es"])} AS s_es
+              FROM dtok
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   greatest(s_en, s_de, s_fr, s_es)::BIGINT AS n_hits
+            FROM sc
+        """,
+        "text_quality": f"""
+            WITH dtok AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id,
+                     length(text)::BIGINT AS n_chars,
+                     len(toks)::BIGINT AS n_tokens,
+                     CASE WHEN len(toks) > 0
+                          THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+                          ELSE 0.0 END AS mean_token_len,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))::DOUBLE / len(toks)
+                          ELSE 0.0 END AS stopword_ratio,
+                     CASE WHEN length(text) > 0
+                          THEN len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / length(text)
+                          ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN length(text) > 0
+                          THEN len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)
+                          ELSE 0.0 END AS digit_ratio,
+                     least(len(toks) / 20.0, 1.0) AS length_score
+              FROM dtok
+            )
+            SELECT doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio,
+                   punct_ratio, digit_ratio,
+                   greatest(0.0, least(1.0,
+                     0.4 * length_score + 0.3 * (1.0 - punct_ratio)
+                     + 0.2 * stopword_ratio + 0.1 * (1.0 - digit_ratio))) AS quality_score
+            FROM feats
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            WITH dtok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            shing AS (SELECT doc_id, {word_shingles_sql("toks", 3)} AS shingles FROM dtok)
+            SELECT doc_id,
+                   list_min(list_transform(shingles, s -> {char_fold_hash_sql("s")})) AS fingerprint,
+                   len(shingles)::BIGINT AS n_shingles
+            FROM shing
         """,
     }

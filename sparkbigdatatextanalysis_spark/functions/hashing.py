@@ -1,0 +1,69 @@
+"""Cross-engine deterministic hashing & shingling expressions.
+
+Spark's ``hash()`` (Murmur3) and DuckDB's ``hash()`` are different
+functions, so any operator whose oracle check needs identical hash values
+in both engines uses this polynomial character-fold instead:
+
+    h(s) = fold over chars: acc <- (acc * 131 + codepoint(c)) mod (2^31 - 1)
+
+Pure 64-bit integer arithmetic (max intermediate < 2^39), bit-identical in
+Spark and DuckDB, and good enough dispersion for MinHash/SimHash banding.
+All expressions here are built-in higher-order functions -- JVM-side, no
+Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1, modulus for the char fold
+HASH_BASE = 131
+
+
+def char_fold_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash of a string -> BIGINT in [0, 2^31-1)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * HASH_BASE + F.ascii(c)) % MERSENNE31,
+    )
+
+
+def char_fold_hash_sql(expr: str) -> str:
+    """DuckDB SQL fragment computing the same hash as :func:`char_fold_hash`."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"[ascii(c)::BIGINT for c in string_split({expr}, '')]), "
+        f"(acc, c) -> (acc * {HASH_BASE} + c) % {MERSENNE31})"
+    )
+
+
+def word_shingles(tokens: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of a token array.
+
+    Docs shorter than ``n`` tokens yield a single shingle of the whole doc
+    (so every doc gets >=1 shingle and stays dedup-eligible).
+    """
+    tokens = F.col(tokens) if isinstance(tokens, str) else tokens
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens) >= n, ngrams).otherwise(
+            F.array(F.concat_ws(" ", tokens))
+        )
+    )
+
+
+def word_shingles_sql(toks_expr: str, n: int = 3) -> str:
+    """DuckDB fragment: distinct word n-grams of a list-of-words expression,
+    same short-doc fallback as :func:`word_shingles`."""
+    return (
+        f"list_distinct(CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({toks_expr}) - {n} + 2), "
+        f"i -> array_to_string({toks_expr}[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({toks_expr}, ' ')] END)"
+    )

@@ -1,0 +1,169 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Two paths, same exact-cosine rerank math:
+
+* ``cosine_topk_bruteforce`` -- every query vector against every corpus
+  vector (crossJoin + zip_with dot product + window rank). O(n*q) exact
+  baseline; right answer at any scale where q is small or n fits a
+  partition-parallel sweep.
+* ``cosine_topk_lsh`` -- the 100 TB path: random-hyperplane (sign) LSH.
+  Signatures are computed map-only per row (literal +-1 plane matrix,
+  zip_with integer dot products -- embeddings quantized to integers so
+  the signature is exact integer arithmetic, reproducible bit-for-bit in
+  the DuckDB oracle). Candidates = equi-join on (band, bucket); exact
+  cosine rerank only within buckets, so cost ~ sum-of-bucket-sizes
+  instead of n per query.
+
+Hyperplanes are deterministic +-1 matrices from the same LCG used for
+MinHash params, embedded as literals in both the Spark plan and the
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 16
+LSH_BANDS = 4  # 4 bands x 4 bits: p(candidate) = 1-(1-p_bit^4)^4, a
+# recall/cost point suited to moderate-cosine neighborhoods; at higher
+# corpus sizes raise N_PLANES and keep bands*rows = N_PLANES.
+QUANT = 1000  # embedding quantization factor for integer signatures
+
+
+def _lcg_planes(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+    seed = 88_172_645_463_325_252
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            seed = (seed * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (1 << 63)
+            row.append(1 if (seed >> 32) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+HYPERPLANES: list[list[int]] = _lcg_planes()
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[int]] = HYPERPLANES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(id, band, bucket): sign-LSH band buckets, computed map-only.
+
+    bit_i = [ sum_j floor(x_j * QUANT) * P[i][j] >= 0 ], bucket = the
+    band's bits packed into an integer. No shuffle, no UDF -- one narrow
+    projection per input row, which is what survives 100 TB.
+    """
+    rows_per_band = len(planes) // bands
+    p_lit = F.array(*[F.array(*[F.lit(v).cast("long") for v in row]) for row in planes])
+    q = F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+    bits = F.transform(p_lit, lambda plane: F.when(_int_dot(q, plane) >= 0, 1).otherwise(0).cast("long"))
+
+    # Pack band buckets: bucket_b = sum_{i in band} bit_i * 2^(i mod r).
+    # Band/row counts are compile-time ints, so the packing is a plain
+    # Python-built expression over element_at (1-based).
+    def _bucket(b: int) -> Column:
+        out = F.lit(0).cast("long")
+        for i in range(rows_per_band):
+            out = out + F.element_at(bits, b * rows_per_band + i + 1) * F.lit(1 << i).cast("long")
+        return out
+
+    buckets = F.array(
+        *[
+            F.struct(F.lit(b).cast("int").alias("band"), _bucket(b).alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+    return emb.select(
+        F.col(id_col).alias("id"), F.explode(buckets).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _norm_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return emb.select(F.col(id_col).alias("id"), v.alias("v"), F.sqrt(_dot(v, v)).alias("norm"))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id -> (q_id, n_id,
+    rank, cos). ``query_ids`` is a 1-column DataFrame of ids (broadcast).
+    Rank ties broken by neighbor id on the 9-dp-rounded cosine so results
+    are deterministic across engines."""
+    nv = _norm_vecs(emb, id_col, vec_col)
+    q = query_ids.withColumnRenamed(query_ids.columns[0], "q_id")
+    qv = nv.join(F.broadcast(q), nv.id == F.col("q_id")).select(
+        "q_id", F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    cand = nv.select(F.col("id").alias("n_id"), F.col("v").alias("nv"), F.col("norm").alias("nn"))
+    scored = (
+        F.broadcast(qv)
+        .crossJoin(cand)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 9).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to vectors sharing >=1 LSH
+    band bucket with the query, then exact cosine rerank. Same output
+    schema as the brute force; recall < 1 by design (that's the trade)."""
+    sigs = lsh_signatures(emb, id_col, vec_col)
+    nv = _norm_vecs(emb, id_col, vec_col)
+    q = query_ids.withColumnRenamed(query_ids.columns[0], "q_id")
+    qsig = sigs.join(F.broadcast(q), sigs.id == F.col("q_id")).select("q_id", "band", "bucket")
+    pairs = (
+        qsig.join(sigs, ["band", "bucket"])
+        .where(F.col("q_id") != F.col("id"))
+        .select("q_id", F.col("id").alias("n_id"))
+        .distinct()
+    )
+    qv = nv.select(F.col("id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qn"))
+    cv = nv.select(F.col("id").alias("n_id"), F.col("v").alias("nv"), F.col("norm").alias("nn"))
+    scored = pairs.join(F.broadcast(qv), "q_id").join(cv, "n_id").select(
+        "q_id",
+        "n_id",
+        F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 9).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )

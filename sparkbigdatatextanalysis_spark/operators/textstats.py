@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, tokenizer-style token counting, document fingerprints.
+
+All are single-pass narrow projections (no shuffle except the fingerprint
+min-agg) built from built-in expressions, so they run at scan speed on
+100 TB inputs and each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import char_fold_hash, word_shingles
+from ..functions.text import ENGLISH_STOPWORDS, tokenize
+
+# Tiny per-language function-word lists for the n-gram-free heuristic
+# language ID. Deliberately small and deterministic; ties resolve in the
+# fixed order en > de > fr > es.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "en", "por", "que"],
+}
+
+# BPE-ish pre-tokenization: word runs or single non-space symbols --
+# the usual regex-level proxy for subword tokenizer input counting.
+BPE_SPLIT_PATTERN = r"\w+|[^\w\s]"
+
+
+def _marker_hits(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: F.array_contains(F.lit(words), t)))
+
+
+def language_scores(text_col: Column | str = "text") -> dict[str, Column]:
+    toks = tokenize(text_col)
+    return {lang: _marker_hits(toks, words) for lang, words in LANG_MARKERS.items()}
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, lang_pred, n_hits): argmax of marker-word hit counts, ties in
+    fixed list order. Pure projection -- no shuffle."""
+    s = language_scores(text_col)
+    best = F.greatest(*s.values())
+    pred = (
+        F.when(s["en"] == best, "en")
+        .when(s["de"] == best, "de")
+        .when(s["fr"] == best, "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
+        best.alias("n_hits"),
+    )
+
+
+def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a [0,1] composite score.
+
+    Features follow the usual web-corpus filters (Gopher/C4-style length
+    and symbol ratios): n_chars, n_tokens, mean token length, stopword
+    ratio, punctuation ratio, digit ratio. score = clipped blend; the
+    exact weights are engine policy, documented here, same in the oracle.
+    """
+    t = F.col(text_col)
+    toks = tokenize(text_col)
+    n_chars = F.length(t).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0.0), lambda a, x: a + F.length(x)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0,
+        _marker_hits(toks, ENGLISH_STOPWORDS).cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        n_chars > 0, F.regexp_count(t, F.lit(r"[0-9]")).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    length_score = F.least(n_tokens / 20.0, F.lit(1.0))
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            0.4 * length_score + 0.3 * (1.0 - punct_ratio) + 0.2 * stop_ratio
+            + 0.1 * (1.0 - digit_ratio),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens): whitespace token count and the
+    BPE-ish regex pre-token count -- the unit LLM-data pipelines budget
+    by. Narrow projection, scan-speed."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(F.split(t, r"\s+"), lambda x: x != "")).alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_SPLIT_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, fingerprint, n_shingles): winnowing-style content fingerprint
+    = min char-fold hash over the doc's word n-gram shingles. Two docs
+    sharing their minimal shingle collide -- a cheap first-pass near-dup
+    blocking key (full MinHash lives in operators.dedup)."""
+    sh = word_shingles(tokenize(text_col), n)
+    hashes = F.transform(sh, lambda s: _shingle_hash(s))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+def _shingle_hash(s: Column) -> Column:
+    return char_fold_hash(s)

@@ -1,0 +1,178 @@
+"""Unit tests for the training-data-pipeline operators (dedup / ANN /
+text stats) -- semantics checks on small controlled inputs; cross-engine
+oracle parity is covered by the driver contract in __spark_entry__.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from sparkbigdatatextanalysis_spark.functions.hashing import (
+    HASH_BASE,
+    MERSENNE31,
+    char_fold_hash,
+    word_shingles,
+)
+from sparkbigdatatextanalysis_spark.operators import ann, dedup, textstats
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+# --- hashing ---------------------------------------------------------------
+
+
+def test_char_fold_hash_golden(spark):
+    expected = 0
+    for ch in "hello":
+        expected = (expected * HASH_BASE + ord(ch)) % MERSENNE31
+    got = spark.range(1).select(char_fold_hash(F.lit("hello")).alias("h")).first()["h"]
+    assert got == expected == 792145564
+
+
+def test_word_shingles_and_short_doc_fallback(spark):
+    row = (
+        spark.createDataFrame([Row(toks=["a", "b", "c", "d"])])
+        .select(word_shingles("toks", 3).alias("sh"))
+        .first()
+    )
+    assert sorted(row["sh"]) == ["a b c", "b c d"]
+    short = (
+        spark.createDataFrame([Row(toks=["a", "b"])])
+        .select(word_shingles("toks", 3).alias("sh"))
+        .first()
+    )
+    assert short["sh"] == ["a b"]
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup_marks_min_id_representative(spark):
+    d = _docs(spark, ["same text", "other text", "same text"])
+    rows = {r["doc_id"]: r["keep"] for r in dedup.exact_dedup(d).collect()}
+    assert rows == {0: True, 1: True, 2: False}
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    d = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta", "zzz yyy xxx www"])
+    pairs = {(r["a_id"], r["b_id"]) for r in dedup.minhash_lsh_pairs(d).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_identical_docs_equal_and_in_range(spark):
+    d = _docs(spark, ["alpha beta gamma", "alpha beta gamma", "completely different words here"])
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(d).collect()}
+    assert sigs[0] == sigs[1]
+    assert all(0 <= v < (1 << 31) for v in sigs.values())
+    pairs = dedup.simhash_near_pairs(dedup.simhash_signatures(d)).collect()
+    ham = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs}
+    assert ham.get((0, 1)) == 0
+
+
+def test_ngram_jaccard_values(spark):
+    # doc0 shingles: {a b c, b c d}; doc1: {a b c, b c x}; jaccard = 1/3
+    d = _docs(spark, ["a b c d", "a b c x"])
+    r = dedup.ngram_jaccard_pairs(d).collect()
+    assert len(r) == 1
+    assert r[0]["a_id"] == 0 and r[0]["b_id"] == 1
+    assert abs(r[0]["jaccard"] - 1.0 / 3.0) < 1e-12
+
+
+def test_embedding_near_dup_finds_parallel_vectors(spark):
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[2.0, 0.0, 0.0]),  # cos=1 with 0
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),  # cos=0 with both
+        ]
+    )
+    pairs = {(r["a_id"], r["b_id"]): r["cos"] for r in
+             dedup.embedding_near_dup_pairs(emb, threshold=0.9).collect()}
+    assert set(pairs) == {(0, 1)}
+    assert abs(pairs[(0, 1)] - 1.0) < 1e-12
+
+
+# --- ANN -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def small_emb(spark):
+    return spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[-1.0, 0.0]),
+        ]
+    )
+
+
+def test_bruteforce_topk_order(spark, small_emb):
+    q = small_emb.select("vec_id").where(F.col("vec_id") == 0)
+    rows = ann.cosine_topk_bruteforce(small_emb, q, k=3).collect()
+    got = [(r["rank"], r["n_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_lsh_topk_subset_of_bruteforce_universe(spark, small_emb):
+    q = small_emb.select("vec_id").where(F.col("vec_id") == 0)
+    rows = ann.cosine_topk_lsh(small_emb, q, k=3).collect()
+    # approximate: every returned neighbor must be a real vector and ranks
+    # must be contiguous from 1
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    assert all(r["n_id"] in {1, 2, 3} for r in rows)
+
+
+def test_lsh_signatures_deterministic(spark, small_emb):
+    a = {(r["id"], r["band"]): r["bucket"] for r in ann.lsh_signatures(small_emb).collect()}
+    b = {(r["id"], r["band"]): r["bucket"] for r in ann.lsh_signatures(small_emb).collect()}
+    assert a == b
+    assert len(a) == 4 * ann.LSH_BANDS
+
+
+# --- text stats ------------------------------------------------------------
+
+
+def test_language_id_markers(spark):
+    d = _docs(
+        spark,
+        [
+            "the cat and the dog sat in the house",
+            "der hund und die katze ist nicht hier",
+            "xyzzy plugh qwerty",
+        ],
+    )
+    out = {r["id"]: r["lang_pred"] for r in textstats.language_id(d).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"
+
+
+def test_text_quality_ranges_and_empty(spark):
+    d = _docs(spark, ["", "a good long sentence with many plain words in it"])
+    rows = {r["id"]: r for r in textstats.text_quality(d).collect()}
+    assert rows[0]["n_tokens"] == 0 and rows[0]["quality_score"] >= 0.0
+    r1 = rows[1]
+    assert 0.0 <= r1["quality_score"] <= 1.0
+    assert r1["punct_ratio"] == 0.0
+    assert r1["n_tokens"] == 10
+
+
+def test_token_counts(spark):
+    d = _docs(spark, ["Hello, world! x2"])
+    r = textstats.token_counts(d).first()
+    assert r["n_ws_tokens"] == 3
+    # Hello , world ! x2 -> 5 BPE-ish pre-tokens ("x2" is one \w+ run)
+    assert r["n_bpe_tokens"] == 5
+
+
+def test_doc_fingerprint_equal_for_equal_docs(spark):
+    d = _docs(spark, ["one two three four", "one two three four", "five six seven eight"])
+    rows = {r["id"]: r["fingerprint"] for r in textstats.doc_fingerprints(d).collect()}
+    assert rows[0] == rows[1] != rows[2]
