@@ -31,15 +31,36 @@ from sparkbigdatatextanalysis_spark.functions.text import ENGLISH_STOPWORDS
 from sparkbigdatatextanalysis_spark.operators import ann as ann_ops
 from sparkbigdatatextanalysis_spark.operators import dedup as dd
 from sparkbigdatatextanalysis_spark.operators import evaluation as ev
+from sparkbigdatatextanalysis_spark.operators import multimodal as mm
 from sparkbigdatatextanalysis_spark.operators import similarity as sim
 from sparkbigdatatextanalysis_spark.operators import textstats as ts
 from sparkbigdatatextanalysis_spark.operators import tfidf as tfidf_ops
+from sparkbigdatatextanalysis_spark.streaming import aggregations as sagg
 
 SF0001 = "/root/testdata/sf0.001"
 
 # ---------------------------------------------------------------------------
 # Spark-side building blocks
 # ---------------------------------------------------------------------------
+
+# Pipeline-point persistence (the reference caches its scans, postings and
+# similarity RDDs -- Utils.scala:21-24, ScalableEntityResolution.scala:82-83,
+# 153,158). Catalyst does not common-subexpression-eliminate repeated
+# subtrees across join branches, so without this the TF-IDF lineage is
+# recomputed up to 4x inside one similarity query and again by every query
+# that builds on sims. Keyed per (session, sf_dir); the cached tables are
+# the small derived ones (weights ~ |distinct doc-token|, sims ~ |candidate
+# pairs|), which is what you'd persist on a real cluster too.
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _DF_CACHE[key] = df
+    return df
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,8 +69,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All documents tokenized (stopwords removed): (id=doc_id, tokens)."""
-    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
-    return tfidf_ops.tokenized(d)
+
+    def build():
+        d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+        return tfidf_ops.tokenized(d)
+
+    return _cached(spark, sf_dir, "tok", build)
 
 
 def _tok_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -62,6 +87,11 @@ def _idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT cached: persisting the weights table collapses its partitioning
+    # to the (tiny) cached size, which serializes the downstream explosive
+    # token join; recomputing from the cached tok table is one cheap
+    # partial-agg + broadcast join. (Measured: caching here was 4-8x
+    # slower end-to-end at sf0.1.)
     return tfidf_ops.tfidf_weights(_tok(spark, sf_dir), _idf(spark, sf_dir))
 
 
@@ -71,8 +101,11 @@ def _weights_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 
 
 def _sims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wa, wb = _weights_ab(spark, sf_dir)
-    return sim.cosine_similarity_join(wa, wb)
+    def build():
+        wa, wb = _weights_ab(spark, sf_dir)
+        return sim.cosine_similarity_join(wa, wb)
+
+    return _cached(spark, sf_dir, "sims", build)
 
 
 def _gold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +341,48 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """Arrow mapInPandas decode stage over text-as-binary payloads; the
+    byte stats are oracle-checkable because the synthetic text is ASCII."""
+    media = mm.docs_as_media(_docs(spark, sf_dir))
+    out = mm.decode_features(media)
+    return out.select(
+        "media_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte"), "byte_hash"
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    media = mm.docs_as_media(_docs(spark, sf_dir))
+    out = mm.sample_frames(media, frame_bytes=16, every_n=4)
+    return out.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_hash")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with ts as TIMESTAMP. The synthetic parquet stores
+    TIMESTAMP(NANOS), which Spark's parquet reader rejects outright --
+    read nanos as long (legacy conf, runtime-settable) and truncate to
+    microseconds, the engine's canonical timestamp resolution."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_events_windowed(spark, sf_dir):
+    out = sagg.windowed_event_stats(_events(spark, sf_dir))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def q_events_sliding_users(spark, sf_dir):
+    out = sagg.sliding_user_activity(_events(spark, sf_dir))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "user_id", "n_events",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_concat": q_scan_concat,
@@ -342,6 +417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "media_decode": q_media_decode,
+        "media_frame_sample": q_media_frame_sample,
+        "events_windowed": q_events_windowed,
+        "events_sliding_users": q_events_sliding_users,
     }
 
 
@@ -798,5 +877,42 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(shingles, s -> {char_fold_hash_sql("s")})) AS fingerprint,
                    len(shingles)::BIGINT AS n_shingles
             FROM shing
+        """,
+        # The synthetic documents are pure ASCII, so the UTF-8 payload bytes
+        # the mapInPandas decode stage sees equal the text's codepoints --
+        # making the Python byte stats exactly mirrorable in SQL.
+        "media_decode": f"""
+            SELECT doc_id AS media_id,
+                   length(text)::BIGINT AS n_bytes,
+                   round(CASE WHEN length(text) > 0
+                         THEN list_sum([ascii(c)::BIGINT for c in string_split(text, '')])::DOUBLE
+                              / length(text)
+                         ELSE 0.0 END, 6) AS mean_byte,
+                   {char_fold_hash_sql("text")} AS byte_hash
+            FROM documents
+        """,
+        "media_frame_sample": f"""
+            WITH frames AS (
+              SELECT doc_id, unnest(range(0, (length(text) + 15) // 16)) AS fi, text
+              FROM documents
+            )
+            SELECT doc_id AS media_id, fi::BIGINT AS frame_idx,
+                   {char_fold_hash_sql("substr(text, (fi * 16 + 1)::INT, 16)")} AS frame_hash
+            FROM frames WHERE fi % 4 = 0
+        """,
+        "events_windowed": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_users": """
+            WITH expanded AS (
+              SELECT user_id,
+                     time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start
+              FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+            )
+            SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   user_id, count(*) AS n_events
+            FROM expanded GROUP BY 1, 2
         """,
     }

@@ -40,6 +40,8 @@ HEADLINE = [
     "ann_topk_lsh",
     "text_quality",
     "doc_fingerprint",
+    "media_decode",
+    "events_windowed",
 ]
 
 

@@ -1,0 +1,220 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media rides through the engine as opaque ``BINARY`` payload columns with a
+typed metadata struct -- the layout large training pipelines use so media
+bytes shuffle/partition like any other column while metadata stays
+predicate-pushdown-friendly. Decode / feature-extraction / resize /
+frame-sampling run as Arrow-batched ``mapInPandas`` stages: Python is
+unavoidable for codecs, so the batch boundary (not per-row UDFs) is the
+scale-relevant design.
+
+Real codecs (PIL / torchaudio / ffmpeg) are NOT available in this
+environment. Each stage therefore gates the real decode behind an
+import-try and otherwise applies a documented DETERMINISTIC byte-level
+fake (stats and hashes over raw payload bytes), keeping the Spark-side
+contract -- schemas, batch shapes, partitioning -- real and testable, and
+(for ASCII payloads) exactly mirrorable in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+from ..functions.hashing import HASH_BASE, MERSENNE31
+
+try:  # real image codec, absent in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+# Serialize this module's functions by value so mapInPandas workers do not
+# need the package importable on their own sys.path (executor Python
+# workers inherit neither the driver's sys.path edits nor its cwd).
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - best-effort; import path still works
+    pass
+
+MEDIA_META = StructType(
+    [
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def _byte_fold(payload: bytes) -> int:
+    h = 0
+    for b in payload:
+        h = (h * HASH_BASE + b) % MERSENNE31
+    return h
+
+
+def docs_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat a text table as a media table (payload = UTF-8
+    bytes) so the multimodal plumbing is exercisable on the synthetic
+    corpus. Real pipelines read (id, payload, meta) parquet directly."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+DECODE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("byte_hash", LongType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract stage -> (media_id, n_bytes,
+    mean_byte, byte_hash).
+
+    With a real codec this is where pixels/samples would be decoded; the
+    deterministic fallback computes byte-level statistics, which double
+    as an oracle-checkable contract for the mapInPandas plumbing.
+    """
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "mean_byte": payloads.map(
+                        lambda p: float(sum(p)) / len(p) if len(p) else 0.0
+                    ),
+                    "byte_hash": payloads.map(_byte_fold).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, DECODE_FEATURES_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize stage. Real path requires PIL (absent here -> the
+    deterministic fake crops/right-pads the payload to width*height bytes,
+    preserving the contract that output payload size == width*height)."""
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        target = width * height
+        if HAVE_PIL:  # pragma: no cover - codec not in this container
+            raise NotImplementedError(
+                "real PIL resize intentionally not implemented in this "
+                "environment; deterministic fake is the tested contract"
+            )
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": pdf["payload"].map(
+                        lambda p: bytes(p[:target]).ljust(target, b"\x00")
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_hash", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 16, every_n: int = 4
+) -> DataFrame:
+    """Video frame-sampling stage: split the payload into fixed-size fake
+    frames, keep every n-th, emit a per-frame content hash. Exploding
+    inside mapInPandas keeps the fan-out on executors (one input batch ->
+    many output rows) exactly like a real frame extractor."""
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    ids.append(int(mid))
+                    idxs.append(fi)
+                    hashes.append(_byte_fold(payload[fi * frame_bytes : (fi + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_batches, FRAME_SCHEMA)

@@ -24,7 +24,7 @@ kept for parity/small data as an explicit crossJoin.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import term_frequencies_map, tokenize_no_stopwords
@@ -54,10 +54,14 @@ def common_token_pairs(idx_a: DataFrame, idx_b: DataFrame) -> DataFrame:
     )
 
 
+DENSE_VOCAB_THRESHOLD = 1024
+
+
 def cosine_similarity_join(
     weights_a: DataFrame,
     weights_b: DataFrame,
     broadcast_norms: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Token-blocked cosine similarity -> (a_id, b_id, sim) for all pairs
     sharing >=1 token. Intended semantics of the reference's
@@ -65,7 +69,31 @@ def cosine_similarity_join(
     (ScalableEntityResolution.scala:107-129,298-319, bugs fixed).
 
     Inputs are exploded TF-IDF tables (id, token, weight).
+
+    Physical strategy (AQE-style stats-based choice):
+
+    * ``sparse`` -- explode-join-aggregate: shuffle on token, partial
+      map-side agg, norms broadcast. The right plan when the vocabulary
+      is large (real text): docs share few tokens, the join output stays
+      near |matching pairs|.
+    * ``dense`` -- pivot each doc to a fixed |vocab| dense vector, then a
+      broadcast cross join with an in-row zip_with dot product. When the
+      vocabulary is small the sparse join's output explodes toward
+      |pairs| * |vocab| rows through a shuffle; the dense form does the
+      same multiplies map-side with NO pair-level shuffle at all.
+      Results are identical because TF-IDF weights are strictly positive:
+      dot > 0 <=> the pair shares a token.
+    * ``auto`` -- one cheap distinct-token count decides (the engine's
+      analog of Catalyst picking a join strategy from stats).
     """
+    if strategy == "auto":
+        vocab_n = (
+            weights_a.select("token").union(weights_b.select("token")).distinct().count()
+        )
+        strategy = "dense" if vocab_n <= DENSE_VOCAB_THRESHOLD else "sparse"
+    if strategy == "dense":
+        return _cosine_similarity_dense(weights_a, weights_b)
+
     a = weights_a.select("token", F.col("id").alias("a_id"), F.col("weight").alias("w_a"))
     b = weights_b.select("token", F.col("id").alias("b_id"), F.col("weight").alias("w_b"))
     dots = (
@@ -79,6 +107,70 @@ def cosine_similarity_join(
         na, nb = F.broadcast(na), F.broadcast(nb)
     return dots.join(na, "a_id").join(nb, "b_id").select(
         "a_id", "b_id", (F.col("dot") / (F.col("norm_a") * F.col("norm_b"))).alias("sim")
+    )
+
+
+def _dense_vectors(weights: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(id, token, weight) -> (id, v ARRAY<DOUBLE>[|vocab|], norm) with a
+    broadcast token->index join; the pivot is one groupBy(id)."""
+    w = weights.join(F.broadcast(vocab), "token").select("id", "idx", "weight")
+    m = w.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "weight"))).alias("m")
+    )
+    n_vocab = F.size(F.col("vsize"))
+    return m.crossJoin(
+        F.broadcast(vocab.agg(F.collect_list("idx").alias("vsize")))
+    ).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), n_vocab - 1),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)),
+        ).alias("v"),
+    ).select(
+        "id",
+        "v",
+        F.sqrt(
+            F.aggregate(F.col("v"), F.lit(0.0), lambda s, x: s + x * x)
+        ).alias("norm"),
+    )
+
+
+def _cosine_similarity_dense(weights_a: DataFrame, weights_b: DataFrame) -> DataFrame:
+    """Dense-pivot strategy: map-side broadcast cross join, in-row dot
+    product, filter dot > 0 (== shares a token, weights positive)."""
+    vocab = (
+        weights_a.select("token")
+        .union(weights_b.select("token"))
+        .distinct()
+        .select(
+            "token",
+            (F.row_number().over(Window.orderBy("token")) - 1).alias("idx"),
+        )
+    )
+    da = _dense_vectors(weights_a, vocab).select(
+        F.col("id").alias("a_id"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    db = _dense_vectors(weights_b, vocab).select(
+        F.col("id").alias("b_id"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    # The stream side is small (one row per doc) so AQE coalesces it to
+    # one partition -- but each stream row fans out to |b| pairs, so the
+    # pair compute must stay wide. An explicit user repartition is exempt
+    # from AQE coalescing and restores full parallelism.
+    da = da.repartition(da.sparkSession.sparkContext.defaultParallelism)
+    return (
+        da.crossJoin(F.broadcast(db))
+        .select(
+            "a_id",
+            "b_id",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+            ).alias("dot"),
+            "na",
+            "nb",
+        )
+        .where(F.col("dot") > 0)
+        .select("a_id", "b_id", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("sim"))
     )
 
 
