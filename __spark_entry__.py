@@ -134,6 +134,13 @@ def q_scan_concat(spark, sf_dir):
     )
 
 
+def q_scan_gold_pairs(spark, sf_dir):
+    """Gold-standard pair scan (reference Utils.getGoldStandard,
+    Utils.scala:37-49) -- two typed id columns, not the reference's
+    space-joined string key."""
+    return _gold(spark, sf_dir)
+
+
 def q_str_strip_quotes(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -208,6 +215,31 @@ def q_doc_similarity(spark, sf_dir):
     )
     out = texts.crossJoin(idf_map).select(
         sim.document_similarity(F.col("text_a"), F.col("text_b"), F.col("idf_map")).alias("sim")
+    )
+    return _round6(out, "sim")
+
+
+def q_dot_product(spark, sf_dir):
+    """Sparse TF-IDF dot products per candidate pair (reference
+    calculateDotProduct, EntityResolution.scala:368-384)."""
+    wa, wb = _weights_ab(spark, sf_dir)
+    return _round6(sim.dot_products(wa, wb), "dot")
+
+
+def q_cosine_similarity(spark, sf_dir):
+    """Cosine of two specific docs' weight vectors via the dot/norm
+    composition (reference calculateCosinusSimilarity,
+    EntityResolution.scala:395-404) -- exercises T6/T7/T8 as standalone
+    expressions rather than the fused similarity join."""
+    w = _weights(spark, sf_dir)
+    wa = w.where(F.col("id") == 4)
+    wb = w.where(F.col("id") == 5)
+    dots = sim.dot_products(wa, wb)
+    na = tfidf_ops.norms(wa).select(F.col("id").alias("a_id"), F.col("norm").alias("norm_a"))
+    nb = tfidf_ops.norms(wb).select(F.col("id").alias("b_id"), F.col("norm").alias("norm_b"))
+    out = dots.join(na, "a_id").join(nb, "b_id").select(
+        "a_id", "b_id",
+        (F.col("dot") / (F.col("norm_a") * F.col("norm_b"))).alias("sim"),
     )
     return _round6(out, "sim")
 
@@ -386,6 +418,9 @@ def q_events_sliding_users(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_concat": q_scan_concat,
+        "scan_gold_pairs": q_scan_gold_pairs,
+        "dot_product": q_dot_product,
+        "cosine_similarity": q_cosine_similarity,
         "str_strip_quotes": q_str_strip_quotes,
         "tokenize": q_tokenize,
         "tokenize_stopwords": q_tokenize_stopwords,
@@ -579,6 +614,28 @@ def oracle_sql() -> dict[str, str]:
         "scan_concat": """
             SELECT p_partkey, concat_ws(' ', p_name, p_brand, p_type) AS text
             FROM part
+        """,
+        "scan_gold_pairs": """
+            SELECT doc_id AS a_id, doc_id + 1 AS b_id
+            FROM documents WHERE doc_id % 2 = 0
+        """,
+        "dot_product": f"""
+            WITH {_BASE}
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   round(sum(a.weight * b.weight), 6) AS dot
+            FROM w a JOIN w b USING (token)
+            WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+            GROUP BY 1, 2
+        """,
+        "cosine_similarity": f"""
+            WITH {_BASE}
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   round(sum(a.weight * b.weight) / (any_value(na.norm) * any_value(nb.norm)), 6) AS sim
+            FROM w a JOIN w b USING (token)
+            JOIN norms na ON na.doc_id = a.doc_id
+            JOIN norms nb ON nb.doc_id = b.doc_id
+            WHERE a.doc_id = 4 AND b.doc_id = 5
+            GROUP BY 1, 2
         """,
         "str_strip_quotes": """
             SELECT doc_id, regexp_replace(text, '"', '', 'g') AS clean_text

@@ -54,6 +54,22 @@ def common_token_pairs(idx_a: DataFrame, idx_b: DataFrame) -> DataFrame:
     )
 
 
+def dot_products(weights_a: DataFrame, weights_b: DataFrame) -> DataFrame:
+    """Sparse dot products for all pairs sharing >=1 token -> (a_id, b_id,
+    dot). Reference calculateDotProduct (EntityResolution.scala:368-384)
+    iterates one map's keys; relationally that is the token equi-join with
+    a map-side partial SUM -- pairs sharing no token (dot 0) never appear,
+    matching the sparse semantics.
+    """
+    a = weights_a.select("token", F.col("id").alias("a_id"), F.col("weight").alias("w_a"))
+    b = weights_b.select("token", F.col("id").alias("b_id"), F.col("weight").alias("w_b"))
+    return (
+        a.join(b, "token")
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+
+
 DENSE_VOCAB_THRESHOLD = 1024
 
 
@@ -94,13 +110,7 @@ def cosine_similarity_join(
     if strategy == "dense":
         return _cosine_similarity_dense(weights_a, weights_b)
 
-    a = weights_a.select("token", F.col("id").alias("a_id"), F.col("weight").alias("w_a"))
-    b = weights_b.select("token", F.col("id").alias("b_id"), F.col("weight").alias("w_b"))
-    dots = (
-        a.join(b, "token")
-        .groupBy("a_id", "b_id")
-        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
-    )
+    dots = dot_products(weights_a, weights_b)
     na = _norms(weights_a).select(F.col("id").alias("a_id"), F.col("norm").alias("norm_a"))
     nb = _norms(weights_b).select(F.col("id").alias("b_id"), F.col("norm").alias("norm_b"))
     if broadcast_norms:
