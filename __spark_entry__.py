@@ -196,7 +196,10 @@ def q_fast_cosine_join(spark, sf_dir):
 def q_cross_similarity(spark, sf_dir):
     wa, wb = _weights_ab(spark, sf_dir)
     ta, tb = _tok_ab(spark, sf_dir)
-    out = sim.cross_cosine_similarity(wa, wb, ids_a=ta.select("id"), ids_b=tb.select("id"))
+    out = sim.cross_cosine_similarity(
+        wa, wb, ids_a=ta.select("id"), ids_b=tb.select("id"),
+        sims=_sims(spark, sf_dir),
+    )
     return _round6(out, "sim")
 
 

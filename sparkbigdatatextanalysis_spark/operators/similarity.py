@@ -39,16 +39,72 @@ def inverted_index(tok_df: DataFrame) -> DataFrame:
     )
 
 
-def common_token_pairs(idx_a: DataFrame, idx_b: DataFrame) -> DataFrame:
+# Vocabulary size at or under which the candidate join switches to a
+# 63-bit token-set bitmask: one BIGINT per doc, pairs via popcount(AND).
+BITMASK_VOCAB_MAX = 63
+
+
+def common_token_pairs(
+    idx_a: DataFrame, idx_b: DataFrame, strategy: str = "auto"
+) -> DataFrame:
     """Candidate pairs sharing >=1 token -> (a_id, b_id, n_common).
 
     Reference determineCommonTokens (ScalableEntityResolution.scala:87-105)
     materializes the shared-token lists via groupByKey; the count is all
     downstream consumers need, so aggregate instead of collecting lists.
+
+    Physical strategies (same stats-based choice as the cosine join):
+
+    * ``sparse`` -- token equi-join + groupBy(a_id, b_id). Right for real
+      text (large vocab, low df): join output ~ sum over tokens of
+      df_a*df_b stays near the matching-pair count.
+    * ``bitmask`` -- when the distinct vocabulary fits in 63 bits, fold
+      each doc's token set into ONE BIGINT (bit i = has vocab token i);
+      then n_common = bit_count(mask_a & mask_b) over a broadcast cross
+      join. The low-vocab regime is exactly where the sparse join
+      explodes (df ~ |docs| makes its shuffle quadratic x vocab), while
+      the bitmask plan moves |docs| longs and does one AND+popcount per
+      pair in whole-stage codegen -- no pair-level shuffle at all.
     """
+    a = idx_a.select("token", F.col("id").alias("a_id"))
+    b = idx_b.select("token", F.col("id").alias("b_id"))
+    if strategy == "auto":
+        vocab_n = a.select("token").union(b.select("token")).distinct().count()
+        strategy = "bitmask" if vocab_n <= BITMASK_VOCAB_MAX else "sparse"
+    if strategy == "bitmask":
+        vocab = (
+            a.select("token")
+            .union(b.select("token"))
+            .distinct()
+            .select(
+                "token",
+                (F.row_number().over(Window.orderBy("token")) - 1).alias("idx"),
+            )
+        )
+
+        def masks(idx_df: DataFrame, out_id: str) -> DataFrame:
+            return (
+                idx_df.join(F.broadcast(vocab), "token")
+                .groupBy(F.col(idx_df.columns[1]))
+                .agg(F.sum(F.expr("shiftleft(1L, idx)")).alias("mask"))
+                .select(F.col(idx_df.columns[1]).alias(out_id), F.col("mask"))
+            )
+
+        ma = masks(a, "a_id").withColumnRenamed("mask", "mask_a")
+        mb = masks(b, "b_id").withColumnRenamed("mask", "mask_b")
+        ma = ma.repartition(ma.sparkSession.sparkContext.defaultParallelism)
+        return (
+            ma.crossJoin(F.broadcast(mb))
+            .select(
+                "a_id",
+                "b_id",
+                F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b"))).alias("n_common"),
+            )
+            .where(F.col("n_common") > 0)
+            .select("a_id", "b_id", F.col("n_common").cast("long").alias("n_common"))
+        )
     return (
-        idx_a.select("token", F.col("id").alias("a_id"))
-        .join(idx_b.select("token", F.col("id").alias("b_id")), "token")
+        a.join(b, "token")
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_common"))
     )
@@ -102,13 +158,18 @@ def cosine_similarity_join(
     * ``auto`` -- one cheap distinct-token count decides (the engine's
       analog of Catalyst picking a join strategy from stats).
     """
+    vocab_n: int | None = None
     if strategy == "auto":
         vocab_n = (
             weights_a.select("token").union(weights_b.select("token")).distinct().count()
         )
         strategy = "dense" if vocab_n <= DENSE_VOCAB_THRESHOLD else "sparse"
     if strategy == "dense":
-        return _cosine_similarity_dense(weights_a, weights_b)
+        if vocab_n is None:
+            vocab_n = (
+                weights_a.select("token").union(weights_b.select("token")).distinct().count()
+            )
+        return _cosine_similarity_dense(weights_a, weights_b, vocab_n)
 
     dots = dot_products(weights_a, weights_b)
     na = _norms(weights_a).select(F.col("id").alias("a_id"), F.col("norm").alias("norm_a"))
@@ -145,7 +206,26 @@ def _dense_vectors(weights: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
-def _cosine_similarity_dense(weights_a: DataFrame, weights_b: DataFrame) -> DataFrame:
+# Below this many vocabulary slots the per-pair dot product is emitted as
+# an unrolled va[0]*vb[0] + ... sum: plain arithmetic that whole-stage
+# codegen compiles, ~an order of magnitude faster than the interpreted
+# higher-order zip_with/aggregate evaluator at millions of pairs.
+DENSE_UNROLL_MAX = 256
+
+
+def _dense_dot(va: Column, vb: Column, vocab_n: int | None) -> Column:
+    if vocab_n is not None and vocab_n <= DENSE_UNROLL_MAX:
+        terms = [va[i] * vb[i] for i in range(vocab_n)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+    return F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _cosine_similarity_dense(
+    weights_a: DataFrame, weights_b: DataFrame, vocab_n: int | None = None
+) -> DataFrame:
     """Dense-pivot strategy: map-side broadcast cross join, in-row dot
     product, filter dot > 0 (== shares a token, weights positive)."""
     vocab = (
@@ -173,9 +253,7 @@ def _cosine_similarity_dense(weights_a: DataFrame, weights_b: DataFrame) -> Data
         .select(
             "a_id",
             "b_id",
-            F.aggregate(
-                F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-            ).alias("dot"),
+            _dense_dot(F.col("va"), F.col("vb"), vocab_n).alias("dot"),
             "na",
             "nb",
         )
@@ -189,6 +267,7 @@ def cross_cosine_similarity(
     weights_b: DataFrame,
     ids_a: DataFrame | None = None,
     ids_b: DataFrame | None = None,
+    sims: DataFrame | None = None,
 ) -> DataFrame:
     """Cosine similarity for ALL pairs (reference
     simpleSimimilarityCalculation's cartesian, EntityResolution.scala:133-157).
@@ -199,9 +278,11 @@ def cross_cosine_similarity(
     quadratic similarity arithmetic. ``ids_a``/``ids_b`` default to the
     distinct ids of the weight tables; pass the tokenized tables' ids when
     zero-weight docs (all stopwords) must appear with NaN sims as in the
-    reference.
+    reference. ``sims`` lets callers pass an already-built (cached)
+    token-blocked similarity table instead of recomputing it.
     """
-    sims = cosine_similarity_join(weights_a, weights_b)
+    if sims is None:
+        sims = cosine_similarity_join(weights_a, weights_b)
     ids_a = ids_a if ids_a is not None else weights_a.select("id").distinct()
     ids_b = ids_b if ids_b is not None else weights_b.select("id").distinct()
     allpairs = ids_a.select(F.col("id").alias("a_id")).crossJoin(
