@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from sparkbigdatatextanalysis_spark.functions.hashing import (
     MERSENNE31,
     char_fold_hash_sql,
+    string_hash31_sql,
     word_shingles_sql,
 )
 from sparkbigdatatextanalysis_spark.functions.text import ENGLISH_STOPWORDS
@@ -539,7 +540,7 @@ shing AS (
   SELECT doc_id, {word_shingles_sql("toks", 3)} AS shingles FROM dtok
 ),
 shh AS (
-  SELECT doc_id, {char_fold_hash_sql("shingle")} AS sh
+  SELECT doc_id, {string_hash31_sql("shingle")} AS sh
   FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shing)
 )
 """
@@ -789,7 +790,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             tokh AS (
-              SELECT doc_id, {char_fold_hash_sql("token")} AS h
+              SELECT doc_id, {string_hash31_sql("token")} AS h
               FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM dtok)
             ),
             bits AS (SELECT j::INT AS j, (1::BIGINT << j::INT) AS p2 FROM range(0, 31) t(j)),
@@ -934,7 +935,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             shing AS (SELECT doc_id, {word_shingles_sql("toks", 3)} AS shingles FROM dtok)
             SELECT doc_id,
-                   list_min(list_transform(shingles, s -> {char_fold_hash_sql("s")})) AS fingerprint,
+                   list_min(list_transform(shingles, s -> {string_hash31_sql("s")})) AS fingerprint,
                    len(shingles)::BIGINT AS n_shingles
             FROM shing
         """,

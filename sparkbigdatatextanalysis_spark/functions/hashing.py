@@ -31,6 +31,27 @@ def char_fold_hash(col: Column | str) -> Column:
     )
 
 
+def string_hash31(col: Column | str) -> Column:
+    """md5-derived string hash -> BIGINT in [0, 2^31-1).
+
+    The first 15 hex digits of md5 parsed as an integer, mod 2^31-1.
+    Identical in DuckDB (:func:`string_hash31_sql`), far better dispersion
+    than the char fold, and -- unlike the fold, whose per-character
+    higher-order lambda is interpreted -- md5 runs native in the JVM, so
+    hashing is scan-speed. Preferred for all shingle/token hashing; the
+    char fold remains for byte-payload hashing inside Pandas UDFs.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MERSENNE31
+    )
+
+
+def string_hash31_sql(expr: str) -> str:
+    """DuckDB SQL fragment computing the same hash as :func:`string_hash31`."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {MERSENNE31})"
+
+
 def char_fold_hash_sql(expr: str) -> str:
     """DuckDB SQL fragment computing the same hash as :func:`char_fold_hash`."""
     return (

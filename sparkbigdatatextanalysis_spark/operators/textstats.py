@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import char_fold_hash, word_shingles
+from ..functions.hashing import string_hash31, word_shingles
 from ..functions.text import ENGLISH_STOPWORDS, tokenize
 
 # Tiny per-language function-word lists for the n-gram-free heuristic
@@ -123,14 +123,14 @@ def doc_fingerprints(
     = min char-fold hash over the doc's word n-gram shingles. Two docs
     sharing their minimal shingle collide -- a cheap first-pass near-dup
     blocking key (full MinHash lives in operators.dedup)."""
-    sh = word_shingles(tokenize(text_col), n)
-    hashes = F.transform(sh, lambda s: _shingle_hash(s))
-    return docs.select(
+    sh = docs.select(
         F.col(id_col).alias("id"),
-        F.array_min(hashes).alias("fingerprint"),
-        F.size(sh).alias("n_shingles"),
+        F.explode(word_shingles(tokenize(text_col), n)).alias("shingle"),
+    ).select("id", string_hash31("shingle").alias("sh"))
+    # Relational form (explode -> groupBy min/count) keeps the hash + MIN
+    # in whole-stage codegen; the in-row array_min(transform(...)) form
+    # pays the interpreted higher-order evaluator per shingle.
+    return sh.groupBy("id").agg(
+        F.min("sh").alias("fingerprint"),
+        F.count("*").cast("int").alias("n_shingles"),
     )
-
-
-def _shingle_hash(s: Column) -> Column:
-    return char_fold_hash(s)
