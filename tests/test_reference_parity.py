@@ -147,6 +147,24 @@ def test_cross_similarity_pair_count_and_golden(small):
     assert got == pytest.approx(0.000303171940451, abs=1e-6)
 
 
+def test_evaluate_model_goldens(small):
+    # EntityResolutionTest.scala:202-209: evaluateModel on the cartesian
+    # similarities = (146 dups, avg dup sim 0.264332573435, avg non-dup
+    # sim 0.00123476304656).
+    from sparkbigdatatextanalysis_spark.operators.evaluation import evaluate_gold
+
+    sims = cross_cosine_similarity(
+        small["wa"], small["wb"],
+        ids_a=small["tok_a"].select("id"), ids_b=small["tok_b"].select("id"),
+    )
+    g = small["gold"]
+    g = g.select(F.col(g.columns[0]).alias("a_id"), F.col(g.columns[1]).alias("b_id"))
+    rows = {r["is_dup"]: r for r in evaluate_gold(sims, g).collect()}
+    assert rows[True]["n"] == 146
+    assert rows[True]["avg_sim"] == pytest.approx(0.264332573435, abs=1e-6)
+    assert rows[False]["avg_sim"] == pytest.approx(0.00123476304656, abs=1e-9)
+
+
 def test_inverted_index_and_candidates_small(small):
     idx_a = inverted_index(small["tok_a"])
     idx_b = inverted_index(small["tok_b"])
