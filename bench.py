@@ -15,6 +15,7 @@ import sys
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -56,6 +57,16 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Untimed warmup: initialize the parquet reader, noop sink, shuffle
+    # machinery and codegen compiler once so per-query timings measure the
+    # queries, not first-use JVM setup (~5s on this box).
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -1,0 +1,104 @@
+"""Physical-plan assertions: the plans we'd want on a 1000-executor
+cluster, not just plans that happen to produce correct rows.
+
+Checks (via explain output): parquet column pruning and predicate
+pushdown reach the scan; the IDF lookup is a broadcast hash join; the
+sparse similarity join never degenerates into a nested-loop/cartesian;
+and no Python row UDF (BatchEvalPython) appears anywhere -- Python is
+allowed only as Arrow-batched mapInPandas in the multimodal operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from sparkbigdatatextanalysis_spark.operators import similarity as sim
+from sparkbigdatatextanalysis_spark.operators import tfidf as tfidf_ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    """Formatted physical plan (includes scan ReadSchema / PushedFilters)."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_scan_column_pruning(spark):
+    df = entry_mod.q_scan_concat(spark, SF)
+    plan = plan_str(df)
+    # Only the projected columns may reach the parquet scan.
+    assert "p_name" in plan
+    assert "p_retailprice" not in plan
+    assert "p_comment" not in plan
+
+
+def test_scan_predicate_pushdown(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(F.col("doc_id") < 100)
+    plan = plan_str(docs)
+    assert "PushedFilters" in plan
+    assert "LessThan(doc_id,100)" in plan.replace(" ", "").replace("doc_id,100", "doc_id,100")
+
+
+def test_idf_lookup_is_broadcast_join(spark):
+    tok = tfidf_ops.tokenized(
+        spark.read.parquet(f"{SF}/documents.parquet").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+    )
+    w = tfidf_ops.tfidf_weights(tok, tfidf_ops.idf_table(tok))
+    assert "BroadcastHashJoin" in plan_str(w)
+
+
+def test_sparse_similarity_join_never_nested_loop(spark):
+    tok = tfidf_ops.tokenized(
+        spark.read.parquet(f"{SF}/documents.parquet").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+    )
+    idf = tfidf_ops.idf_table(tok)
+    w = tfidf_ops.tfidf_weights(tok, idf)
+    wa, wb = w.where(F.col("id") % 2 == 0), w.where(F.col("id") % 2 == 1)
+    plan = plan_str(sim.cosine_similarity_join(wa, wb, strategy="sparse"))
+    # No unbroadcast cartesian anywhere. (BroadcastNestedLoopJoin does
+    # appear -- once per weights-lineage branch -- but only as the 1-row
+    # corpus-size attach inside idf_table, never a pair-level cross.)
+    assert "CartesianProduct" not in plan
+    # Candidate generation must be an equi-join (shuffle or broadcast hash).
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_no_row_python_udf_anywhere(spark):
+    """Every declared query plan must stay JVM-side except the multimodal
+    Arrow/mapInPandas operators (and streaming helpers built for batch)."""
+    allowed_python = {"media_decode", "media_frame_sample"}
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF)
+        plan = plan_str(df)
+        assert "BatchEvalPython" not in plan, f"row UDF in {name}"
+        if name not in allowed_python:
+            assert "ArrowEvalPython" not in plan, f"pandas UDF in {name}"
+            assert "MapInPandas" not in plan, f"mapInPandas in {name}"
+
+
+def test_dense_strategy_picked_only_for_small_vocab(spark):
+    """The auto similarity strategy must pick sparse on a realistic
+    (large) vocabulary and dense on a tiny one."""
+    tok = tfidf_ops.tokenized(
+        spark.read.parquet(f"{SF}/documents.parquet").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+    )
+    idf = tfidf_ops.idf_table(tok)
+    n_vocab = idf.count()
+    w = tfidf_ops.tfidf_weights(tok, idf)
+    wa, wb = w.where(F.col("id") % 2 == 0), w.where(F.col("id") % 2 == 1)
+    auto_plan = plan_str(sim.cosine_similarity_join(wa, wb))
+    if n_vocab <= sim.DENSE_VOCAB_THRESHOLD:
+        # dense: broadcast cross join, no pair-level shuffle
+        assert "BroadcastNestedLoopJoin" in auto_plan
+    else:
+        assert "NestedLoopJoin" not in auto_plan
