@@ -419,6 +419,22 @@ def q_events_sliding_users(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based user sessionization (batch form of the stateful
+    streaming operator in streaming/sessionize.py)."""
+    from sparkbigdatatextanalysis_spark.streaming import sessionize as sz
+
+    out = sz.sessionize_batch(_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "session_idx",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_concat": q_scan_concat,
@@ -460,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "events_windowed": q_events_windowed,
         "events_sliding_users": q_events_sliding_users,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -975,5 +992,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
                    user_id, count(*) AS n_events
             FROM expanded GROUP BY 1, 2
+        """,
+        # Same micro-second truncation as the Spark side (_events reads the
+        # nanos parquet as long and truncates), same deterministic ordering.
+        "events_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events
+            ),
+            m AS (
+              SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                              OR tus - lag(tus) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+            ),
+            s AS (
+              SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING
+              ) AS session_idx FROM m
+            )
+            SELECT user_id, session_idx::BIGINT AS session_idx,
+                   strftime(min(make_timestamp(tus)), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(make_timestamp(tus)), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_idx
         """,
     }

@@ -43,6 +43,7 @@ HEADLINE = [
     "doc_fingerprint",
     "media_decode",
     "events_windowed",
+    "events_sessionize",
 ]
 
 
