@@ -419,6 +419,49 @@ def q_events_sliding_users(spark, sf_dir):
     )
 
 
+def q_pricing_rollup(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary with ROLLUP subtotals over the big
+    fact table: filter pushed to the parquet scan, partial-agg shuffle on
+    two low-cardinality keys, rollup grouping sets from Spark SQL for
+    free (SURVEY.md §2.5 'lacks' column, exposed not hand-built)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out
+
+
+def q_top_parts_by_brand(spark, sf_dir):
+    """Top-3 revenue parts per brand: broadcast dim join (part is the
+    small side) + per-group window rank -- the canonical star-schema
+    top-k; at 100 TB the fact side never shuffles except on the agg key."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", F.col("p_partkey").alias("partkey"), "revenue", "rank")
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based user sessionization (batch form of the stateful
     streaming operator in streaming/sessionize.py)."""
@@ -477,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sliding_users": q_events_sliding_users,
         "events_sessionize": q_events_sessionize,
+        "pricing_rollup": q_pricing_rollup,
+        "top_parts_by_brand": q_top_parts_by_brand,
     }
 
 
@@ -992,6 +1037,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
                    user_id, count(*) AS n_events
             FROM expanded GROUP BY 1, 2
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        # round-then-rank on BOTH sides so rank ties are deterministic.
+        "top_parts_by_brand": """
+            WITH rev AS (
+              SELECT l_partkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              FROM lineitem GROUP BY l_partkey
+            ),
+            j AS (
+              SELECT p_brand, p_partkey AS partkey, revenue,
+                     row_number() OVER (
+                       PARTITION BY p_brand ORDER BY revenue DESC, p_partkey
+                     ) AS rank
+              FROM rev JOIN part ON l_partkey = p_partkey
+            )
+            SELECT p_brand, partkey, revenue, rank::INT AS rank FROM j WHERE rank <= 3
         """,
         # Same micro-second truncation as the Spark side (_events reads the
         # nanos parquet as long and truncates), same deterministic ordering.

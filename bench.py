@@ -44,6 +44,8 @@ HEADLINE = [
     "media_decode",
     "events_windowed",
     "events_sessionize",
+    "pricing_rollup",
+    "top_parts_by_brand",
 ]
 
 
