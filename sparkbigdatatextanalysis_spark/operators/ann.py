@@ -72,45 +72,46 @@ def lsh_signatures(
     rows_per_band = len(planes) // bands
     dim = len(planes[0])
 
-    # Quantize once into flat long columns behind a persist barrier --
-    # the signature arithmetic then runs on plain attributes in
-    # whole-stage codegen instead of re-evaluating interpreted
-    # higher-order lambdas per plane (measured ~10x on 64-dim vectors).
+    # Quantize once into flat long columns behind a persist barrier -- the
+    # signature arithmetic then runs on plain attributes in whole-stage
+    # codegen instead of re-evaluating interpreted higher-order lambdas
+    # per plane (measured ~10x on 64-dim vectors). All wide expressions
+    # are built as single SQL strings: one py4j call each, instead of
+    # thousands of driver round-trips assembling Column trees (which
+    # dominated wall-clock at 64 dims x 16 planes).
     qflat = emb.select(
         F.col(id_col).alias("id"),
         *[
-            F.floor(F.try_element_at(F.col(vec_col), F.lit(j + 1)).cast("double") * QUANT)
-            .cast("long")
-            .alias(f"q{j}")
+            F.expr(
+                f"CAST(floor(CAST(try_element_at({vec_col}, {j + 1}) AS DOUBLE)"
+                f" * {QUANT}) AS BIGINT) AS q{j}"
+            )
             for j in range(dim)
         ],
     ).persist()
 
     # Planes are +-1, so each plane dot is a pure add/subtract chain.
-    def _plane_dot(i: int) -> Column:
-        out = F.col("q0") if planes[i][0] > 0 else -F.col("q0")
+    def _plane_dot_sql(i: int) -> str:
+        terms = [("q0" if planes[i][0] > 0 else "-q0")]
         for j in range(1, dim):
-            out = (out + F.col(f"q{j}")) if planes[i][j] > 0 else (out - F.col(f"q{j}"))
-        return out
+            terms.append(f"{'+' if planes[i][j] > 0 else '-'} q{j}")
+        return " ".join(terms)
 
-    bits = [
-        F.when(_plane_dot(i) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        for i in range(len(planes))
-    ]
-
-    def _bucket(b: int) -> Column:
-        out = F.lit(0).cast("long")
-        for i in range(rows_per_band):
-            out = out + bits[b * rows_per_band + i] * F.lit(1 << i).cast("long")
-        return out
-
-    buckets = F.array(
-        *[
-            F.struct(F.lit(b).cast("int").alias("band"), _bucket(b).alias("bucket"))
-            for b in range(bands)
-        ]
+    dotted = qflat.select(
+        "id", *[F.expr(f"({_plane_dot_sql(i)}) AS d{i}") for i in range(len(planes))]
     )
-    return qflat.select("id", F.explode(buckets).alias("bb")).select(
+
+    def _bucket_sql(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN d{b * rows_per_band + i} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(rows_per_band)
+        )
+
+    entries = ", ".join(
+        f"struct(CAST({b} AS INT) AS band, CAST({_bucket_sql(b)} AS BIGINT) AS bucket)"
+        for b in range(bands)
+    )
+    return dotted.select("id", F.explode(F.expr(f"array({entries})")).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -165,7 +166,9 @@ def cosine_topk_lsh(
     """Approximate top-k: candidates limited to vectors sharing >=1 LSH
     band bucket with the query, then exact cosine rerank. Same output
     schema as the brute force; recall < 1 by design (that's the trade)."""
-    sigs = lsh_signatures(emb, id_col, vec_col)
+    # persist: sigs feeds both the query side and the corpus side of the
+    # bucket join; without the barrier the signature plan runs twice.
+    sigs = lsh_signatures(emb, id_col, vec_col).persist()
     nv = _norm_vecs(emb, id_col, vec_col)
     q = query_ids.withColumnRenamed(query_ids.columns[0], "q_id")
     qsig = sigs.join(F.broadcast(q), sigs.id == F.col("q_id")).select("q_id", "band", "bucket")

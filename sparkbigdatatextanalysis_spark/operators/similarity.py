@@ -226,12 +226,13 @@ def _dense_flat_vectors(weights: DataFrame, vocab: DataFrame, n: int) -> DataFra
         .pivot("idx", list(range(n)))
         .agg(F.sum("weight"))
     )
-    slots = [F.coalesce(F.col(str(i)), F.lit(0.0)).alias(f"w{i}") for i in range(n)]
-    flat = piv.select("id", *slots)
-    norm_sq = flat[f"w{0}"] * flat[f"w{0}"]
-    for i in range(1, n):
-        norm_sq = norm_sq + flat[f"w{i}"] * flat[f"w{i}"]
-    return flat.withColumn("norm", F.sqrt(norm_sq))
+    # selectExpr with prebuilt SQL strings: one py4j call per select
+    # instead of hundreds of driver round-trips assembling Column trees.
+    flat = piv.selectExpr(
+        "id", *[f"COALESCE(`{i}`, CAST(0 AS DOUBLE)) AS w{i}" for i in range(n)]
+    )
+    norm_sq = " + ".join(f"w{i} * w{i}" for i in range(n))
+    return flat.selectExpr("*", f"SQRT({norm_sq}) AS norm")
 
 
 def _cosine_similarity_dense_flat(
@@ -242,26 +243,22 @@ def _cosine_similarity_dense_flat(
     # InMemoryRelation is a plan barrier -- without it Catalyst inlines the
     # pivot/coalesce trees into the n-term dot/norm sums and expression
     # canonicalization blows up (OOM at n=31 on a 16g driver).
-    fa = _dense_flat_vectors(weights_a, vocab, n).select(
-        F.col("id").alias("a_id"), F.col("norm").alias("na"),
-        *[F.col(f"w{i}").alias(f"a{i}") for i in range(n)],
+    fa = _dense_flat_vectors(weights_a, vocab, n).selectExpr(
+        "id AS a_id", "norm AS na", *[f"w{i} AS a{i}" for i in range(n)]
     ).persist()
-    fb = _dense_flat_vectors(weights_b, vocab, n).select(
-        F.col("id").alias("b_id"), F.col("norm").alias("nb"),
-        *[F.col(f"w{i}").alias(f"b{i}") for i in range(n)],
+    fb = _dense_flat_vectors(weights_b, vocab, n).selectExpr(
+        "id AS b_id", "norm AS nb", *[f"w{i} AS b{i}" for i in range(n)]
     ).persist()
     # Explicit repartition: the stream side is one row per doc, which AQE
     # would coalesce to one partition; each row fans out to |b| pairs so
     # the pair compute must stay wide.
     fa = fa.repartition(fa.sparkSession.sparkContext.defaultParallelism)
-    dot = F.col("a0") * F.col("b0")
-    for i in range(1, n):
-        dot = dot + F.col(f"a{i}") * F.col(f"b{i}")
+    dot = " + ".join(f"a{i} * b{i}" for i in range(n))
     return (
         fa.crossJoin(F.broadcast(fb))
-        .select("a_id", "b_id", dot.alias("dot"), "na", "nb")
+        .selectExpr("a_id", "b_id", f"({dot}) AS dot", "na", "nb")
         .where(F.col("dot") > 0)
-        .select("a_id", "b_id", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("sim"))
+        .selectExpr("a_id", "b_id", "(dot / (na * nb)) AS sim")
     )
 
 
