@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import string_hash31, word_shingles
 from ..functions.text import ENGLISH_STOPWORDS, tokenize
 
 # Tiny per-language function-word lists for the n-gram-free heuristic
@@ -120,16 +119,14 @@ def doc_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, fingerprint, n_shingles): winnowing-style content fingerprint
-    = min char-fold hash over the doc's word n-gram shingles. Two docs
+    = min md5-based hash over the doc's word n-gram shingles. Two docs
     sharing their minimal shingle collide -- a cheap first-pass near-dup
-    blocking key (full MinHash lives in operators.dedup)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(tokenize(text_col), n)).alias("shingle"),
-    ).select("id", string_hash31("shingle").alias("sh"))
-    # Relational form (explode -> groupBy min/count) keeps the hash + MIN
-    # in whole-stage codegen; the in-row array_min(transform(...)) form
-    # pays the interpreted higher-order evaluator per shingle.
+    blocking key (full MinHash lives in operators.dedup). Shares the
+    relational shingle pipeline with the dedup operators (posexplode +
+    lead windows, whole-stage codegen)."""
+    from .dedup import shingle_hashes
+
+    sh = shingle_hashes(docs, id_col, text_col, n)
     return sh.groupBy("id").agg(
         F.min("sh").alias("fingerprint"),
         F.count("*").cast("int").alias("n_shingles"),
