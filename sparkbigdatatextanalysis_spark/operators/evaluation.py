@@ -37,10 +37,19 @@ def evaluate_gold(sims: DataFrame, gold: DataFrame) -> DataFrame:
 def gold_standard_sims(sims: DataFrame, gold: DataFrame) -> DataFrame:
     """Similarity of every gold pair, 0.0 when the candidate join never
     produced the pair (reference analyseDataset's gs_value default,
-    ScalableEntityResolution.scala:321-327)."""
-    return gold.join(sims, ["a_id", "b_id"], "left").select(
-        "a_id", "b_id", F.coalesce("sim", F.lit(0.0)).alias("sim")
-    )
+    ScalableEntityResolution.scala:321-327).
+
+    Written as (sims INNER broadcast-join gold) UNION (gold ANTI-join
+    matched, sim 0.0) rather than the naive gold-LEFT-JOIN-sims: a left
+    outer join with the big table on the right cannot broadcast-build,
+    so it would shuffle the entire similarity table just to pick out
+    |gold| rows. The decomposed form streams sims map-side against the
+    broadcast gold set and never shuffles it."""
+    matched = sims.join(F.broadcast(gold.select("a_id", "b_id")), ["a_id", "b_id"]).persist()
+    missing = gold.select("a_id", "b_id").join(
+        F.broadcast(matched.select("a_id", "b_id")), ["a_id", "b_id"], "left_anti"
+    ).select("a_id", "b_id", F.lit(0.0).alias("sim"))
+    return matched.select("a_id", "b_id", "sim").unionByName(missing)
 
 
 def sim_histogram(sims: DataFrame, n_bins: int = 100) -> DataFrame:
