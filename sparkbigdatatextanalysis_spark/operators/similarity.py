@@ -64,7 +64,10 @@ def common_token_pairs(
       join. The low-vocab regime is exactly where the sparse join
       explodes (df ~ |docs| makes its shuffle quadratic x vocab), while
       the bitmask plan moves |docs| longs and does one AND+popcount per
-      pair in whole-stage codegen -- no pair-level shuffle at all.
+      pair in whole-stage codegen -- no pair-level shuffle at all. The
+      broadcast side is |docs_b| 16-byte rows; past broadcast limits,
+      dedupe identical masks into classes first (<= 2^|vocab| classes)
+      and expand members after the class-pair popcounts.
     """
     a = idx_a.select("token", F.col("id").alias("a_id"))
     b = idx_b.select("token", F.col("id").alias("b_id"))
@@ -149,7 +152,7 @@ def cosine_similarity_join(
       is large (real text): docs share few tokens, the join output stays
       near |matching pairs|.
     * ``dense`` -- pivot each doc to a fixed |vocab| dense vector, then a
-      broadcast cross join with an in-row zip_with dot product. When the
+      broadcast cross join with an in-row dot product. When the
       vocabulary is small the sparse join's output explodes toward
       |pairs| * |vocab| rows through a shuffle; the dense form does the
       same multiplies map-side with NO pair-level shuffle at all.
@@ -157,6 +160,14 @@ def cosine_similarity_join(
       dot > 0 <=> the pair shares a token.
     * ``auto`` -- one cheap distinct-token count decides (the engine's
       analog of Catalyst picking a join strategy from stats).
+
+    Scale limit of the dense path: the build side must fit a broadcast
+    (|docs_b| rows x ~8*|vocab| bytes). Beyond that, with a still-tiny
+    vocabulary, the right move is equivalence-classing first -- docs
+    sharing an identical weight vector collapse to one class row, class
+    pairs are computed once (<= min(|docs|, vocab-limited) classes), and
+    members expand after -- or simply the sparse path; any all-pairs
+    output at that shape is dominated by its own output size anyway.
     """
     vocab_n: int | None = None
     if strategy == "auto":
