@@ -180,6 +180,15 @@ def cosine_similarity_join(
             vocab_n = (
                 weights_a.select("token").union(weights_b.select("token")).distinct().count()
             )
+        if vocab_n == 0:
+            # empty vocabulary (e.g. all-stopword corpus): no pair can
+            # share a token, so the result is empty by definition.
+            return (
+                weights_a.select(F.col("id").alias("a_id"))
+                .limit(0)
+                .crossJoin(weights_b.select(F.col("id").alias("b_id")).limit(0))
+                .withColumn("sim", F.lit(0.0))
+            )
         return _cosine_similarity_dense(weights_a, weights_b, vocab_n)
 
     dots = dot_products(weights_a, weights_b)

@@ -1,0 +1,117 @@
+"""Property-based invariants (SURVEY.md §5): hypothesis generates
+adversarial documents (unicode, punctuation runs, empties, nulls) and the
+engine's math invariants must hold on whatever comes out.
+
+Each property collects one generated corpus into ONE DataFrame and
+asserts the invariant as an aggregation, so a property costs one Spark
+job, not one per example.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sparkbigdatatextanalysis_spark.functions.text import tokenize_no_stopwords
+from sparkbigdatatextanalysis_spark.operators import dedup as dd
+from sparkbigdatatextanalysis_spark.operators import similarity as sim
+from sparkbigdatatextanalysis_spark.operators import tfidf as tfidf_ops
+
+TEXT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=80,
+)
+CORPUS = st.lists(st.one_of(TEXT, st.none()), min_size=2, max_size=25)
+
+PROP = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id LONG, text STRING"
+    )
+
+
+@PROP
+@given(texts=CORPUS)
+def test_tokens_are_word_chars_only(spark, texts):
+    toks = _docs_df(spark, texts).select(
+        F.explode(tokenize_no_stopwords("text")).alias("t")
+    )
+    bad = toks.where(
+        (F.col("t") == "") | F.col("t").rlike(r"\W") | (F.col("t") != F.lower("t"))
+    ).count()
+    assert bad == 0
+
+
+@PROP
+@given(texts=CORPUS)
+def test_term_frequencies_sum_to_one(spark, texts):
+    tok = tfidf_ops.tokenized(_docs_df(spark, texts))
+    tf = tfidf_ops.term_frequencies(tok)
+    off = (
+        tf.groupBy("id")
+        .agg(F.abs(F.sum("tf") - 1.0).alias("err"))
+        .where(F.col("err") > 1e-9)
+        .count()
+    )
+    assert off == 0
+
+
+@PROP
+@given(texts=CORPUS)
+def test_idf_bounds(spark, texts):
+    tok = tfidf_ops.tokenized(_docs_df(spark, texts))
+    idf = tfidf_ops.idf_table(tok)
+    n = tok.count()
+    bad = idf.where(
+        (F.col("df") < 1) | (F.col("df") > n) | (F.col("idf") < 1.0 - 1e-12)
+    ).count()
+    assert bad == 0
+
+
+@PROP
+@given(texts=CORPUS)
+def test_cosine_in_unit_interval(spark, texts):
+    tok = tfidf_ops.tokenized(_docs_df(spark, texts))
+    idf = tfidf_ops.idf_table(tok)
+    w = tfidf_ops.tfidf_weights(tok, idf)
+    wa = w.where(F.col("id") % 2 == 0)
+    wb = w.where(F.col("id") % 2 == 1)
+    sims = sim.cosine_similarity_join(wa, wb)
+    bad = sims.where(
+        (F.col("sim") <= 0) | (F.col("sim") > 1.0 + 1e-9) | F.isnan("sim")
+    ).count()
+    assert bad == 0
+
+
+@PROP
+@given(texts=CORPUS)
+def test_exact_dedup_one_representative_per_group(spark, texts):
+    docs = _docs_df(spark, texts).where(F.col("text").isNotNull())
+    d = dd.exact_dedup(docs, id_col="id")
+    per_group = d.groupBy("content_hash").agg(
+        F.sum(F.col("keep").cast("int")).alias("kept")
+    )
+    assert per_group.where(F.col("kept") != 1).count() == 0
+
+
+@PROP
+@given(texts=CORPUS)
+def test_jaccard_bounds_and_symmetric_key_order(spark, texts):
+    docs = _docs_df(spark, texts).where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, id_col="id")
+    bad = pairs.where(
+        (F.col("jaccard") <= 0)
+        | (F.col("jaccard") > 1.0 + 1e-12)
+        | (F.col("a_id") >= F.col("b_id"))
+    ).count()
+    assert bad == 0
