@@ -21,7 +21,10 @@ CATALOG_SCHEMA = T.StructType(
         T.StructField("title", T.StringType(), True),
         T.StructField("description", T.StringType(), True),
         T.StructField("manufacturer", T.StringType(), True),
-        T.StructField("price", T.DoubleType(), True),
+        # price as STRING + try_cast downstream: the reference's regex
+        # accepts any price text (and discards it, Utils.scala:54-57); a
+        # DoubleType here would mark the whole record corrupt instead.
+        T.StructField("price", T.StringType(), True),
         T.StructField("_corrupt", T.StringType(), True),
     ]
 )
