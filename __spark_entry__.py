@@ -345,6 +345,15 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = ann_ops.cosine_topk_ivf(emb, _ann_queries(emb), k=ANN_K)
+    return out.select(
+        "q_id", "n_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 6).alias("cos"),
+    )
+
+
 def q_text_lang_id(spark, sf_dir):
     out = ts.language_id(_docs(spark, sf_dir))
     return out.select(
@@ -511,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -896,6 +906,52 @@ def oracle_sql() -> dict[str, str]:
               SELECT q_id, c.vec_id AS n_id,
                      round({_emb_dot_sql("qv", "c.v")} / (qn * c.norm), 9) AS cos
               FROM q CROSS JOIN nv c WHERE c.vec_id <> q_id
+            ),
+            ranked AS (
+              SELECT q_id, n_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+              FROM scored
+            )
+            SELECT q_id, n_id, rank, round(cos, 6) AS cos
+            FROM ranked WHERE rank <= {ANN_K}
+        """,
+        "ann_topk_ivf": f"""
+            WITH {_EMB_NORM_SQL},
+            cents AS (SELECT vec_id AS c_id, v AS cv, norm AS cn
+                      FROM nv WHERE vec_id < {ann_ops.N_CENTROIDS}),
+            ascore AS (
+              SELECT a.vec_id AS id, c_id,
+                     round({_emb_dot_sql("a.v", "cv")} / (a.norm * cn), 9) AS cos
+              FROM nv a CROSS JOIN cents
+            ),
+            assign AS (
+              SELECT id, c_id AS cluster FROM (
+                SELECT id, c_id,
+                       row_number() OVER (PARTITION BY id ORDER BY cos DESC, c_id) AS rn
+                FROM ascore
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT q_id, c_id AS cluster FROM (
+                SELECT q.vec_id AS q_id, c_id,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY round({_emb_dot_sql("q.v", "cv")} / (q.norm * cn), 9) DESC, c_id
+                       ) AS rn
+                FROM nv q CROSS JOIN cents WHERE q.vec_id < {ANN_N_QUERIES}
+              ) WHERE rn <= {ann_ops.N_PROBE}
+            ),
+            cand AS (
+              SELECT DISTINCT q_id, a.id AS n_id
+              FROM probes p JOIN assign a USING (cluster)
+              WHERE a.id <> p.q_id
+            ),
+            scored AS (
+              SELECT q_id, n_id,
+                     round({_emb_dot_sql("qn.v", "cn2.v")} / (qn.norm * cn2.norm), 9) AS cos
+              FROM cand
+              JOIN nv qn ON qn.vec_id = q_id
+              JOIN nv cn2 ON cn2.vec_id = n_id
             ),
             ranked AS (
               SELECT q_id, n_id, cos,

@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "text_quality",
     "doc_fingerprint",
     "media_decode",

@@ -156,6 +156,100 @@ def cosine_topk_bruteforce(
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """(id, cluster): inverted-file (IVF) coarse quantization with
+    deterministic centroids -- the first ``n_centroids`` vectors by id.
+    (A KMeans refinement would drop in here; fixed seeds keep the whole
+    operator reproducible and oracle-checkable.)
+
+    Assignment is a map-only broadcast argmax: every vector scores
+    against the tiny centroid set, no shuffle of the corpus. At 100 TB
+    this is one narrow pass; the cluster column then partitions all
+    downstream search.
+    """
+    nv = _norm_vecs(emb, id_col, vec_col)
+    cents = nv.where(F.col("id") < n_centroids).select(
+        F.col("id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    scored = nv.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "c_id",
+        F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 9).alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", F.col("c_id").alias("cluster"))
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Approximate top-k via IVF: each query probes its ``n_probe``
+    closest centroids and reranks exactly only within those clusters --
+    per-query work is bounded by the probed clusters' sizes instead of
+    the corpus. Same output schema as the brute force; recall < 1 is the
+    trade, tunable with n_probe."""
+    nv = _norm_vecs(emb, id_col, vec_col)
+    cents = nv.where(F.col("id") < n_centroids).select(
+        F.col("id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    # persist: assignments feed every probed-cluster lookup.
+    assign = ivf_assignments(emb, id_col, vec_col, n_centroids).persist()
+
+    q = query_ids.withColumnRenamed(query_ids.columns[0], "q_id")
+    qv = nv.join(F.broadcast(q), nv.id == F.col("q_id")).select(
+        "q_id", F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    qscore = F.broadcast(qv).crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "c_id",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9).alias("cos"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    probes = (
+        qscore.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= n_probe)
+        .select("q_id", F.col("c_id").alias("cluster"))
+    )
+
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cluster")
+        .where(F.col("id") != F.col("q_id"))
+        .select("q_id", F.col("id").alias("n_id"))
+    )
+    cv = nv.select(F.col("id").alias("n_id"), F.col("v").alias("nv"), F.col("norm").alias("nn"))
+    scored = cand.join(F.broadcast(qv), "q_id").join(cv, "n_id").select(
+        "q_id",
+        "n_id",
+        F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 9).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_ids: DataFrame,

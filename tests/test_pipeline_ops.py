@@ -176,3 +176,21 @@ def test_doc_fingerprint_equal_for_equal_docs(spark):
     d = _docs(spark, ["one two three four", "one two three four", "five six seven eight"])
     rows = {r["id"]: r["fingerprint"] for r in textstats.doc_fingerprints(d).collect()}
     assert rows[0] == rows[1] != rows[2]
+
+
+def test_ivf_topk_matches_bruteforce_within_probed_clusters(spark, small_emb):
+    qids = small_emb.select("vec_id").where(F.col("vec_id") < 2)
+    bf = ann.cosine_topk_bruteforce(small_emb, qids, k=3)
+    ivf = ann.cosine_topk_ivf(small_emb, qids, k=3, n_centroids=2, n_probe=2)
+    got = {(r["q_id"], r["n_id"], r["rank"]) for r in ivf.collect()}
+    # n_probe == n_centroids probes everything -> IVF must equal brute force
+    expected = {(r["q_id"], r["n_id"], r["rank"]) for r in bf.collect()}
+    assert got == expected
+
+
+def test_ivf_assignments_cover_all_vectors_once(spark, small_emb):
+    a = ann.ivf_assignments(small_emb, n_centroids=2)
+    rows = a.collect()
+    assert len(rows) == small_emb.count()
+    assert len({r["id"] for r in rows}) == len(rows)
+    assert all(r["cluster"] in (0, 1) for r in rows)
