@@ -52,15 +52,19 @@ SF0001 = "/root/testdata/sf0.001"
 # that builds on sims. Keyed per (session, sf_dir); the cached tables are
 # the small derived ones (weights ~ |distinct doc-token|, sims ~ |candidate
 # pairs|), which is what you'd persist on a real cluster too.
-_DF_CACHE: dict[tuple, DataFrame] = {}
+_DF_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
 def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, name)
-    df = _DF_CACHE.get(key)
-    if df is None:
-        df = build().persist()
-        _DF_CACHE[key] = df
+    # Keyed by (sf_dir, name) with the owning session stored alongside:
+    # id(spark) alone can collide when a stopped session's address is
+    # reused, which would hand back DataFrames bound to a dead session.
+    key = (sf_dir, name)
+    hit = _DF_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = build().persist()
+    _DF_CACHE[key] = (spark, df)
     return df
 
 
@@ -104,7 +108,11 @@ def _weights_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 def _sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         wa, wb = _weights_ab(spark, sf_dir)
-        return sim.cosine_similarity_join(wa, wb)
+        # vocab size from the idf table (built on the cached tok) saves
+        # the strategy chooser its own union-distinct count job.
+        return sim.cosine_similarity_join(
+            wa, wb, vocab_n=_idf(spark, sf_dir).count()
+        )
 
     return _cached(spark, sf_dir, "sims", build)
 

@@ -137,6 +137,7 @@ def cosine_similarity_join(
     weights_b: DataFrame,
     broadcast_norms: bool = True,
     strategy: str = "auto",
+    vocab_n: int | None = None,
 ) -> DataFrame:
     """Token-blocked cosine similarity -> (a_id, b_id, sim) for all pairs
     sharing >=1 token. Intended semantics of the reference's
@@ -169,11 +170,11 @@ def cosine_similarity_join(
     members expand after -- or simply the sparse path; any all-pairs
     output at that shape is dominated by its own output size anyway.
     """
-    vocab_n: int | None = None
     if strategy == "auto":
-        vocab_n = (
-            weights_a.select("token").union(weights_b.select("token")).distinct().count()
-        )
+        if vocab_n is None:
+            vocab_n = (
+                weights_a.select("token").union(weights_b.select("token")).distinct().count()
+            )
         strategy = "dense" if vocab_n <= DENSE_VOCAB_THRESHOLD else "sparse"
     if strategy == "dense":
         if vocab_n is None:
