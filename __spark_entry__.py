@@ -68,15 +68,45 @@ def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     return df
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+# Parquet split counts per (sf_dir, table), so the fan-out decision costs
+# one RDD conversion per table, not one per query build.
+_SCAN_PARTS: dict[tuple, int] = {}
+
+
+def _scan(
+    spark: SparkSession, sf_dir: str, table: str, wide: bool = False
+) -> DataFrame:
+    """Parquet scan. With ``wide=True`` the scan is fanned out to the
+    session's parallelism when the file yields fewer splits than cores --
+    used ONLY where heavy per-row compute follows (tokenize, LSH
+    signatures, quality ratios): the round-robin exchange costs a fixed
+    extra stage, which loses on cheap scans and wins 3-4x on compute-bound
+    ones. Filters and column pruning push through the exchange (verified
+    in tests/test_plans.py), so scan pushdown is unaffected. On a real
+    cluster reading large tables the fan-out never fires (splits >>
+    parallelism); locally the tiny single-row-group fixtures would
+    otherwise pin scan-side maps to ONE core."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if not wide:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    key = (sf_dir, table)
+    nparts = _SCAN_PARTS.get(key)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        _SCAN_PARTS[key] = nparts
+    return df.repartition(par) if nparts < par else df
+
+
+def _docs(spark: SparkSession, sf_dir: str, wide: bool = False) -> DataFrame:
+    return _scan(spark, sf_dir, "documents", wide=wide)
 
 
 def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All documents tokenized (stopwords removed): (id=doc_id, tokens)."""
 
     def build():
-        d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+        d = _docs(spark, sf_dir, wide=True).select(F.col("doc_id").alias("id"), "text")
         return tfidf_ops.tokenized(d)
 
     return _cached(spark, sf_dir, "tok", build)
@@ -105,13 +135,47 @@ def _weights_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return w.where(F.col("id") % 2 == 0), w.where(F.col("id") % 2 == 1)
 
 
+# vocab sizes per (session id, sf_dir) -- one count job each
+_VOCAB_N: dict[tuple, int] = {}
+
+
+def _vocab_n(spark: SparkSession, sf_dir: str) -> int:
+    key = (id(spark), sf_dir)
+    n = _VOCAB_N.get(key)
+    if n is None:
+        # from the idf table (built on the cached tok): saves the strategy
+        # chooser its own union-distinct count job.
+        n = _idf(spark, sf_dir).count()
+        _VOCAB_N[key] = n
+    return n
+
+
+def _flats(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Cached dense flat-vector table (side, id, norm, w0..) shared by the
+    candidate similarity join AND the all-pairs query. The two catalogs
+    are row-disjoint slices of ONE weights table, so the whole thing is a
+    single pivot pass over the full table with side = id % 2 -- one
+    TF-groupBy lineage, one aggregate job, one codegen compile, instead of
+    one per catalog branch. None when the vocabulary is too wide for the
+    flat strategy."""
+    n = _vocab_n(spark, sf_dir)
+    if not (0 < n <= sim.DENSE_UNROLL_MAX):
+        return None
+
+    def build():
+        w = _weights(spark, sf_dir)
+        return sim.dense_flat_table(
+            w, sim.vocab_index(w), n, side=F.col("id") % 2
+        )
+
+    return _cached(spark, sf_dir, "flats", build)
+
+
 def _sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         wa, wb = _weights_ab(spark, sf_dir)
-        # vocab size from the idf table (built on the cached tok) saves
-        # the strategy chooser its own union-distinct count job.
         return sim.cosine_similarity_join(
-            wa, wb, vocab_n=_idf(spark, sf_dir).count()
+            wa, wb, vocab_n=_vocab_n(spark, sf_dir), flats=_flats(spark, sf_dir)
         )
 
     return _cached(spark, sf_dir, "sims", build)
@@ -137,7 +201,7 @@ def _round6(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def q_scan_concat(spark, sf_dir):
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = _scan(spark, sf_dir, "part")
     return p.select(
         "p_partkey", F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("text")
     )
@@ -205,9 +269,14 @@ def q_fast_cosine_join(spark, sf_dir):
 def q_cross_similarity(spark, sf_dir):
     wa, wb = _weights_ab(spark, sf_dir)
     ta, tb = _tok_ab(spark, sf_dir)
+    # dense vocab -> map-only direct form over the shared cached flat
+    # table (no pair-level shuffle); wide vocab -> left join against the
+    # cached token-blocked sims.
     out = sim.cross_cosine_similarity(
         wa, wb, ids_a=ta.select("id"), ids_b=tb.select("id"),
         sims=_sims(spark, sf_dir),
+        vocab_n=_vocab_n(spark, sf_dir),
+        flats=_flats(spark, sf_dir),
     )
     return _round6(out, "sim")
 
@@ -294,7 +363,9 @@ def q_idf_histogram(spark, sf_dir):
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # wide: the LSH signature arithmetic (64 flat quantized columns x 16
+    # plane dots) is compute-bound per row -- measured ~2x on ann_topk_lsh.
+    return _scan(spark, sf_dir, "embeddings", wide=True)
 
 
 EMBED_NEAR_DUP_THRESHOLD = 0.35  # 99.9th pct of the synthetic cosine dist
@@ -370,7 +441,8 @@ def q_text_lang_id(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    out = ts.text_quality(_docs(spark, sf_dir))
+    # wide: per-row regexp ratio extraction is compute-bound.
+    out = ts.text_quality(_docs(spark, sf_dir, wide=True))
     return out.select(
         F.col("id").alias("doc_id"), "n_chars", "n_tokens", "mean_token_len",
         "stopword_ratio", "punct_ratio", "digit_ratio", "quality_score",
@@ -416,7 +488,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     read nanos as long (legacy conf, runtime-settable) and truncate to
     microseconds, the engine's canonical timestamp resolution."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _scan(spark, sf_dir, "events")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -441,7 +513,7 @@ def q_pricing_rollup(spark, sf_dir):
     fact table: filter pushed to the parquet scan, partial-agg shuffle on
     two low-cardinality keys, rollup grouping sets from Spark SQL for
     free (SURVEY.md §2.5 'lacks' column, exposed not hand-built)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _scan(spark, sf_dir, "lineitem")
     out = (
         li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
         .rollup("l_returnflag", "l_linestatus")
@@ -464,8 +536,8 @@ def q_top_parts_by_brand(spark, sf_dir):
     top-k; at 100 TB the fact side never shuffles except on the agg key."""
     from pyspark.sql import Window
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _scan(spark, sf_dir, "lineitem")
+    part = _scan(spark, sf_dir, "part")
     rev = (
         li.groupBy("l_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))

@@ -76,29 +76,55 @@ def threshold_sweep(
     sum over the 101-row bin table -- the sweep costs one window over a
     tiny table instead of 101 filter-count jobs.
     """
-    dup_sims = gold_standard_sims(sims, gold)
-    bins_all = sim_histogram(sims, n_thresholds).withColumnRenamed("cnt", "cnt_all")
-    bins_dup = sim_histogram(dup_sims, n_thresholds).withColumnRenamed("cnt", "cnt_dup")
+    # ONE pass over the (big) similarity table: tag each candidate pair
+    # gold/non-gold with a broadcast join, then a single partial-aggregated
+    # groupBy(bin, is_dup). Everything after operates on <= 2*(n+1) rows.
+    # (Binning both distributions separately -- bins_all via sim_histogram,
+    # bins_dup via gold_standard_sims -- scanned the pair table 3-4x.)
+    # Gold pairs the candidate join never produced count as sim 0.0
+    # (reference gs_value default): their count is |gold| - |matched|,
+    # folded into bin 0 arithmetically. Assumes gold pairs are distinct
+    # (they are in every gold-standard fixture).
+    g = gold.select("a_id", "b_id", F.lit(1).alias("_gold"))
+    bin_col = F.least(
+        F.floor(F.col("sim") * n_thresholds).cast("long"),
+        F.lit(n_thresholds).cast("long"),
+    )
+    bins = (
+        sims.join(F.broadcast(g), ["a_id", "b_id"], "left")
+        .groupBy(bin_col.alias("bin"), F.col("_gold").isNotNull().alias("is_dup"))
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    totals = bins.agg(
+        F.coalesce(F.sum(F.when(F.col("is_dup"), F.col("cnt"))), F.lit(0)).alias("matched")
+    ).crossJoin(F.broadcast(gold.agg(F.count("*").alias("n_dups"))))
 
     grid = sims.sparkSession.range(0, n_thresholds + 1).select(
         F.col("id").alias("bin")
     )
-    total_dups = dup_sims.agg(F.count("*").alias("n_dups"))
+    by_bin = bins.groupBy("bin").agg(
+        F.sum("cnt").alias("cnt_all"),
+        F.coalesce(F.sum(F.when(F.col("is_dup"), F.col("cnt"))), F.lit(0)).alias("cnt_matched"),
+    )
 
     w = Window.orderBy(F.col("bin").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     binned = (
-        grid.join(bins_all, "bin", "left")
-        .join(bins_dup, "bin", "left")
+        grid.join(by_bin, "bin", "left")
+        .crossJoin(F.broadcast(totals))
         .select(
             "bin",
+            "n_dups",
             F.coalesce("cnt_all", F.lit(0)).alias("cnt_all"),
-            F.coalesce("cnt_dup", F.lit(0)).alias("cnt_dup"),
+            (
+                F.coalesce("cnt_matched", F.lit(0))
+                + F.when(F.col("bin") == 0, F.col("n_dups") - F.col("matched")).otherwise(0)
+            ).alias("cnt_dup"),
         )
         .withColumn("pred_pos", F.sum("cnt_all").over(w))
         .withColumn("tp", F.sum("cnt_dup").over(w))
-        .crossJoin(F.broadcast(total_dups))
     )
     return binned.select(
         (F.col("bin") / n_thresholds).alias("threshold"),

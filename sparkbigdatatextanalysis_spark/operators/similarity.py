@@ -138,6 +138,7 @@ def cosine_similarity_join(
     broadcast_norms: bool = True,
     strategy: str = "auto",
     vocab_n: int | None = None,
+    flats: DataFrame | None = None,
 ) -> DataFrame:
     """Token-blocked cosine similarity -> (a_id, b_id, sim) for all pairs
     sharing >=1 token. Intended semantics of the reference's
@@ -190,7 +191,7 @@ def cosine_similarity_join(
                 .crossJoin(weights_b.select(F.col("id").alias("b_id")).limit(0))
                 .withColumn("sim", F.lit(0.0))
             )
-        return _cosine_similarity_dense(weights_a, weights_b, vocab_n)
+        return _cosine_similarity_dense(weights_a, weights_b, vocab_n, flats=flats)
 
     dots = dot_products(weights_a, weights_b)
     na = _norms(weights_a).select(F.col("id").alias("a_id"), F.col("norm").alias("norm_a"))
@@ -237,68 +238,119 @@ def _dense_vectors(weights: DataFrame, vocab: DataFrame) -> DataFrame:
 DENSE_UNROLL_MAX = 256
 
 
-def _dense_flat_vectors(weights: DataFrame, vocab: DataFrame, n: int) -> DataFrame:
-    """(id, token, weight) -> (id, w0..w{n-1}, norm): one flat double
-    column per vocabulary slot via a value-list pivot (codegen'd
-    HashAggregate -- no array building, no ObjectHashAggregate)."""
+def dense_flat_table(
+    weights: DataFrame, vocab: DataFrame, n: int, side: Column | None = None
+) -> DataFrame:
+    """(id, token, weight) -> (side, id, w0..w{n-1}, norm): one flat
+    double column per vocabulary slot via a value-list pivot (codegen'd
+    HashAggregate -- no array building, no ObjectHashAggregate).
+
+    ``side`` labels which catalog each row belongs to (0 = a, 1 = b),
+    evaluated BEFORE the pivot so one aggregate job covers both sides.
+    When the two catalogs are row-disjoint slices of one weights table
+    (the common case -- e.g. even/odd ids), pass the full table plus a
+    side expression and the whole flat table costs ONE pass over one
+    lineage, instead of one pivot per catalog branch. Callers persist the
+    result -- it is the pipeline point a real cluster would cache
+    (reference D23)."""
+    if side is None:
+        side = F.lit(0)
     piv = (
         weights.join(F.broadcast(vocab), "token")
-        .groupBy("id")
+        .groupBy(side.cast("int").alias("side"), F.col("id"))
         .pivot("idx", list(range(n)))
         .agg(F.sum("weight"))
     )
     # selectExpr with prebuilt SQL strings: one py4j call per select
     # instead of hundreds of driver round-trips assembling Column trees.
     flat = piv.selectExpr(
-        "id", *[f"COALESCE(`{i}`, CAST(0 AS DOUBLE)) AS w{i}" for i in range(n)]
+        "side", "id", *[f"COALESCE(`{i}`, CAST(0 AS DOUBLE)) AS w{i}" for i in range(n)]
     )
     norm_sq = " + ".join(f"w{i} * w{i}" for i in range(n))
     return flat.selectExpr("*", f"SQRT({norm_sq}) AS norm")
 
 
-def _cosine_similarity_dense_flat(
+def _dense_flat_union(
     weights_a: DataFrame, weights_b: DataFrame, vocab: DataFrame, n: int
 ) -> DataFrame:
-    # persist() is load-bearing twice over: the flat tables are the
+    """Side-tagged flat table for two unrelated weight tables: union the
+    inputs under side tags, then one pivot job over the concatenation."""
+    wu = weights_a.select(F.lit(0).alias("_s"), "id", "token", "weight").unionByName(
+        weights_b.select(F.lit(1).alias("_s"), "id", "token", "weight")
+    )
+    return dense_flat_table(
+        wu.select("id", "token", "weight", "_s"), vocab, n, side=F.col("_s")
+    )
+
+
+def _cosine_similarity_dense_flat(
+    weights_a: DataFrame,
+    weights_b: DataFrame,
+    vocab: DataFrame,
+    n: int,
+    keep_zero_pairs: bool = False,
+    flats: DataFrame | None = None,
+) -> DataFrame:
+    # persist() is load-bearing twice over: the flat table is the
     # pipeline point a real cluster would cache (reference D23), and the
     # InMemoryRelation is a plan barrier -- without it Catalyst inlines the
     # pivot/coalesce trees into the n-term dot/norm sums and expression
     # canonicalization blows up (OOM at n=31 on a 16g driver).
-    fa = _dense_flat_vectors(weights_a, vocab, n).selectExpr(
+    if flats is None:
+        flats = _dense_flat_union(weights_a, weights_b, vocab, n).persist()
+    else:
+        # a prebuilt flat table defines its own width
+        n = sum(1 for c in flats.columns if c.startswith("w") and c[1:].isdigit())
+    fa = flats.where(F.col("side") == 0).selectExpr(
         "id AS a_id", "norm AS na", *[f"w{i} AS a{i}" for i in range(n)]
-    ).persist()
-    fb = _dense_flat_vectors(weights_b, vocab, n).selectExpr(
+    )
+    fb = flats.where(F.col("side") == 1).selectExpr(
         "id AS b_id", "norm AS nb", *[f"w{i} AS b{i}" for i in range(n)]
-    ).persist()
+    )
     # Explicit repartition: the stream side is one row per doc, which AQE
     # would coalesce to one partition; each row fans out to |b| pairs so
     # the pair compute must stay wide.
     fa = fa.repartition(fa.sparkSession.sparkContext.defaultParallelism)
     dot = " + ".join(f"a{i} * b{i}" for i in range(n))
-    return (
-        fa.crossJoin(F.broadcast(fb))
-        .selectExpr("a_id", "b_id", f"({dot}) AS dot", "na", "nb")
-        .where(F.col("dot") > 0)
-        .selectExpr("a_id", "b_id", "(dot / (na * nb)) AS sim")
+    paired = fa.crossJoin(F.broadcast(fb)).selectExpr(
+        "a_id", "b_id", f"({dot}) AS dot", "na", "nb"
+    )
+    if not keep_zero_pairs:
+        # weights are strictly positive, so dot > 0 <=> the pair shares
+        # a token -- the token-blocked candidate semantics.
+        paired = paired.where(F.col("dot") > 0)
+    return paired.selectExpr("a_id", "b_id", "(dot / (na * nb)) AS sim")
+
+
+def vocab_index(weights_a: DataFrame, weights_b: DataFrame | None = None) -> DataFrame:
+    """(token, idx): dense-vector slot assignment for the joint vocabulary
+    (one table, or the union of two). Precondition of every dense strategy
+    is a tiny vocabulary, so the single-partition row_number window is over
+    at most a few hundred rows."""
+    toks = weights_a.select("token")
+    if weights_b is not None:
+        toks = toks.union(weights_b.select("token"))
+    return toks.distinct().select(
+        "token",
+        (F.row_number().over(Window.orderBy("token")) - 1).alias("idx"),
     )
 
 
 def _cosine_similarity_dense(
-    weights_a: DataFrame, weights_b: DataFrame, vocab_n: int | None = None
+    weights_a: DataFrame,
+    weights_b: DataFrame,
+    vocab_n: int | None = None,
+    keep_zero_pairs: bool = False,
+    flats: DataFrame | None = None,
 ) -> DataFrame:
     """Dense-pivot strategy: map-side broadcast cross join, in-row dot
     product, filter dot > 0 (== shares a token, weights positive)."""
-    vocab = (
-        weights_a.select("token")
-        .union(weights_b.select("token"))
-        .distinct()
-        .select(
-            "token",
-            (F.row_number().over(Window.orderBy("token")) - 1).alias("idx"),
-        )
-    )
+    vocab = vocab_index(weights_a, weights_b)
     if vocab_n is not None and vocab_n <= DENSE_UNROLL_MAX:
-        return _cosine_similarity_dense_flat(weights_a, weights_b, vocab, vocab_n)
+        return _cosine_similarity_dense_flat(
+            weights_a, weights_b, vocab, vocab_n,
+            keep_zero_pairs=keep_zero_pairs, flats=flats,
+        )
     da = _dense_vectors(weights_a, vocab).select(
         F.col("id").alias("a_id"), F.col("v").alias("va"), F.col("norm").alias("na")
     )
@@ -332,19 +384,65 @@ def cross_cosine_similarity(
     ids_a: DataFrame | None = None,
     ids_b: DataFrame | None = None,
     sims: DataFrame | None = None,
+    vocab_n: int | None = None,
+    flats: DataFrame | None = None,
 ) -> DataFrame:
     """Cosine similarity for ALL pairs (reference
     simpleSimimilarityCalculation's cartesian, EntityResolution.scala:133-157).
 
-    Computed as the token-blocked join plus a crossJoin of the id sets to
-    re-introduce the zero-dot pairs -- the dot product of pairs sharing no
-    token is 0, so the quadratic part is only the cheap id pairing, never
-    quadratic similarity arithmetic. ``ids_a``/``ids_b`` default to the
-    distinct ids of the weight tables; pass the tokenized tables' ids when
-    zero-weight docs (all stopwords) must appear with NaN sims as in the
-    reference. ``sims`` lets callers pass an already-built (cached)
-    token-blocked similarity table instead of recomputing it.
+    The dot product of pairs sharing no token is 0, so the quadratic part
+    is never quadratic similarity arithmetic. Two physical forms:
+
+    * **dense direct** (when the vocabulary fits the flat-column strategy,
+      i.e. ``vocab_n <= DENSE_UNROLL_MAX`` or prebuilt ``flats`` are
+      passed): the same map-only broadcast cross join as the candidate
+      join but WITHOUT the dot>0 filter -- zero-dot pairs fall out with
+      sim 0.0 for free, no pair-level shuffle anywhere. Pairs involving
+      docs with no weights at all (all-stopword texts) are re-attached
+      from the id sets with sim 0.0 via tiny anti/semi joins.
+    * **join form** (otherwise, or when a prebuilt ``sims`` is passed
+      without dense stats): all id pairs LEFT JOIN the token-blocked
+      similarity table + ``coalesce(sim, 0)``.
+
+    ``ids_a``/``ids_b`` default to the distinct ids of the weight tables;
+    pass the tokenized tables' ids when zero-weight docs must appear.
+    ``sims`` lets callers pass an already-built (cached) token-blocked
+    similarity table; ``flats`` an already-built (cached) dense flat
+    table from :func:`dense_flat_table`.
     """
+    dense_ok = flats is not None or (
+        vocab_n is not None and 0 < vocab_n <= DENSE_UNROLL_MAX
+    )
+    if dense_ok:
+        base = _cosine_similarity_dense(
+            weights_a, weights_b,
+            vocab_n=vocab_n if vocab_n is not None else DENSE_UNROLL_MAX,
+            keep_zero_pairs=True, flats=flats,
+        )
+        if ids_a is None and ids_b is None:
+            return base
+        # ids with no weight rows (zero-weight docs) are absent from the
+        # dense table; every pair touching one has sim 0.0 by definition.
+        # The weighted-id sets come from the (cached) flat table when
+        # available -- one narrow scan of a persisted 2-column slice
+        # instead of re-running the TF-IDF lineage per side.
+        if flats is not None:
+            wa_ids = F.broadcast(flats.where(F.col("side") == 0).select("id"))
+            wb_ids = F.broadcast(flats.where(F.col("side") == 1).select("id"))
+        else:
+            wa_ids = F.broadcast(weights_a.select("id").distinct())
+            wb_ids = F.broadcast(weights_b.select("id").distinct())
+        ids_a = ids_a if ids_a is not None else weights_a.select("id").distinct()
+        ids_b = ids_b if ids_b is not None else weights_b.select("id").distinct()
+        za = ids_a.join(wa_ids, "id", "left_anti").select(F.col("id").alias("a_id"))
+        nonzero_a = ids_a.join(wa_ids, "id", "left_semi").select(F.col("id").alias("a_id"))
+        zb = ids_b.join(wb_ids, "id", "left_anti").select(F.col("id").alias("b_id"))
+        zero_pairs = (
+            za.crossJoin(ids_b.select(F.col("id").alias("b_id")))
+            .unionByName(nonzero_a.crossJoin(F.broadcast(zb)))
+            .select("a_id", "b_id", F.lit(0.0).alias("sim"))
+        )
+        return base.unionByName(zero_pairs)
     if sims is None:
         sims = cosine_similarity_join(weights_a, weights_b)
     ids_a = ids_a if ids_a is not None else weights_a.select("id").distinct()
