@@ -36,6 +36,7 @@ from sparkbigdatatextanalysis_spark.operators import multimodal as mm
 from sparkbigdatatextanalysis_spark.operators import similarity as sim
 from sparkbigdatatextanalysis_spark.operators import textstats as ts
 from sparkbigdatatextanalysis_spark.operators import tfidf as tfidf_ops
+from sparkbigdatatextanalysis_spark.sources import parquet_io as pio
 from sparkbigdatatextanalysis_spark.streaming import aggregations as sagg
 
 SF0001 = "/root/testdata/sf0.001"
@@ -483,13 +484,11 @@ def q_media_frame_sample(spark, sf_dir):
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events with ts as TIMESTAMP. The synthetic parquet stores
-    TIMESTAMP(NANOS), which Spark's parquet reader rejects outright --
-    read nanos as long (legacy conf, runtime-settable) and truncate to
-    microseconds, the engine's canonical timestamp resolution."""
+    """Events with ts normalized to plain TIMESTAMP (the parquet has
+    shipped as both TIMESTAMP(NANOS)->int64 and timestamp[us]->NTZ;
+    see sources.parquet_io.normalize_event_ts)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = _scan(spark, sf_dir, "events")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return pio.normalize_event_ts(_scan(spark, sf_dir, "events"))
 
 
 def q_events_windowed(spark, sf_dir):

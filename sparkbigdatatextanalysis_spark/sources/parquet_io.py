@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -30,6 +31,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def normalize_event_ts(events: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to plain TIMESTAMP regardless of how the parquet
+    stored it. The synthetic ``events`` table has shipped both as
+    TIMESTAMP(NANOS) -- which Spark's reader only surfaces as int64 nanos
+    under ``spark.sql.legacy.parquet.nanosAsLong`` -- and as timestamp[us]
+    (read as TIMESTAMP_NTZ). The session pins timeZone=UTC, so the
+    NTZ->TZ cast is value-identical."""
+    dtype = dict(events.dtypes)["ts"]
+    if dtype == "bigint":
+        events = events.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif dtype != "timestamp":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events
 
 
 def write_parquet(

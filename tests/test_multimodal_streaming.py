@@ -10,6 +10,7 @@ from pyspark.sql import Row, functions as F
 
 from sparkbigdatatextanalysis_spark.functions.hashing import HASH_BASE, MERSENNE31
 from sparkbigdatatextanalysis_spark.operators import multimodal as mm
+from sparkbigdatatextanalysis_spark.sources import parquet_io as pio
 from sparkbigdatatextanalysis_spark.streaming import aggregations as sagg
 
 from conftest import sf_dir
@@ -78,14 +79,12 @@ def events_path() -> str:
 
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, events_path, tmp_path_factory) -> str:
-    """Spark's parquet reader rejects TIMESTAMP(NANOS); rewrite the events
-    through the nanos-as-long path into a micros parquet directory, which
-    is also the shape a real file stream ingests."""
+    """Rewrite the events into a plain-TIMESTAMP parquet directory --
+    the shape a real file stream ingests (handles both the old
+    TIMESTAMP(NANOS) and current timestamp[us] source encodings)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     d = str(tmp_path_factory.mktemp("events_stream"))
-    raw = spark.read.parquet(events_path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    raw = pio.normalize_event_ts(spark.read.parquet(events_path))
     raw.coalesce(2).write.mode("overwrite").parquet(d)
     return d
 
