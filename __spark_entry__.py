@@ -136,37 +136,55 @@ def _weights_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return w.where(F.col("id") % 2 == 0), w.where(F.col("id") % 2 == 1)
 
 
-# vocab sizes per (session id, sf_dir) -- one count job each
-_VOCAB_N: dict[tuple, int] = {}
+# bounded (token, idf) collections per (session id, sf_dir) -- one job each.
+# The strategy chooser only needs the vocab size up to the dense/sparse
+# cutoff, and the flat builder needs actual idf values only below
+# DENSE_UNROLL_MAX, so the collect is LIMITed: at most cutoff+1 rows come
+# back regardless of true vocabulary size (the driver-side analog of the
+# reference's broadcast idfDict, EntityResolution.scala:19, but bounded).
+_VOCAB_IDF: dict[tuple, tuple[int, list[tuple[str, float]] | None]] = {}
+
+
+def _vocab_meta(spark: SparkSession, sf_dir: str) -> tuple[int, list | None]:
+    """Returns (vocab_n_capped, vocab_idf_or_None): ``vocab_n_capped`` is
+    the exact vocabulary size when <= DENSE_VOCAB_THRESHOLD, else that
+    threshold + 1 (enough for every strategy decision); the (token, idf)
+    list (token-sorted) is present only when the flat-dense path applies."""
+    key = (id(spark), sf_dir)
+    hit = _VOCAB_IDF.get(key)
+    if hit is None:
+        cap = sim.DENSE_VOCAB_THRESHOLD + 1
+        rows = _idf(spark, sf_dir).orderBy("token").limit(cap).collect()
+        n = len(rows)
+        pairs = (
+            [(r["token"], float(r["idf"])) for r in rows]
+            if 0 < n <= sim.DENSE_UNROLL_MAX
+            else None
+        )
+        hit = (n, pairs)
+        _VOCAB_IDF[key] = hit
+    return hit
 
 
 def _vocab_n(spark: SparkSession, sf_dir: str) -> int:
-    key = (id(spark), sf_dir)
-    n = _VOCAB_N.get(key)
-    if n is None:
-        # from the idf table (built on the cached tok): saves the strategy
-        # chooser its own union-distinct count job.
-        n = _idf(spark, sf_dir).count()
-        _VOCAB_N[key] = n
-    return n
+    return _vocab_meta(spark, sf_dir)[0]
 
 
 def _flats(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     """Cached dense flat-vector table (side, id, norm, w0..) shared by the
     candidate similarity join AND the all-pairs query. The two catalogs
-    are row-disjoint slices of ONE weights table, so the whole thing is a
-    single pivot pass over the full table with side = id % 2 -- one
-    TF-groupBy lineage, one aggregate job, one codegen compile, instead of
-    one per catalog branch. None when the vocabulary is too wide for the
-    flat strategy."""
-    n = _vocab_n(spark, sf_dir)
-    if not (0 < n <= sim.DENSE_UNROLL_MAX):
+    are row-disjoint slices of ONE tokenized table, so the whole thing is
+    a single conditional-sum aggregation pass with side = id % 2 -- one
+    explode, ONE shuffle, no idf join, no pivot
+    (sim.dense_flat_table_from_tokens). None when the vocabulary is too
+    wide for the flat strategy."""
+    _, pairs = _vocab_meta(spark, sf_dir)
+    if pairs is None:
         return None
 
     def build():
-        w = _weights(spark, sf_dir)
-        return sim.dense_flat_table(
-            w, sim.vocab_index(w), n, side=F.col("id") % 2
+        return sim.dense_flat_table_from_tokens(
+            _tok(spark, sf_dir), pairs, side=F.col("id") % 2
         )
 
     return _cached(spark, sf_dir, "flats", build)

@@ -270,6 +270,57 @@ def dense_flat_table(
     return flat.selectExpr("*", f"SQRT({norm_sq}) AS norm")
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def dense_flat_table_from_tokens(
+    tok_df: DataFrame,
+    vocab_idf: list[tuple[str, float]],
+    side: Column | None = None,
+) -> DataFrame:
+    """(id, tokens) + driver-side ``[(token, idf)]`` -> the same
+    (side, id, w0..w{n-1}, norm) layout as :func:`dense_flat_table`, in
+    ONE explode + ONE groupBy(id) with |vocab| conditional-count sums.
+
+    Skips the (id, token) aggregation, the idf broadcast join, and the
+    pivot -- one shuffle instead of two. The driver-side idf list is the
+    relational analog of the reference's broadcast idfDict
+    (EntityResolution.scala:19,183), legitimate here because every dense
+    strategy already preconditions on a tiny vocabulary (bounded by
+    DENSE_UNROLL_MAX); idf values ride in as double literals (repr
+    round-trips binary64 exactly, so weights stay bit-identical to the
+    join form: (count/n_tokens) * idf).
+
+    ``vocab_idf`` must be sorted by token so slot order matches
+    :func:`vocab_index`. Tokens absent from the list contribute nothing
+    (closed-world corpus: the idf table is built from the same docs).
+    """
+    if side is None:
+        side = F.lit(0)
+    n = len(vocab_idf)
+    ex = tok_df.select(
+        side.cast("int").alias("side"),
+        F.col("id"),
+        F.size("tokens").alias("n_tokens"),
+        F.explode("tokens").alias("token"),
+    )
+    counts = [
+        F.expr(
+            f"SUM(CASE WHEN token = {_sql_str(t)} THEN 1 ELSE 0 END)"
+        ).alias(f"c{i}")
+        for i, (t, _) in enumerate(vocab_idf)
+    ]
+    agg = ex.groupBy("side", "id", "n_tokens").agg(*counts)
+    weights = [
+        f"(c{i} / n_tokens) * {idf!r}D AS w{i}"
+        for i, (_, idf) in enumerate(vocab_idf)
+    ]
+    flat = agg.selectExpr("side", "id", *weights)
+    norm_sq = " + ".join(f"w{i} * w{i}" for i in range(n))
+    return flat.selectExpr("*", f"SQRT({norm_sq}) AS norm")
+
+
 def _dense_flat_union(
     weights_a: DataFrame, weights_b: DataFrame, vocab: DataFrame, n: int
 ) -> DataFrame:
