@@ -33,6 +33,7 @@ from sparkbigdatatextanalysis_spark.operators import ann as ann_ops
 from sparkbigdatatextanalysis_spark.operators import dedup as dd
 from sparkbigdatatextanalysis_spark.operators import evaluation as ev
 from sparkbigdatatextanalysis_spark.operators import multimodal as mm
+from sparkbigdatatextanalysis_spark.operators import relational as rel
 from sparkbigdatatextanalysis_spark.operators import similarity as sim
 from sparkbigdatatextanalysis_spark.operators import textstats as ts
 from sparkbigdatatextanalysis_spark.operators import tfidf as tfidf_ops
@@ -584,6 +585,141 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Point-in-time (as-of) join: each purchase event picks the same
+    user's most recent view at-or-before it. Scalable union + carry-
+    forward-window form (operators/relational.py) -- one shuffle on
+    user_id, no pair blow-up; checked against DuckDB's native ASOF JOIN."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"),
+    )
+    out = rel.asof_join(
+        purchases, views, key="user_id", right_payload=["view_id", "view_ts"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "view_id",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+def q_range_join_events(spark, sf_dir):
+    """Interval (range) join: per signup, how many of the user's events
+    land in the following 24 hours. Equi-key hash join + range predicate
+    (never a cartesian); zero-activity signups kept by the left join."""
+    ev = _events(spark, sf_dir)
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    follow = ev.select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    j = rel.interval_join(
+        signups,
+        follow,
+        "s_user",
+        "e_user",
+        (F.col("e_ts") > F.col("s_ts"))
+        & (F.col("e_ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS")),
+        how="left",
+    )
+    return j.groupBy("signup_id").agg(F.count("e_user").alias("n_follow"))
+
+
+def q_sales_cube(spark, sf_dir):
+    """CUBE over (status, priority) with GROUPING() disambiguation --
+    grouping-sets surface from Spark SQL (SURVEY.md §2.5 'lacks' column,
+    exposed not hand-built). Partial aggregation expands the sets
+    map-side; the shuffle carries one row per (set, group)."""
+    o = _scan(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of event value per type. Exact
+    percentile needs the group sorted -- fine per-group distributed; at
+    100 TB the scale path is approx_percentile (t-digest, mergeable
+    partial aggs), kept out of the oracle-checked surface."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """Left anti join surface: customers with no order since 2000-01-01.
+    Catalyst plans a broadcast/shuffled hash anti join; the date filter
+    pushes to the orders parquet scan before the join."""
+    c = _scan(spark, sf_dir, "customer")
+    o = _scan(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    )
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_skew_join_events(spark, sf_dir):
+    """Salted large-to-dim join (operators/skew.py): result is
+    bit-identical to the plain equi-join the oracle runs -- the salt only
+    changes the shuffle layout. The explicit form backs up AQE skew
+    splitting for hot keys AQE can't subdivide."""
+    from sparkbigdatatextanalysis_spark.operators import skew
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    cust = _scan(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = skew.salted_join(
+        ev, cust, "user_id", "c_custkey", n_salts=8, salt_from="event_id"
+    )
+    return out.select("event_id", "user_id", "c_mktsegment", "value")
+
+
+def q_user_running_stats(spark, sf_dir):
+    """Window-function breadth over the event stream: per-user running
+    value sum, event sequence number, and quartile bucket -- one shuffle
+    on user_id, all three windows share the same sort."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(wrun), 6).alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """Sketch aggregation: HyperLogLog++ distinct-user estimate next to
+    the exact count. Mergeable sketch partials are the 100 TB path for
+    distinct counts (exact needs a full shuffle of the key space). No
+    SQL oracle -- DuckDB's HLL implementation yields different estimates;
+    the driver records the weaker rows-only check."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_concat": q_scan_concat,
@@ -629,6 +765,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "pricing_rollup": q_pricing_rollup,
         "top_parts_by_brand": q_top_parts_by_brand,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
+        "sales_cube": q_sales_cube,
+        "value_percentiles": q_value_percentiles,
+        "customers_no_orders": q_customers_no_orders,
+        "skew_join_events": q_skew_join_events,
+        "user_running_stats": q_user_running_stats,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 
@@ -1241,4 +1385,74 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, session_idx
         """,
+        # DuckDB's native ASOF JOIN is the oracle for the union +
+        # carry-forward-window implementation.
+        "asof_join_events": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ),
+            v AS (
+              SELECT user_id, event_id AS view_id, ts AS view_ts
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT p.event_id, p.user_id, v.view_id,
+                   epoch_us(p.ts) - epoch_us(v.view_ts) AS gap_us
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND v.view_ts <= p.ts
+        """,
+        "range_join_events": """
+            WITH s AS (
+              SELECT event_id AS signup_id, user_id AS s_user, ts AS s_ts
+              FROM events WHERE event_type = 'signup'
+            ),
+            e AS (SELECT user_id AS e_user, ts AS e_ts FROM events)
+            SELECT signup_id, count(e_user) AS n_follow
+            FROM s LEFT JOIN e
+              ON s_user = e_user
+             AND e_ts > s_ts AND e_ts <= s_ts + INTERVAL 24 HOUR
+            GROUP BY signup_id
+        """,
+        "sales_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   GROUPING(o_orderstatus)::BIGINT AS g_status,
+                   GROUPING(o_orderpriority)::BIGINT AS g_priority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+            )
+        """,
+        # The salt must be invisible in the result: oracle is the PLAIN join.
+        "skew_join_events": """
+            SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "user_running_stats": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+                   row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+                   ntile(4) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS quartile
+            FROM events
+        """,
+        # approx_distinct_users intentionally has NO oracle: HLL estimates
+        # are implementation-specific (driver records rows-only check).
     }

@@ -47,6 +47,9 @@ HEADLINE = [
     "events_sessionize",
     "pricing_rollup",
     "top_parts_by_brand",
+    "asof_join_events",
+    "range_join_events",
+    "sales_cube",
 ]
 
 
@@ -57,6 +60,11 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Non-interactive harness: the console progress bar writes \r
+        # frames to stderr several times a second; against a slow or
+        # blocked pipe those writes stall the progress reporter and skew
+        # per-query wall timings by seconds.
+        .config("spark.ui.showConsoleProgress", "false")
         .appName("sparkbigdatatextanalysis-bench")
         .getOrCreate()
     )

@@ -1,0 +1,106 @@
+"""Temporal / relational operators beyond plain equi-joins.
+
+The reference's join surface is cross, inner-equi and left-outer
+(SURVEY.md §2.5); this module adds the temporal joins a training-data /
+event pipeline needs -- as-of (point-in-time) and interval (range)
+joins -- written in the shapes that survive 100 TB:
+
+* as-of: NOT a per-row subquery or a theta-join. Both inputs are
+  union-tagged and sorted once per key partition; a running
+  last-non-null window carries the most recent right-side row forward
+  onto each left row. One shuffle on the key, O(n log n) per partition,
+  no pair blow-up -- the classic log-merge formulation.
+* interval join: equi-key hash join with the time-range predicate
+  applied as a join condition, so Catalyst keeps the build/probe hash
+  path (never a cartesian); the range only filters matches per key
+  group. Skewed hot keys fall to AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: each left row picks the right row with the
+    greatest ``right_ts`` <= ``left_ts`` (< when ``strict``) for the same
+    ``key``. Unmatched left rows keep NULL payload (left-outer
+    semantics).
+
+    Implementation: union-tag both sides, one window sorted by
+    (ts, tag) per key, carry the latest right payload forward with
+    ``last(ignorenulls)``, keep left rows. Right rows sort before left
+    rows at equal timestamps (tag 0 < 1), which realizes the inclusive
+    bound; ``strict`` flips the tag order so simultaneous right rows are
+    not yet visible. Ties among right rows at the same (key, ts) resolve
+    to the row latest in the union sort -- pre-deduplicate the right side
+    if that matters.
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+    lu = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(left_tag).alias("_tag"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(_payload_ddl(right, right_payload)).alias("_rrow"),
+    )
+    ru = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(right_tag).alias("_tag"),
+        F.lit(None).cast(_left_ddl(left)).alias("_lrow"),
+        payload_struct.alias("_rrow"),
+    )
+    u = lu.unionByName(ru)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("_r", F.last("_rrow", ignorenulls=True).over(w))
+    out = carried.where(F.col("_lrow").isNotNull()).select("_lrow.*", "_r")
+    for c in right_payload:
+        out = out.withColumn(c, F.col("_r")[c])
+    return out.drop("_r")
+
+
+def _payload_ddl(right: DataFrame, cols: list[str]) -> str:
+    fields = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    return "struct<" + ",".join(f"{c}:{fields[c]}" for c in cols) + ">"
+
+
+def _left_ddl(left: DataFrame) -> str:
+    return (
+        "struct<"
+        + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields)
+        + ">"
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    cond: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key join with an extra (range) condition. The equi component
+    keeps Catalyst on the hash-join path -- the range predicate is
+    evaluated per key group, never as a cartesian filter."""
+    return left.join(
+        right, (F.col(key_left) == F.col(key_right)) & cond, how
+    )

@@ -1,0 +1,51 @@
+"""Skew-mitigation join strategies.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime by splitting oversized shuffle partitions. The explicit salted
+join here is the plan-level fallback for the cases AQE cannot fix --
+e.g. one hot key whose rows must still meet ALL build-side rows, or
+deterministic co-partitioning requirements. Semantics are identical to
+a plain inner equi-join (oracle-checked).
+
+How it works: the probe (large, skewed) side appends a random-free,
+deterministic salt derived from a secondary column hash; the build side
+is replicated once per salt value with ``explode``. The join key becomes
+(key, salt), spreading a hot key over ``n_salts`` shuffle partitions.
+Build-side replication cost: |build| * n_salts rows -- choose n_salts ~
+(hot-key rows / target-partition-rows), small for dimension builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key_probe: str,
+    key_build: str,
+    n_salts: int = 8,
+    salt_from: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Inner/left equi-join with the probe side salted across ``n_salts``
+    sub-keys and the build side replicated to match.
+
+    ``salt_from``: probe column whose hash spreads rows of one key over
+    salts (defaults to a whole-row-independent per-key spread via
+    ``monotonically_increasing_id``-free hash of all probe columns --
+    pass an id-ish column for stable plans).
+    """
+    salt_src = F.col(salt_from) if salt_from else F.struct(*probe.columns)
+    p = probe.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salts)))
+    b = build.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = p.join(
+        b,
+        (F.col(key_probe) == F.col(key_build)) & (p["_salt"] == b["_salt"]),
+        how,
+    )
+    return out.drop(p["_salt"]).drop(b["_salt"])

@@ -1,0 +1,99 @@
+"""Unit semantics of the temporal join operators (hand-built frames:
+inclusive vs strict bounds, unmatched rows, carry-forward across
+multiple right rows) plus oracle parity for the new relational queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkbigdatatextanalysis_spark.operators import relational as rel
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_inclusive(spark):
+    left = _mk(
+        spark,
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 7, "m1")],
+        "k INT, ts INT, name STRING",
+    )
+    right = _mk(
+        spark,
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 8, "r8")],
+        "k INT, ts INT, val STRING",
+    )
+    out = {
+        r["name"]: r["val"]
+        for r in rel.asof_join(left, right, key="k", right_payload=["val"]).collect()
+    }
+    # l1 at ts=10 sees the right row AT ts=10 (inclusive bound)
+    assert out == {"l0": None, "l1": "r10", "l2": "r15", "m1": None}
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    left = _mk(spark, [(1, 10, "l1")], "k INT, ts INT, name STRING")
+    right = _mk(
+        spark, [(1, 10, "r10"), (1, 9, "r9")], "k INT, ts INT, val STRING"
+    )
+    out = rel.asof_join(
+        left, right, key="k", right_payload=["val"], strict=True
+    ).collect()
+    assert out[0]["val"] == "r9"
+
+
+def test_asof_carries_latest_of_many(spark):
+    left = _mk(spark, [(1, 100, "l")], "k INT, ts INT, name STRING")
+    right = _mk(
+        spark,
+        [(1, t, f"r{t}") for t in (1, 50, 99, 101)],
+        "k INT, ts INT, val STRING",
+    )
+    out = rel.asof_join(left, right, key="k", right_payload=["val"]).collect()
+    assert out[0]["val"] == "r99"
+
+
+def test_asof_no_shuffle_blowup_plan(spark):
+    """The as-of join must plan as ONE window over a union -- no join
+    node at all (that's the scalable property)."""
+    left = _mk(spark, [(1, 10, "a")], "k INT, ts INT, name STRING")
+    right = _mk(spark, [(1, 5, "x")], "k INT, ts INT, val STRING")
+    plan = (
+        rel.asof_join(left, right, key="k", right_payload=["val"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_interval_join_bounds(spark):
+    left = _mk(spark, [(1, 10, "s1")], "k1 INT, t1 INT, sid STRING")
+    right = _mk(
+        spark,
+        [(1, 10), (1, 11), (1, 20), (1, 21), (2, 12)],
+        "k2 INT, t2 INT",
+    )
+    out = rel.interval_join(
+        left,
+        right,
+        "k1",
+        "k2",
+        (F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + 10),
+    ).collect()
+    # (10 excluded: not strictly after; 21 excluded: outside window;
+    #  key 2 excluded: wrong key)
+    assert sorted(r["t2"] for r in out) == [11, 20]
+
+
+def test_interval_join_is_not_cartesian(spark):
+    left = _mk(spark, [(1, 10, "s1")], "k1 INT, t1 INT, sid STRING")
+    right = _mk(spark, [(1, 11)], "k2 INT, t2 INT")
+    plan = (
+        rel.interval_join(
+            left, right, "k1", "k2", F.col("t2") > F.col("t1")
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
