@@ -489,7 +489,7 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_media_decode(spark, sf_dir):
     """Arrow mapInPandas decode stage over text-as-binary payloads; the
     byte stats are oracle-checkable because the synthetic text is ASCII."""
-    media = mm.docs_as_media(_docs(spark, sf_dir))
+    media = mm.docs_as_media(_docs(spark, sf_dir, wide=True))
     out = mm.decode_features(media)
     return out.select(
         "media_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte"), "byte_hash"
@@ -497,7 +497,7 @@ def q_media_decode(spark, sf_dir):
 
 
 def q_media_frame_sample(spark, sf_dir):
-    media = mm.docs_as_media(_docs(spark, sf_dir))
+    media = mm.docs_as_media(_docs(spark, sf_dir, wide=True))
     out = mm.sample_frames(media, frame_bytes=16, every_n=4)
     return out.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_hash")
 

@@ -1,0 +1,73 @@
+"""MLlib library-path operators vs the exact hand-built ones.
+
+These are recall/sanity checks, not value-parity: the MLlib paths use
+log-IDF, hashed features, and probabilistic LSH (seeded, so the tests
+are deterministic), which is exactly why they sit outside the
+DuckDB-oracle surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkbigdatatextanalysis_spark.operators import ann as ann_ops
+from sparkbigdatatextanalysis_spark.operators import dedup as dd
+from sparkbigdatatextanalysis_spark.operators import mllib_similarity as ml
+
+from conftest import sf_dir
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{sf_dir('0.001')}/embeddings.parquet").cache()
+
+
+def test_tfidf_features_shape(spark, docs):
+    out = ml.tfidf_features(docs)
+    assert out.columns == ["id", "features"]
+    assert out.count() == docs.count()
+    row = out.first()
+    # vector is hashed-sparse with positive weights
+    assert row["features"].size == 1 << 18
+    assert all(v >= 0 for v in row["features"].values)
+
+
+def test_minhash_lsh_candidates_recall(spark, docs):
+    """Every exact high-Jaccard pair should be recalled by the seeded
+    MinHashLSH join at a permissive distance threshold."""
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in dd.ngram_jaccard_pairs(docs, min_jaccard=0.8).collect()
+    }
+    if not exact:
+        pytest.skip("no exact near-dup pairs at this SF")
+    lib = {
+        (r["a_id"], r["b_id"])
+        for r in ml.minhash_lsh_candidate_pairs(
+            docs, max_jaccard_distance=0.5, num_hash_tables=8
+        ).collect()
+    }
+    recalled = len(exact & lib) / len(exact)
+    assert recalled >= 0.9, (len(exact), len(lib), recalled)
+
+
+def test_brp_lsh_neighbors_overlap(spark, emb):
+    """Seeded BRP-LSH top-k should substantially overlap the exact
+    brute-force top-k (cosine ordering == euclidean on normalized)."""
+    queries = emb.select("vec_id").orderBy("vec_id").limit(5)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    lib = {
+        (r["q_id"], r["n_id"])
+        for r in ml.brp_lsh_neighbors(emb, queries, k=5).collect()
+    }
+    overlap = len(exact & lib) / len(exact)
+    assert overlap >= 0.6, (len(exact), len(lib), overlap)
