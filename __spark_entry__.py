@@ -674,6 +674,18 @@ def q_customers_no_orders(spark, sf_dir):
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def q_dedup_near_clusters(spark, sf_dir):
+    """Near-dup clustering end-to-end: MinHash-LSH candidate pairs ->
+    connected components (iterative min-label propagation,
+    operators/components.py) -> canonical keep_id per document.
+    sum(is_kept) is the post-dedup corpus size. Oracle computes the same
+    components with a recursive reachability CTE."""
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+    return cc.dedup_clusters(pairs, _docs(spark, sf_dir))
+
+
 def q_skew_join_events(spark, sf_dir):
     """Salted large-to-dim join (operators/skew.py): result is
     bit-identical to the plain equi-join the oracle runs -- the salt only
@@ -773,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_events": q_skew_join_events,
         "user_running_stats": q_user_running_stats,
         "approx_distinct_users": q_approx_distinct_users,
+        "dedup_near_clusters": q_dedup_near_clusters,
     }
 
 
@@ -1095,6 +1108,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
             FROM bands a JOIN bands b USING (band, key)
             WHERE a.doc_id < b.doc_id
+        """,
+        "dedup_near_clusters": f"""
+            WITH RECURSIVE {_DEDUP_BASE}, {_MINHASH_PARAMS_SQL}, {_MINHASH_SIGS_SQL},
+            bands AS (
+              SELECT doc_id, (i // {dd.LSH_ROWS})::INT AS band,
+                     array_to_string(array_agg(sig ORDER BY i), ',') AS key
+              FROM sigs GROUP BY doc_id, band
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a JOIN bands b USING (band, key)
+              WHERE a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION
+              SELECT b_id, a_id FROM pairs
+            ),
+            reach AS (
+              SELECT u AS node, v AS r FROM edges
+              UNION
+              SELECT reach.node, edges.v
+              FROM reach JOIN edges ON reach.r = edges.u
+              WHERE edges.v <> reach.node
+            ),
+            comp AS (
+              SELECT node, least(node, min(r)) AS keep_id
+              FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   coalesce(c.keep_id, d.doc_id) AS keep_id,
+                   (d.doc_id = coalesce(c.keep_id, d.doc_id))::BIGINT AS is_kept
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         """,
         "dedup_simhash": f"""
             WITH dtok AS (

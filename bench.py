@@ -50,6 +50,7 @@ HEADLINE = [
     "asof_join_events",
     "range_join_events",
     "sales_cube",
+    "dedup_near_clusters",
 ]
 
 
