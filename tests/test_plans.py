@@ -84,6 +84,17 @@ def test_no_row_python_udf_anywhere(spark):
             assert "MapInPandas" not in plan, f"mapInPandas in {name}"
 
 
+def test_no_unbroadcast_cartesian_anywhere(spark):
+    """No declared query may plan a CartesianProduct (an UNBROADCAST
+    pair-level cross). BroadcastNestedLoopJoin is permitted: it appears
+    as the 1-row corpus-size attach and as the intentional
+    broadcast-side cross of the dense/brute-force strategies, both of
+    which stream the big side exactly once."""
+    for name, fn in entry_mod.queries().items():
+        plan = plan_str(fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"cartesian in {name}"
+
+
 def test_dense_strategy_picked_only_for_small_vocab(spark):
     """The auto similarity strategy must pick sparse on a realistic
     (large) vocabulary and dense on a tiny one."""
