@@ -674,6 +674,91 @@ def q_customers_no_orders(spark, sf_dir):
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def q_tpch_q3_like(spark, sf_dir):
+    """TPC-H Q3-shaped shipping-priority query (adapted to the synthetic
+    schema): segment-filtered customers -> orders -> lineitem, top-10
+    revenue. Dim filters push to the scans; the customer side broadcasts;
+    the orders-lineitem join shuffles on the orderkey only."""
+    cutoff = F.to_timestamp(F.lit("1998-03-15"))
+    c = _scan(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _scan(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _scan(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_tpch_q5_like(spark, sf_dir):
+    """TPC-H Q5-shaped regional-volume query: revenue per nation where
+    customer and supplier share the nation, region-filtered. All dims
+    broadcast; only the orders-lineitem join shuffles."""
+    r = _scan(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _scan(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = _scan(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = _scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q_events_json_props(spark, sf_dir):
+    """JSON functions over the semi-structured props column: extract a
+    typed field and aggregate. get_json_object stays JVM-side; at scale
+    prefer from_json with an explicit schema once per pipeline stage."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
 def q_dedup_near_clusters(spark, sf_dir):
     """Near-dup clustering end-to-end: MinHash-LSH candidate pairs ->
     connected components (iterative min-label propagation,
@@ -786,6 +871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_stats": q_user_running_stats,
         "approx_distinct_users": q_approx_distinct_users,
         "dedup_near_clusters": q_dedup_near_clusters,
+        "tpch_q3_like": q_tpch_q3_like,
+        "tpch_q5_like": q_tpch_q5_like,
+        "events_json_props": q_events_json_props,
     }
 
 
@@ -1501,4 +1589,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # approx_distinct_users intentionally has NO oracle: HLL estimates
         # are implementation-specific (driver records rows-only check).
+        "tpch_q3_like": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5_like": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "events_json_props": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+            FROM events GROUP BY event_type
+        """,
     }

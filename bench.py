@@ -51,6 +51,7 @@ HEADLINE = [
     "range_join_events",
     "sales_cube",
     "dedup_near_clusters",
+    "tpch_q5_like",
 ]
 
 

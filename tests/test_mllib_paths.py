@@ -20,12 +20,19 @@ from conftest import sf_dir
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet").cache()
+    # unpersist on teardown: a lingering cached scan would make later
+    # plan tests resolve the parquet read to an InMemoryRelation,
+    # hiding PushedFilters (cache lookup matches by plan subsumption)
+    df = spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{sf_dir('0.001')}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{sf_dir('0.001')}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_tfidf_features_shape(spark, docs):
