@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from sparkbigdatatextanalysis_spark.operators import skew
 from sparkbigdatatextanalysis_spark.sources import jsonl
+from sparkbigdatatextanalysis_spark.sources import parquet_io as pio
 
 from conftest import sf_dir
 
@@ -114,6 +115,39 @@ def test_jsonl_quarantines_corrupt_lines(spark, jsonl_file):
     ).collect()
     raws = set(r["raw"] for r in bad)
     assert raws == {'{"doc_id": 3, "text": "truncated...', "not json at all"}
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """write_parquet(partition_by=...) must give readers partition
+    pruning: a filter on the partition column shows up as a
+    PartitionFilters entry and non-matching directories are never read."""
+    ev = pio.normalize_event_ts(
+        spark.read.parquet(f"{sf_dir('0.001')}/events.parquet")
+    )
+    out = str(tmp_path / "ev_part")
+    pio.write_parquet(ev, out, partition_by=["event_type"])
+
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    qe = back._jdf.queryExecution()
+    jvm = spark._jvm
+    plan = qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:300]
+    n_click = ev.where(F.col("event_type") == "click").count()
+    assert back.count() == n_click
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink/source parity (second columnar format Spark ships)."""
+    src = spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet").limit(40)
+    d = str(tmp_path / "docs_orc")
+    src.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    assert {r["doc_id"] for r in back.collect()} == {
+        r["doc_id"] for r in src.collect()
+    }
 
 
 def test_jsonl_roundtrip(spark, tmp_path):
