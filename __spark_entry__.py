@@ -402,8 +402,17 @@ def q_minhash_signatures(spark, sf_dir):
     return dd.minhash_signatures(sh).select(F.col("id").alias("doc_id"), "i", "sig")
 
 
+def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, cached: shared hot table of the pair
+    query AND the clustering query (a real pipeline materializes the
+    candidate set once and fans out keep/drop + reporting from it)."""
+    return _cached(
+        spark, sf_dir, "mh_pairs", lambda: dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+    return _mh_pairs(spark, sf_dir)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -767,8 +776,7 @@ def q_dedup_near_clusters(spark, sf_dir):
     components with a recursive reachability CTE."""
     from sparkbigdatatextanalysis_spark.operators import components as cc
 
-    pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir))
-    return cc.dedup_clusters(pairs, _docs(spark, sf_dir))
+    return cc.dedup_clusters(_mh_pairs(spark, sf_dir), _docs(spark, sf_dir))
 
 
 def q_skew_join_events(spark, sf_dir):
