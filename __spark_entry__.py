@@ -683,6 +683,67 @@ def q_customers_no_orders(spark, sf_dir):
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def q_tokens_except(spark, sf_dir):
+    """Set operations surface (the reference left `subtract` commented
+    out, EntityResolution.scala:226): distinct word 2-grams of the
+    even-doc catalog minus the odd-doc catalog (EXCEPT), with the
+    intersection count as a cross-check column (INTERSECT). 2-grams
+    rather than single tokens so the difference is non-trivial on the
+    tiny synthetic vocabulary."""
+    from sparkbigdatatextanalysis_spark.functions.hashing import word_shingles
+    from sparkbigdatatextanalysis_spark.functions.text import tokenize
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(word_shingles(tokenize("text"), 2)).alias("shingle")
+    )
+    a = d.where(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+    b = d.where(F.col("doc_id") % 2 == 1).select("shingle").distinct()
+    only_a = a.exceptAll(b).select("shingle")
+    n_common = a.intersect(b).count()
+    return only_a.withColumn("n_common", F.lit(n_common).cast("long"))
+
+
+def q_user_type_pivot(spark, sf_dir):
+    """Pivot surface: per-user event counts, one column per event type
+    (explicit value list keeps the plan one pass, no distinct-values
+    pre-job). Oracle uses conditional sums -- same result, any engine."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    cols = [F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    return out.select("user_id", *cols)
+
+
+def q_pair_edit_distance(spark, sf_dir):
+    """String-distance surface: Levenshtein over the gold pairs' leading
+    text (entity-resolution's classic non-token similarity; bounded
+    prefix keeps the quadratic DP cell count fixed per row)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    g = _gold(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("prefix").alias("pa"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("prefix").alias("pb"))
+    return (
+        g.join(a, "a_id").join(b, "b_id")
+        .select("a_id", "b_id", F.levenshtein("pa", "pb").alias("edit_dist"))
+    )
+
+
+def q_orders_by_month(spark, sf_dir):
+    """Date-function surface: monthly order rollup via date_trunc."""
+    o = _scan(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
 def q_tpch_q3_like(spark, sf_dir):
     """TPC-H Q3-shaped shipping-priority query (adapted to the synthetic
     schema): segment-filtered customers -> orders -> lineitem, top-10
@@ -882,6 +943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_like": q_tpch_q3_like,
         "tpch_q5_like": q_tpch_q5_like,
         "events_json_props": q_events_json_props,
+        "tokens_except": q_tokens_except,
+        "user_type_pivot": q_user_type_pivot,
+        "pair_edit_distance": q_pair_edit_distance,
+        "orders_by_month": q_orders_by_month,
     }
 
 
@@ -1626,5 +1691,45 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
                    round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
             FROM events GROUP BY event_type
+        """,
+        "tokens_except": f"""
+            WITH tok0 AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest({word_shingles_sql('toks', 2)}) AS shingle FROM tok0
+            ),
+            a AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+            b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 1)
+            SELECT shingle,
+                   (SELECT count(*) FROM (SELECT shingle FROM a INTERSECT SELECT shingle FROM b))::BIGINT
+                     AS n_common
+            FROM (SELECT shingle FROM a EXCEPT SELECT shingle FROM b)
+        """,
+        "user_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "pair_edit_distance": """
+            WITH d AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents),
+            g AS (SELECT doc_id AS a_id, doc_id + 1 AS b_id
+                  FROM documents WHERE doc_id % 2 = 0)
+            SELECT a_id, b_id, levenshtein(da.prefix, db.prefix) AS edit_dist
+            FROM g
+            JOIN d da ON da.doc_id = a_id
+            JOIN d db ON db.doc_id = b_id
+        """,
+        "orders_by_month": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS sum_price
+            FROM orders GROUP BY 1
         """,
     }
