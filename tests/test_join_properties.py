@@ -1,0 +1,90 @@
+"""Property-based checks of the custom join operators against naive
+Python reference implementations: hypothesis generates small random
+tables (dup keys, tie timestamps, unmatched rows) and the distributed
+forms must agree exactly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sparkbigdatatextanalysis_spark.operators import relational as rel
+from sparkbigdatatextanalysis_spark.operators import skew
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+KEYS = st.integers(min_value=0, max_value=3)
+TS = st.integers(min_value=0, max_value=20)
+
+LEFT = st.lists(st.tuples(KEYS, TS), min_size=1, max_size=12)
+RIGHT = st.lists(st.tuples(KEYS, TS), min_size=0, max_size=12)
+
+
+@PROP
+@given(left=LEFT, right=RIGHT, strict=st.booleans())
+def test_asof_matches_naive(spark, left, right, strict):
+    # de-dup right rows on (key, ts): the operator documents ties among
+    # right rows at identical (key, ts) as caller-resolved
+    seen = set()
+    right = [r for r in right if not (r in seen or seen.add(r))]
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid INT, k INT, ts INT"
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, t) for j, (k, t) in enumerate(right)], "rid INT, k INT, ts INT"
+    )
+    out = rel.asof_join(ldf, rdf, key="k", right_payload=["rid"], strict=strict)
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    want = {}
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (rt, j) for j, (rk, rt) in enumerate(right)
+            if rk == k and (rt < t if strict else rt <= t)
+        ]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
+
+
+@PROP
+@given(left=LEFT, right=RIGHT, span=st.integers(min_value=0, max_value=6))
+def test_interval_join_matches_naive(spark, left, right, span):
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid INT, k1 INT, t1 INT"
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, t) for j, (k, t) in enumerate(right)], "rid INT, k2 INT, t2 INT"
+    )
+    out = rel.interval_join(
+        ldf, rdf, "k1", "k2",
+        (F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + span),
+    )
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    want = {
+        (i, j)
+        for i, (k, t) in enumerate(left)
+        for j, (rk, rt) in enumerate(right)
+        if rk == k and t < rt <= t + span
+    }
+    assert got == want
+
+
+@PROP
+@given(left=LEFT, right=RIGHT, how=st.sampled_from(["inner", "left"]))
+def test_salted_join_matches_plain(spark, left, right, how):
+    ldf = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(left)], "lid INT, k INT"
+    )
+    rdf = spark.createDataFrame(
+        [(j, k) for j, (k, _) in enumerate(right)], "rid INT, rk INT"
+    )
+    salted = skew.salted_join(ldf, rdf, "k", "rk", n_salts=3, salt_from="lid", how=how)
+    plain = ldf.join(rdf, ldf.k == rdf.rk, how)
+    assert sorted(
+        (r["lid"], r["rid"]) for r in salted.collect()
+    ) == sorted((r["lid"], r["rid"]) for r in plain.collect())
