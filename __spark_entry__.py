@@ -683,6 +683,35 @@ def q_customers_no_orders(spark, sf_dir):
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation decision: language ID +
+    quality scoring + near-dup clustering composed into one keep/drop
+    verdict per document. Each stage is an independent one-pass lineage
+    over the cached tokenized docs; the final join is on doc_id. The
+    oracle nests the three stage oracles as derived tables."""
+    quality = q_text_quality(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    lang = q_text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    keep = q_dedup_near_clusters(spark, sf_dir)
+    out = (
+        quality.join(lang, "doc_id")
+        .join(keep, "doc_id")
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality_score",
+            "is_kept",
+            (
+                (F.col("lang_pred") == "en")
+                & (F.col("quality_score") >= 0.5)
+                & (F.col("is_kept") == 1)
+            ).cast("long").alias("curated"),
+        )
+    )
+    return out
+
+
 def q_tokens_except(spark, sf_dir):
     """Set operations surface (the reference left `subtract` commented
     out, EntityResolution.scala:226): distinct word 2-grams of the
@@ -947,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_pivot": q_user_type_pivot,
         "pair_edit_distance": q_pair_edit_distance,
         "orders_by_month": q_orders_by_month,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1101,7 +1131,7 @@ def _lang_hits_sql(words: list[str]) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "scan_concat": """
             SELECT p_partkey, concat_ws(' ', p_name, p_brand, p_type) AS text
             FROM part
@@ -1733,3 +1763,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
     }
+    # Composed stage: the curation verdict nests the three stage oracles
+    # as derived tables (CTE names inside each stay scoped to its
+    # subquery), so the composition stays consistent with the individual
+    # per-stage checks by construction.
+    sqls["curation_pipeline"] = f"""
+        SELECT q.doc_id, l.lang_pred, q.quality_score, k.is_kept,
+               (l.lang_pred = 'en' AND q.quality_score >= 0.5
+                AND k.is_kept = 1)::BIGINT AS curated
+        FROM ({sqls["text_quality"]}) q
+        JOIN ({sqls["text_lang_id"]}) l ON q.doc_id = l.doc_id
+        JOIN ({sqls["dedup_near_clusters"]}) k ON q.doc_id = k.doc_id
+    """
+    return sqls
