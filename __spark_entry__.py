@@ -1599,8 +1599,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p_brand, partkey, revenue, rank::INT AS rank FROM j WHERE rank <= 3
         """,
-        # Same micro-second truncation as the Spark side (_events reads the
-        # nanos parquet as long and truncates), same deterministic ordering.
+        # epoch_ns//1000 matches the Spark side's microsecond timestamps
+        # for both historical encodings of the events parquet (nanos-as-
+        # long and native micros); same deterministic ordering.
         "events_sessionize": """
             WITH e AS (
               SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events
