@@ -81,6 +81,32 @@ def test_textstats_on_degenerates(spark, degenerate_docs):
     assert lang.count() == safe.count()
 
 
+def test_cross_engine_hash_unicode_parity(spark):
+    """string_hash31 must agree between Spark and DuckDB on non-ASCII
+    input (both md5 over UTF-8 bytes) -- the synthetic corpora are
+    ASCII-only, so this path would otherwise go untested."""
+    import duckdb
+
+    from sparkbigdatatextanalysis_spark.functions.hashing import (
+        string_hash31,
+        string_hash31_sql,
+    )
+
+    samples = [
+        "hello", "héllo wörld", "日本語テキスト", "emoji 🚀 test",
+        "mixed Ω≈ç√", "кириллица",
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s STRING").select(
+        "s", string_hash31("s").alias("h")
+    )
+    got = {r["s"]: r["h"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for s in samples:
+        lit = "'" + s.replace("'", "''") + "'"
+        (oh,) = con.execute(f"SELECT {string_hash31_sql(lit)}").fetchone()
+        assert got[s] == oh, s
+
+
 def test_minhash_on_degenerates(spark, degenerate_docs):
     safe = degenerate_docs.where(F.col("text").isNotNull())
     pairs = dd.minhash_lsh_pairs(safe)
