@@ -541,15 +541,22 @@ def q_pricing_rollup(spark, sf_dir):
     two low-cardinality keys, rollup grouping sets from Spark SQL for
     free (SURVEY.md §2.5 'lacks' column, exposed not hand-built)."""
     li = _scan(spark, sf_dir, "lineitem")
+    # Money sums go through DECIMAL: double summation is order-dependent
+    # at the last ulp, and over the grand-total rollup row (every
+    # lineitem) the wobble reaches the 4th decimal at sf>=0.1. Exact
+    # decimal addition is associative, so Spark and the oracle agree at
+    # any scale. The per-row double->decimal cast is deterministic.
+    base_dec = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
     out = (
         li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
+            F.round(F.sum(base_dec), 4).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_dec), 4).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -649,11 +656,16 @@ def q_sales_cube(spark, sf_dir):
     exposed not hand-built). Partial aggregation expands the sets
     map-side; the shuffle carries one row per (set, group)."""
     o = _scan(spark, sf_dir, "orders")
+    # decimal sum: the all-NULL cube row totals every order; double
+    # summation order would wobble the 4th decimal at scale (see
+    # pricing_rollup)
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping("o_orderstatus").cast("long").alias("g_status"),
         F.grouping("o_orderpriority").cast("long").alias("g_priority"),
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -1575,8 +1587,10 @@ def oracle_sql() -> dict[str, str]:
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 6) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   (round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4))::DOUBLE
+                     AS sum_base_price,
+                   (round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 4))::DOUBLE
+                     AS sum_disc_price,
                    round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
@@ -1655,7 +1669,7 @@ def oracle_sql() -> dict[str, str]:
                    GROUPING(o_orderstatus)::BIGINT AS g_status,
                    GROUPING(o_orderpriority)::BIGINT AS g_priority,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 4) AS sum_price
+                   (round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4))::DOUBLE AS sum_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
