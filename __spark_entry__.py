@@ -695,6 +695,39 @@ def q_customers_no_orders(spark, sf_dir):
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def q_events_hourly_from_minutely(spark, sf_dir):
+    """Hierarchical time rollup: the hourly aggregate is computed FROM a
+    minutely intermediate, not from raw events -- the materialized-
+    rollup pattern (continuous aggregates) that lets a 100 TB/day feed
+    answer coarse queries from a table 1000x smaller. Only mergeable
+    partials ride in the intermediate (sum/count; avg derives at the
+    end). The oracle aggregates straight from raw events, so a match
+    PROVES the two-level rollup is lossless."""
+    ev = _events(spark, sf_dir)
+    minutely = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_v"),
+    )
+    hourly = (
+        minutely.groupBy(
+            F.date_trunc("hour", "minute").alias("hour"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sum_v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return hourly
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end training-data curation decision: language ID +
     quality scoring + near-dup clustering composed into one keep/drop
@@ -989,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_edit_distance": q_pair_edit_distance,
         "orders_by_month": q_orders_by_month,
         "curation_pipeline": q_curation_pipeline,
+        "events_hourly_from_minutely": q_events_hourly_from_minutely,
     }
 
 
@@ -1778,6 +1812,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
     }
+    # Straight from raw events -- matching the Spark side's two-level
+    # minutely->hourly rollup proves the materialized intermediate is
+    # lossless (decimal sums keep both engines order-independent).
+    sqls["events_hourly_from_minutely"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               event_type,
+               count(*) AS n_events,
+               (round(sum(CAST(value AS DECIMAL(28,10))), 6))::DOUBLE AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """
     # Composed stage: the curation verdict nests the three stage oracles
     # as derived tables (CTE names inside each stay scoped to its
     # subquery), so the composition stays consistent with the individual
