@@ -695,6 +695,29 @@ def q_customers_no_orders(spark, sf_dir):
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def q_docs_split_sample(spark, sf_dir):
+    """Deterministic train/val/test assignment + consistent sampling for
+    training pipelines: bucket = md5-hash of the doc id in [0, 100).
+    Hash-based (not rand()) so the split is reproducible across runs,
+    engines, and re-partitioning, stable under corpus growth (a doc's
+    bucket never changes), and needs no global shuffle or count --
+    map-only at any scale. Split 80/10/10; sampled = a consistent 5%
+    sub-corpus of train."""
+    from sparkbigdatatextanalysis_spark.functions.hashing import string_hash31
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    bucket = string_hash31(F.col("doc_id").cast("string")) % 100
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        ((bucket < 80) & (bucket % 16 == 0)).cast("long").alias("sampled"),
+    )
+
+
 def q_events_hourly_from_minutely(spark, sf_dir):
     """Hierarchical time rollup: the hourly aggregate is computed FROM a
     minutely intermediate, not from raw events -- the materialized-
@@ -1023,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": q_orders_by_month,
         "curation_pipeline": q_curation_pipeline,
         "events_hourly_from_minutely": q_events_hourly_from_minutely,
+        "docs_split_sample": q_docs_split_sample,
     }
 
 
@@ -1812,6 +1836,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
     }
+    sqls["docs_split_sample"] = f"""
+        WITH b AS (
+          SELECT doc_id,
+                 {string_hash31_sql("doc_id::VARCHAR")} % 100 AS bucket
+          FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               (bucket < 80 AND bucket % 16 = 0)::BIGINT AS sampled
+        FROM b
+    """
     # Straight from raw events -- matching the Spark side's two-level
     # minutely->hourly rollup proves the materialized intermediate is
     # lossless (decimal sums keep both engines order-independent).
