@@ -695,6 +695,50 @@ def q_customers_no_orders(spark, sf_dir):
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Repetition quality signal (Gopher-style): per doc, the fraction
+    of word 2-grams that are repeats of an earlier 2-gram in the same
+    doc. High ratios flag boilerplate/spam. One explode + one groupBy(id)
+    -- shuffle carries 2-gram rows, map-side combined."""
+    from sparkbigdatatextanalysis_spark.functions.text import tokenize
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokenize("text").alias("toks")
+    ).where(F.size("toks") >= 2)
+    grams = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat_ws(' ', toks[i - 1], toks[i]))"
+        ).alias("grams"),
+    )
+    return grams.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_2grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+        F.round(
+            1 - F.size(F.array_distinct("grams")) / F.size("grams").cast("double"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+def q_events_value_zscore(spark, sf_dir):
+    """Per-type z-score normalization of event values: group stats via
+    one window (partial-agg equivalent), map-only normalization --
+    feature standardization at stream scale."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - mu) / sd, 6).alias("z"),
+    )
+
+
 def q_docs_split_sample(spark, sf_dir):
     """Deterministic train/val/test assignment + consistent sampling for
     training pipelines: bucket = md5-hash of the doc id in [0, 100).
@@ -1047,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "events_hourly_from_minutely": q_events_hourly_from_minutely,
         "docs_split_sample": q_docs_split_sample,
+        "text_repetition": q_text_repetition,
+        "events_value_zscore": q_events_value_zscore,
     }
 
 
@@ -1848,6 +1894,30 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split,
                (bucket < 80 AND bucket % 16 = 0)::BIGINT AS sampled
         FROM b
+    """
+    sqls["text_repetition"] = """
+        WITH tok0 AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(2, len(toks) + 1),
+                                i -> toks[i - 1] || ' ' || toks[i]) AS grams
+          FROM tok0 WHERE len(toks) >= 2
+        )
+        SELECT doc_id,
+               len(grams)::BIGINT AS n_2grams,
+               len(list_distinct(grams))::BIGINT AS n_distinct,
+               round(1 - len(list_distinct(grams)) / len(grams)::DOUBLE, 6) AS dup_ratio
+        FROM g
+    """
+    sqls["events_value_zscore"] = """
+        SELECT event_id, event_type,
+               round((value - avg(value) OVER (PARTITION BY event_type))
+                     / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+        FROM events
     """
     # Straight from raw events -- matching the Spark side's two-level
     # minutely->hourly rollup proves the materialized intermediate is
