@@ -723,19 +723,22 @@ def q_text_repetition(spark, sf_dir):
 
 
 def q_events_value_zscore(spark, sf_dir):
-    """Per-type z-score normalization of event values: group stats via
-    one window (partial-agg equivalent), map-only normalization --
-    feature standardization at stream scale."""
-    from pyspark.sql import Window
+    """Per-type z-score normalization of event values -- feature
+    standardization at stream scale.
 
+    NOT a Window.partitionBy(event_type): event_type is low-cardinality,
+    so a per-type window funnels each type's ENTIRE row set through one
+    shuffle partition at 100 TB. Instead: one partial-agg groupBy for the
+    per-type stats (map-side combined, tiny result) + a broadcast join
+    back, so normalization is map-only and fully parallel."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type")
-    mu = F.avg("value").over(w)
-    sd = F.stddev_samp("value").over(w)
-    return ev.select(
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd")
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
-        F.round((F.col("value") - mu) / sd, 6).alias("z"),
+        F.round((F.col("value") - F.col("_mu")) / F.col("_sd"), 6).alias("z"),
     )
 
 
@@ -746,7 +749,7 @@ def q_docs_split_sample(spark, sf_dir):
     engines, and re-partitioning, stable under corpus growth (a doc's
     bucket never changes), and needs no global shuffle or count --
     map-only at any scale. Split 80/10/10; sampled = a consistent 5%
-    sub-corpus of train."""
+    sub-corpus of train (4 of the 80 train buckets)."""
     from sparkbigdatatextanalysis_spark.functions.hashing import string_hash31
 
     d = _docs(spark, sf_dir).select("doc_id")
@@ -758,7 +761,7 @@ def q_docs_split_sample(spark, sf_dir):
         .when(bucket < 90, "val")
         .otherwise("test")
         .alias("split"),
-        ((bucket < 80) & (bucket % 16 == 0)).cast("long").alias("sampled"),
+        ((bucket < 80) & (bucket % 20 == 0)).cast("long").alias("sampled"),
     )
 
 
@@ -880,7 +883,11 @@ def q_orders_by_month(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            # DECIMAL sum: order-independent across engines/partitionings
+            # (same pattern as pricing_rollup/sales_cube).
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_price"),
         )
     )
 
@@ -909,9 +916,17 @@ def q_tpch_q3_like(spark, sf_dir):
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
+            # DECIMAL revenue sum (order-independent, see pricing_rollup).
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,10)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
@@ -950,9 +965,19 @@ def q_tpch_q5_like(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(
+            # DECIMAL revenue sum: per-nation groups span a large lineitem
+            # fraction, where double summation order drifts the 4th
+            # decimal at sf>=0.1 (see pricing_rollup).
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,10)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -1814,7 +1839,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_like": """
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                    o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   (round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 4))::DOUBLE AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -1827,7 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q5_like": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   (round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 4))::DOUBLE AS revenue
             FROM customer, orders, lineitem, supplier, nation, region
             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
               AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1878,7 +1903,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_month": """
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 4) AS sum_price
+                   (round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4))::DOUBLE AS sum_price
             FROM orders GROUP BY 1
         """,
     }
@@ -1892,7 +1917,7 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN bucket < 80 THEN 'train'
                     WHEN bucket < 90 THEN 'val'
                     ELSE 'test' END AS split,
-               (bucket < 80 AND bucket % 16 = 0)::BIGINT AS sampled
+               (bucket < 80 AND bucket % 20 = 0)::BIGINT AS sampled
         FROM b
     """
     sqls["text_repetition"] = """

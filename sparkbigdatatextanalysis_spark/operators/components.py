@@ -62,6 +62,7 @@ def connected_components(
 
     prev_sum = label_sum(labels)  # also materializes the persist
 
+    converged = False
     for _ in range(max_iter):
         # candidate labels flowing over edges: node <- neighbor's comp
         flowed = (
@@ -78,10 +79,19 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
 
     sym.unpersist()
+    if not converged:
+        # Unconverged labels are WRONG (some nodes still carry a
+        # non-minimal reachable id); never return them silently.
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph diameter exceeds max_iter -- raise max_iter"
+        )
     return labels.select("node", "comp")
 
 

@@ -153,26 +153,45 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize stage. Real path requires PIL (absent here -> the
-    deterministic fake crops/right-pads the payload to width*height bytes,
-    preserving the contract that output payload size == width*height)."""
+    """Resize stage: output payload is always exactly ``width*height``
+    bytes (the contract both branches preserve).
+
+    Real path (PIL importable): decode the payload as an image, convert
+    to 8-bit grayscale, resize with nearest-neighbor (deterministic
+    across PIL versions, unlike antialiased kernels), and emit the raw
+    pixel bytes. Payloads PIL cannot decode fall back to the
+    deterministic byte-level fake (crop/right-pad to width*height), so a
+    mixed batch of real images and opaque blobs still yields one row per
+    input -- the same per-row degrade-don't-fail policy a production
+    decode stage needs.
+    """
+
+    def _resize_real(p: bytes, target: int) -> bytes:  # pragma: no cover
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(bytes(p))) as im:
+                return im.convert("L").resize(
+                    (width, height), Image.NEAREST
+                ).tobytes()
+        except Exception:
+            return bytes(p[:target]).ljust(target, b"\x00")
 
     def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         target = width * height
         if HAVE_PIL:  # pragma: no cover - codec not in this container
-            raise NotImplementedError(
-                "real PIL resize intentionally not implemented in this "
-                "environment; deterministic fake is the tested contract"
-            )
+            fn = lambda p: _resize_real(p, target)  # noqa: E731
+        else:
+            fn = lambda p: bytes(p[:target]).ljust(target, b"\x00")  # noqa: E731
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
-                    "payload": pdf["payload"].map(
-                        lambda p: bytes(p[:target]).ljust(target, b"\x00")
-                    ),
+                    "payload": pdf["payload"].map(fn),
                     "width": width,
                     "height": height,
                 }

@@ -48,6 +48,14 @@ def asof_join(
     right_payload = right_payload or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    clash = [c for c in right_payload if c in left.columns]
+    if clash:
+        # withColumn below would silently overwrite same-named left
+        # columns with right payload.
+        raise ValueError(
+            f"asof_join payload column(s) {clash} collide with left columns; "
+            "rename or pass an explicit right_payload"
+        )
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
     left_tag, right_tag = (0, 1) if strict else (1, 0)
     lu = left.select(

@@ -38,6 +38,13 @@ def salted_join(
     ``monotonically_increasing_id``-free hash of all probe columns --
     pass an id-ish column for stable plans).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # Replicating the build side n_salts times keeps inner/left joins
+        # exact, but would emit each UNMATCHED build row once per salt
+        # under right/full-outer semantics.
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}"
+        )
     salt_src = F.col(salt_from) if salt_from else F.struct(*probe.columns)
     p = probe.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salts)))
     b = build.withColumn(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparkbigdatatextanalysis_spark.operators import components as cc
@@ -37,6 +38,15 @@ def test_triangle_with_duplicate_edges(spark):
         )
     )
     assert got == {2: 2, 3: 2, 5: 2}
+
+
+def test_unconverged_raises_not_silent(spark):
+    # diameter-4 chain cannot converge in 1 round: wrong labels must
+    # never be returned silently
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc.connected_components(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), max_iter=1
+        )
 
 
 def test_dedup_clusters_covers_singletons(spark):

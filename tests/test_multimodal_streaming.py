@@ -56,6 +56,25 @@ def test_resize_contract_payload_size(spark):
     assert bytes(r1["payload"]) == b"abc" + b"\x00" * 9
 
 
+@pytest.mark.skipif(not mm.HAVE_PIL, reason="PIL not installed in this env")
+def test_resize_real_pil_branch(spark):  # pragma: no cover - PIL absent here
+    """With PIL present, a real encoded image resizes through the codec
+    and still satisfies the width*height payload contract."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=200).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [Row(media_id=0, payload=bytearray(buf.getvalue()))]
+    )
+    out = mm.resize_images(media, width=4, height=3).collect()
+    assert len(out) == 1
+    assert len(out[0]["payload"]) == 12
+    assert all(b == 200 for b in out[0]["payload"])
+
+
 def test_sample_frames_every_nth(spark):
     docs = spark.createDataFrame([Row(doc_id=7, text="x" * 100)])
     out = mm.sample_frames(

@@ -55,6 +55,15 @@ def test_asof_carries_latest_of_many(spark):
     assert out[0]["val"] == "r99"
 
 
+def test_asof_payload_collision_raises(spark):
+    import pytest
+
+    left = _mk(spark, [(1, 10, "a")], "k INT, ts INT, val STRING")
+    right = _mk(spark, [(1, 5, "x")], "k INT, ts INT, val STRING")
+    with pytest.raises(ValueError, match="collide"):
+        rel.asof_join(left, right, key="k", right_payload=["val"])
+
+
 def test_asof_no_shuffle_blowup_plan(spark):
     """The as-of join must plan as ONE window over a union -- no join
     node at all (that's the scalable property)."""

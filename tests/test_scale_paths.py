@@ -44,6 +44,14 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert got == {1: "x", 99: None}
 
 
+def test_salted_join_rejects_outer(spark):
+    left = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    right = spark.createDataFrame([(1, "x")], "rk INT, rv STRING")
+    for how in ("right", "full", "full_outer", "left_anti"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            skew.salted_join(left, right, "k", "rk", how=how)
+
+
 def test_salted_join_spreads_hot_key(spark):
     """All rows share ONE key; the salt must spread them over >1 sub-key."""
     left = spark.createDataFrame(
