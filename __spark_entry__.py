@@ -26,6 +26,7 @@ from sparkbigdatatextanalysis_spark.functions.hashing import (
     MERSENNE31,
     char_fold_hash_sql,
     string_hash31_sql,
+    string_hash32_sql,
     word_shingles_sql,
 )
 from sparkbigdatatextanalysis_spark.functions.text import ENGLISH_STOPWORDS
@@ -417,7 +418,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     return dd.simhash_signatures(_docs(spark, sf_dir)).select(
-        F.col("id").alias("doc_id"), "simhash"
+        F.col("id").alias("doc_id"), "sim_hi", "sim_lo"
     )
 
 
@@ -1481,16 +1482,21 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             tokh AS (
-              SELECT doc_id, {string_hash31_sql("token")} AS h
+              SELECT doc_id,
+                     {string_hash32_sql("token", 1)} AS hlo,
+                     {string_hash32_sql("token", 9)} AS hhi
               FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM dtok)
             ),
-            bits AS (SELECT j::INT AS j, (1::BIGINT << j::INT) AS p2 FROM range(0, 31) t(j)),
+            bits AS (SELECT j::INT AS j, (1::BIGINT << j::INT) AS p2 FROM range(0, 32) t(j)),
             votes AS (
               SELECT doc_id, j, p2,
-                     sum(CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+                     sum(CASE WHEN (hhi // p2) % 2 = 1 THEN 1 ELSE -1 END) AS vote_hi,
+                     sum(CASE WHEN (hlo // p2) % 2 = 1 THEN 1 ELSE -1 END) AS vote_lo
               FROM tokh CROSS JOIN bits GROUP BY 1, 2, 3
             )
-            SELECT doc_id, sum(CASE WHEN vote >= 0 THEN p2 ELSE 0 END)::BIGINT AS simhash
+            SELECT doc_id,
+                   sum(CASE WHEN vote_hi >= 0 THEN p2 ELSE 0 END)::BIGINT AS sim_hi,
+                   sum(CASE WHEN vote_lo >= 0 THEN p2 ELSE 0 END)::BIGINT AS sim_lo
             FROM votes GROUP BY doc_id
         """,
         "dedup_ngram_jaccard": f"""

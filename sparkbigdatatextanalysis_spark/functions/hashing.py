@@ -52,6 +52,20 @@ def string_hash31_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {MERSENNE31})"
 
 
+def string_hash32(col: Column | str, offset: int = 1) -> Column:
+    """32-bit md5 slice: hex digits [offset, offset+8) as BIGINT in
+    [0, 2^32). Two disjoint offsets (1 and 9) give 64 independent bits
+    per string -- the 64-bit SimHash signature source -- while every
+    intermediate stays far below signed-64 overflow in both engines."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(col), offset, 8), 16, 10).cast("long")
+
+
+def string_hash32_sql(expr: str, offset: int = 1) -> str:
+    """DuckDB SQL fragment computing the same hash as :func:`string_hash32`."""
+    return f"(('0x' || substr(md5({expr}), {offset}, 8))::BIGINT)"
+
+
 def char_fold_hash_sql(expr: str) -> str:
     """DuckDB SQL fragment computing the same hash as :func:`char_fold_hash`."""
     return (

@@ -66,12 +66,38 @@ def test_minhash_identical_docs_share_all_bands(spark):
 
 def test_simhash_identical_docs_equal_and_in_range(spark):
     d = _docs(spark, ["alpha beta gamma", "alpha beta gamma", "completely different words here"])
-    sigs = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(d).collect()}
+    sigs = {
+        r["id"]: (r["sim_hi"], r["sim_lo"])
+        for r in dedup.simhash_signatures(d).collect()
+    }
     assert sigs[0] == sigs[1]
-    assert all(0 <= v < (1 << 31) for v in sigs.values())
+    # each half is an unsigned 32-bit value (64 signature bits total)
+    assert all(
+        0 <= hi < (1 << 32) and 0 <= lo < (1 << 32) for hi, lo in sigs.values()
+    )
     pairs = dedup.simhash_near_pairs(dedup.simhash_signatures(d)).collect()
     ham = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs}
     assert ham.get((0, 1)) == 0
+
+
+def test_simhash_chunk_keys_are_16bit(spark):
+    """Candidate buckets must be 16-bit (65,536 values per chunk) -- the
+    scale guarantee that bucket size, and hence the per-bucket quadratic
+    join, stays bounded."""
+    d = _docs(spark, ["alpha beta gamma", "different words entirely"])
+    sigs = dedup.simhash_signatures(d)
+    # reproduce the chunking used by simhash_near_pairs and check ranges
+    row = sigs.where(F.col("id") == 0).first()
+    chunks = [
+        (row["sim_lo"] >> 0) & 0xFFFF,
+        (row["sim_lo"] >> 16) & 0xFFFF,
+        (row["sim_hi"] >> 0) & 0xFFFF,
+        (row["sim_hi"] >> 16) & 0xFFFF,
+    ]
+    assert all(0 <= c < (1 << 16) for c in chunks)
+    # the four 16-bit chunks reassemble the full 64-bit signature
+    assert chunks[0] | (chunks[1] << 16) == row["sim_lo"]
+    assert chunks[2] | (chunks[3] << 16) == row["sim_hi"]
 
 
 def test_ngram_jaccard_values(spark):
