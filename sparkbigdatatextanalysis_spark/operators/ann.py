@@ -12,7 +12,9 @@ Two paths, same exact-cosine rerank math:
   the signature is exact integer arithmetic, reproducible bit-for-bit in
   the DuckDB oracle). Candidates = equi-join on (band, bucket); exact
   cosine rerank only within buckets, so cost ~ sum-of-bucket-sizes
-  instead of n per query.
+  instead of n per query. Bucket bit-width ADAPTS to the corpus count
+  (``adaptive_rows_per_band``): expected bucket size stays ~constant as
+  n grows, so the per-bucket join never degenerates quadratic.
 
 Hyperplanes are deterministic +-1 matrices from the same LCG used for
 MinHash params, embedded as literals in both the Spark plan and the
@@ -24,14 +26,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-N_PLANES = 16
-LSH_BANDS = 4  # 4 bands x 4 bits: p(candidate) = 1-(1-p_bit^4)^4, a
-# recall/cost point suited to moderate-cosine neighborhoods; at higher
-# corpus sizes raise N_PLANES and keep bands*rows = N_PLANES.
+N_PLANES_MAX = 256  # pre-generated hyperplane pool (bands * rows <= this)
+LSH_BANDS = 8
+TARGET_BUCKET_ROWS = 32  # adaptive width aims buckets at ~this many rows
 QUANT = 1000  # embedding quantization factor for integer signatures
 
 
-def _lcg_planes(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+def adaptive_rows_per_band(n: int, lo: int = 4, hi: int = 32) -> int:
+    """Bits per LSH band derived from the corpus count: the smallest
+    ``r`` with ``TARGET_BUCKET_ROWS * 2^r >= n``, clamped to [lo, hi].
+
+    Fixed-width buckets degenerate: with b bits per band, bucket size is
+    ~n/2^b, so any constant b turns the per-bucket candidate join
+    quadratic once n >> 2^b (the round-1 4-bit default hit this at 16
+    buckets/band). Growing r with log2(n) pins expected bucket size at
+    ~TARGET_BUCKET_ROWS rows regardless of corpus size; recall is then
+    tuned by the (fixed) band count. Pure integer rule -- exactly
+    reproducible in the DuckDB oracle with a scalar subquery.
+    """
+    r = lo
+    while r < hi and TARGET_BUCKET_ROWS * (1 << r) < n:
+        r += 1
+    return r
+
+
+def _lcg_planes(n_planes: int = N_PLANES_MAX, dim: int = 64) -> list[list[int]]:
     seed = 88_172_645_463_325_252
     planes = []
     for _ in range(n_planes):
@@ -62,14 +81,22 @@ def lsh_signatures(
     vec_col: str = "embedding",
     planes: list[list[int]] = HYPERPLANES,
     bands: int = LSH_BANDS,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """(id, band, bucket): sign-LSH band buckets, computed map-only.
 
     bit_i = [ sum_j floor(x_j * QUANT) * P[i][j] >= 0 ], bucket = the
     band's bits packed into an integer. No shuffle, no UDF -- one narrow
     projection per input row, which is what survives 100 TB.
+
+    ``rows_per_band`` (bucket bit-width) defaults to the adaptive
+    :func:`adaptive_rows_per_band` rule on ``emb.count()`` -- one cheap
+    count job at build time (table stats in a real deployment); pass it
+    explicitly to pin the plan.
     """
-    rows_per_band = len(planes) // bands
+    if rows_per_band is None:
+        rows_per_band = adaptive_rows_per_band(emb.count())
+    planes = planes[: bands * rows_per_band]
     dim = len(planes[0])
 
     # Quantize once into flat long columns behind a persist barrier -- the
@@ -256,13 +283,16 @@ def cosine_topk_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to vectors sharing >=1 LSH
     band bucket with the query, then exact cosine rerank. Same output
-    schema as the brute force; recall < 1 by design (that's the trade)."""
+    schema as the brute force; recall < 1 by design (that's the trade).
+    Bucket width adapts to the corpus count (adaptive_rows_per_band)
+    unless pinned via ``rows_per_band``."""
     # persist: sigs feeds both the query side and the corpus side of the
     # bucket join; without the barrier the signature plan runs twice.
-    sigs = lsh_signatures(emb, id_col, vec_col).persist()
+    sigs = lsh_signatures(emb, id_col, vec_col, rows_per_band=rows_per_band).persist()
     nv = _norm_vecs(emb, id_col, vec_col)
     q = query_ids.withColumnRenamed(query_ids.columns[0], "q_id")
     qsig = sigs.join(F.broadcast(q), sigs.id == F.col("q_id")).select("q_id", "band", "bucket")

@@ -64,6 +64,38 @@ def test_minhash_lsh_candidates_recall(spark, docs):
     assert recalled >= 0.9, (len(exact), len(lib), recalled)
 
 
+def test_adaptive_rows_per_band_rule():
+    """Bucket width grows with log2(n): ~TARGET_BUCKET_ROWS rows per
+    bucket at any corpus size (the round-1 fixed 4-bit width capped
+    buckets at 16 values, degenerating quadratic at large n)."""
+    t = ann_ops.TARGET_BUCKET_ROWS
+    assert ann_ops.adaptive_rows_per_band(1) == 4  # clamped floor
+    assert ann_ops.adaptive_rows_per_band(t * 16) == 4
+    assert ann_ops.adaptive_rows_per_band(t * 16 + 1) == 5
+    assert ann_ops.adaptive_rows_per_band(1_000_000_000) == 25
+    assert ann_ops.adaptive_rows_per_band(10**15) == 32  # clamped ceiling
+    # ceiling never exceeds the pre-generated plane pool
+    assert ann_ops.LSH_BANDS * 32 <= ann_ops.N_PLANES_MAX
+
+
+def test_sign_lsh_recall_vs_bruteforce(spark, emb):
+    """Deterministic recall floor of the hand-built sign-LSH top-k at the
+    adaptive parameters, against the exact brute force. The synthetic
+    embeddings have near-background neighbor cosines (~0.3-0.4), the
+    hard case for sign-LSH, so the floor is deliberately modest."""
+    queries = emb.select("vec_id").orderBy("vec_id").limit(5)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_lsh(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, (len(exact), len(approx), recall)
+
+
 def test_brp_lsh_neighbors_overlap(spark, emb):
     """Seeded BRP-LSH top-k should substantially overlap the exact
     brute-force top-k (cosine ordering == euclidean on normalized)."""
