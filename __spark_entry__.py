@@ -428,7 +428,24 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    out = dd.embedding_near_dup_pairs(_emb(spark, sf_dir), EMBED_NEAR_DUP_THRESHOLD)
+    """Exact near-dup pairs via the blocked-GEMM path (one BLAS matmul
+    per block pair, linear shuffle) -- same semantics as the crossJoin
+    spec baseline, scale-correct execution. See
+    operators/dedup.py::embedding_near_dup_pairs_blocked for why the
+    exact form cannot be LSH-pruned at this threshold."""
+    out = dd.embedding_near_dup_pairs_blocked(
+        _emb(spark, sf_dir), EMBED_NEAR_DUP_THRESHOLD
+    )
+    return out.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Sub-quadratic near-dup pairs: sign-LSH band buckets (adaptive
+    width) + exact rerank + threshold. Recall < 1 by design; the oracle
+    mirrors the bucketing, so the driver check is exact."""
+    out = dd.embedding_near_dup_pairs_lsh(
+        _emb(spark, sf_dir), EMBED_NEAR_DUP_THRESHOLD
+    )
     return out.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
 
 
@@ -1084,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1240,16 +1258,22 @@ _PLANES_SQL = "[" + ", ".join(
     "[" + ", ".join(str(v) for v in row) + "]" for row in ann_ops.HYPERPLANES
 ) + "]"
 
-_ANN_ROWS_PER_BAND = ann_ops.N_PLANES // ann_ops.LSH_BANDS
-
+# Adaptive bucket width, same integer rule as ann.adaptive_rows_per_band:
+# smallest r in [4, 32] with TARGET_BUCKET_ROWS * 2^r >= count(embeddings).
 _LSH_SIGS_SQL = f"""
 qv AS (
   SELECT vec_id, [floor(x::DOUBLE * {ann_ops.QUANT})::BIGINT for x in embedding] AS q
   FROM embeddings
 ),
+rb AS (
+  SELECT min(r)::INT AS r FROM range(4, 33) t(r)
+  WHERE {ann_ops.TARGET_BUCKET_ROWS} * (1::BIGINT << r::INT)
+        >= (SELECT count(*) FROM embeddings)
+),
 planes AS (
   SELECT i::INT AS i, ({_PLANES_SQL})[i::INT + 1] AS p
-  FROM range(0, {ann_ops.N_PLANES}) t(i)
+  FROM range(0, {ann_ops.N_PLANES_MAX}) t(i)
+  WHERE i < {ann_ops.LSH_BANDS} * (SELECT r FROM rb)
 ),
 bits AS (
   SELECT vec_id, i,
@@ -1260,8 +1284,8 @@ bits AS (
   FROM qv CROSS JOIN planes
 ),
 lsig AS (
-  SELECT vec_id, (i // {_ANN_ROWS_PER_BAND})::INT AS band,
-         sum(bit * (1::BIGINT << (i % {_ANN_ROWS_PER_BAND})::INT))::BIGINT AS bucket
+  SELECT vec_id, (i // (SELECT r FROM rb))::INT AS band,
+         sum(bit * (1::BIGINT << (i % (SELECT r FROM rb))::INT))::BIGINT AS bucket
   FROM bits GROUP BY 1, 2
 )
 """
@@ -1523,6 +1547,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a_id, b_id, round(cos, 6) AS cos
             FROM pairs WHERE cos >= {EMBED_NEAR_DUP_THRESHOLD}
+        """,
+        "dedup_embedding_lsh": f"""
+            WITH {_EMB_NORM_SQL}, {_LSH_SIGS_SQL},
+            cand AS (
+              SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+              FROM lsig a JOIN lsig b USING (band, bucket)
+              WHERE a.vec_id < b.vec_id
+            ),
+            scored AS (
+              SELECT a_id, b_id,
+                     {_emb_dot_sql("na.v", "nb.v")} / (na.norm * nb.norm) AS cos
+              FROM cand
+              JOIN nv na ON na.vec_id = a_id
+              JOIN nv nb ON nb.vec_id = b_id
+            )
+            SELECT a_id, b_id, round(cos, 6) AS cos
+            FROM scored WHERE cos >= {EMBED_NEAR_DUP_THRESHOLD}
         """,
         "ann_topk_bruteforce": f"""
             WITH {_EMB_NORM_SQL},

@@ -15,6 +15,8 @@ from sparkbigdatatextanalysis_spark.functions.hashing import (
 )
 from sparkbigdatatextanalysis_spark.operators import ann, dedup, textstats
 
+from conftest import sf_dir
+
 
 def _docs(spark, texts):
     return spark.createDataFrame(
@@ -107,6 +109,43 @@ def test_ngram_jaccard_values(spark):
     assert len(r) == 1
     assert r[0]["a_id"] == 0 and r[0]["b_id"] == 1
     assert abs(r[0]["jaccard"] - 1.0 / 3.0) < 1e-12
+
+
+def test_embedding_blocked_equals_crossjoin_baseline(spark):
+    """The blocked-GEMM exact path must return exactly the crossJoin
+    spec baseline's pairs (ids AND cosines) on real embeddings."""
+    emb = spark.read.parquet(f"{sf_dir('0.001')}/embeddings.parquet")
+    base = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    blocked = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs_blocked(
+            emb, threshold=0.35, n_blocks=4
+        ).collect()
+    }
+    assert set(blocked) == set(base)
+    for k in base:
+        assert abs(blocked[k] - base[k]) < 1e-9, k
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark):
+    """LSH-bucketed near-dup pairs: every returned pair must be a true
+    above-threshold pair (exact rerank => no false positives); recall
+    may be < 1 by design but must be non-trivial."""
+    emb = spark.read.parquet(f"{sf_dir('0.001')}/embeddings.parquet")
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.embedding_near_dup_pairs_lsh(emb, threshold=0.35).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.3, (len(lsh), len(exact))
 
 
 def test_embedding_near_dup_finds_parallel_vectors(spark):

@@ -75,6 +75,10 @@ def test_no_row_python_udf_anywhere(spark):
     """Every declared query plan must stay JVM-side except the multimodal
     Arrow/mapInPandas operators (and streaming helpers built for batch)."""
     allowed_python = {"media_decode", "media_frame_sample"}
+    # dedup_embedding's exact blocked-GEMM path is deliberately
+    # Arrow-grouped (one BLAS matmul per block pair beats any number of
+    # interpreted JVM zip_with folds for dense all-pairs math)
+    allowed_grouped = {"dedup_embedding"}
     for name, fn in entry_mod.queries().items():
         df = fn(spark, SF)
         plan = plan_str(df)
@@ -82,6 +86,8 @@ def test_no_row_python_udf_anywhere(spark):
         if name not in allowed_python:
             assert "ArrowEvalPython" not in plan, f"pandas UDF in {name}"
             assert "MapInPandas" not in plan, f"mapInPandas in {name}"
+        if name not in allowed_grouped:
+            assert "FlatMapGroupsInPandas" not in plan, f"applyInPandas in {name}"
 
 
 def test_no_unbroadcast_cartesian_anywhere(spark):
