@@ -29,6 +29,7 @@ from sparkbigdatatextanalysis_spark.functions.hashing import (
     string_hash32_sql,
     word_shingles_sql,
 )
+from sparkbigdatatextanalysis_spark.functions import text as text_fns
 from sparkbigdatatextanalysis_spark.functions.text import ENGLISH_STOPWORDS
 from sparkbigdatatextanalysis_spark.operators import ann as ann_ops
 from sparkbigdatatextanalysis_spark.operators import dedup as dd
@@ -1070,6 +1071,63 @@ def q_approx_distinct_users(spark, sf_dir):
     )
 
 
+def q_vocab_top_tokens(spark, sf_dir):
+    """Tokenizer-vocabulary head: top-100 corpus tokens by occurrence
+    count (ties by token), with doc frequency and rank. Distributed
+    top-k: partial-agg groupBy + TakeOrdered, never a global sort --
+    see operators/pipeline.py::vocab_top_k."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    return pl.vocab_top_k(_tok(spark, sf_dir), k=100)
+
+
+def q_train_test_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: per TEST document (hash buckets >= 90,
+    same deterministic split as docs_split_sample), how many of its
+    3-gram shingles also occur in any TRAIN document (buckets < 80).
+    One shingle-hash equi-join + two partial aggs -- the n-gram near-dup
+    join shape, so the 100 TB story is identical."""
+    from sparkbigdatatextanalysis_spark.functions.hashing import string_hash31
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    sh = dd.shingle_hashes(_docs(spark, sf_dir))
+    bucket = string_hash31(F.col("id").cast("string")) % 100
+    return pl.contamination_overlap(sh, bucket < 80, bucket >= 90)
+
+
+def q_docs_pack_sequences(spark, sf_dir):
+    """Greedy fixed-budget sequence packing of the corpus into
+    512-token training packs, parallel across 32 hash shards (packing is
+    sequential within a shard by construction -- the shard count is the
+    scale knob). See operators/pipeline.py::pack_sequences."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text_fns.tokenize("text")).alias("n_tokens")
+    )
+    return pl.pack_sequences(d, budget=512, n_shards=32)
+
+
+def q_docs_unigram_logprob(spark, sf_dir):
+    """Per-doc mean unigram log-probability under the corpus unigram LM
+    -- the cheap perplexity-style quality signal. Corpus agg + broadcast
+    join back (IDF pipeline shape)."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    return pl.unigram_logprob(_tok(spark, sf_dir))
+
+
+def q_events_latest_per_user(spark, sf_dir):
+    """CDC-style compaction: the latest event per user (ties broken by
+    event_id). One shuffle on the high-cardinality user key -- see
+    operators/relational.py::keep_latest."""
+    ev = _events(spark, sf_dir)
+    out = rel.keep_latest(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_concat": q_scan_concat,
@@ -1137,6 +1195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_sample": q_docs_split_sample,
         "text_repetition": q_text_repetition,
         "events_value_zscore": q_events_value_zscore,
+        "vocab_top_tokens": q_vocab_top_tokens,
+        "train_test_ngram_overlap": q_train_test_ngram_overlap,
+        "docs_pack_sequences": q_docs_pack_sequences,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
+        "events_latest_per_user": q_events_latest_per_user,
     }
 
 
@@ -2013,5 +2076,78 @@ def oracle_sql() -> dict[str, str]:
         FROM ({sqls["text_quality"]}) q
         JOIN ({sqls["text_lang_id"]}) l ON q.doc_id = l.doc_id
         JOIN ({sqls["dedup_near_clusters"]}) k ON q.doc_id = k.doc_id
+    """
+    sqls["vocab_top_tokens"] = f"""
+        WITH {_BASE},
+        counts AS (
+          SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+          FROM ex GROUP BY token
+        )
+        SELECT token, n_occ, n_docs,
+               row_number() OVER (ORDER BY n_occ DESC, token) AS rank
+        FROM counts
+        ORDER BY n_occ DESC, token LIMIT 100
+    """
+    sqls["train_test_ngram_overlap"] = f"""
+        WITH {_DEDUP_BASE},
+        sd AS (SELECT DISTINCT doc_id, sh FROM shh),
+        bk AS (
+          SELECT doc_id, sh,
+                 {string_hash31_sql("doc_id::VARCHAR")} % 100 AS bucket
+          FROM sd
+        ),
+        train AS (SELECT sh, doc_id AS train_id FROM bk WHERE bucket < 80),
+        test AS (SELECT doc_id, sh FROM bk WHERE bucket >= 90),
+        tot AS (SELECT doc_id, count(*) AS n_shingles FROM test GROUP BY 1),
+        m AS (
+          SELECT t.doc_id,
+                 count(DISTINCT t.sh) AS n_contaminated,
+                 count(DISTINCT train_id) AS n_train_docs
+          FROM test t JOIN train USING (sh) GROUP BY 1
+        )
+        SELECT tot.doc_id, tot.n_shingles,
+               coalesce(m.n_contaminated, 0) AS n_contaminated,
+               coalesce(m.n_train_docs, 0) AS n_train_docs,
+               round(coalesce(m.n_contaminated, 0) / tot.n_shingles, 6)
+                 AS contamination
+        FROM tot LEFT JOIN m USING (doc_id)
+    """
+    sqls["docs_pack_sequences"] = f"""
+        WITH nt AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                 x -> x <> ''))::BIGINT AS n_tokens,
+                 {string_hash31_sql("doc_id::VARCHAR")} % 32 AS shard
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM nt
+        )
+        SELECT doc_id, shard,
+               shard * 1000000 + (cum_before // 512) AS pack_id,
+               cum_before % 512 AS pack_offset,
+               n_tokens
+        FROM c
+    """
+    sqls["docs_unigram_logprob"] = f"""
+        WITH {_BASE},
+        uni AS (SELECT token, count(*) AS n_occ FROM ex GROUP BY token),
+        tot AS (SELECT sum(n_occ) AS total FROM uni)
+        SELECT doc_id,
+               count(*)::BIGINT AS n_tokens,
+               round(avg(ln(n_occ / total)), 6) AS avg_logprob
+        FROM ex JOIN uni USING (token), tot
+        GROUP BY doc_id
+    """
+    sqls["events_latest_per_user"] = """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
     """
     return sqls

@@ -1,0 +1,173 @@
+"""Training-data pipeline operators: vocabulary building, train/test
+decontamination, sequence packing, and unigram language-model scoring.
+
+These extend the engine beyond reference parity toward the operations a
+large-scale LLM-pretraining data pipeline runs daily. Each is built from
+built-in expressions (no Python UDFs), has an exact DuckDB oracle, and is
+shaped for 100 TB inputs:
+
+* vocabulary building is a partial-aggregated groupBy + distributed
+  top-k (TakeOrdered -- per-partition heads merged on the driver, never
+  a global sort);
+* decontamination is a shingle-hash equi-join -- the same join shape and
+  skew story as the n-gram near-dup operators;
+* sequence packing parallelizes across hash shards: packing is
+  inherently sequential WITHIN a pack stream, so the shard is the unit
+  of parallelism and the shard count is the knob that scales with the
+  corpus;
+* unigram scoring is one corpus aggregation + a broadcast join back --
+  map-only scoring, the same shape as the IDF pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import string_hash31
+
+
+def vocab_top_k(tok_df: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: (token, n_occ, n_docs, rank) for the k
+    most frequent tokens (ties broken by token text, so the result is
+    deterministic).
+
+    The groupBy is map-side partial-aggregated; the top-k is
+    ``orderBy().limit(k)``, which Spark executes as TakeOrdered (a
+    per-partition bounded heap + driver merge of k rows per partition)
+    -- no global sort, no single-partition shuffle of the vocabulary.
+    The row_number window then runs over the k surviving rows only.
+    This is the vocabulary-selection step of tokenizer training.
+    """
+    ex = tok_df.select("id", F.explode("tokens").alias("token"))
+    counts = ex.groupBy("token").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.col("n_occ").desc(), "token").limit(k)
+    w = Window.orderBy(F.col("n_occ").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def contamination_overlap(
+    shingles: DataFrame,
+    train_pred,
+    test_pred,
+) -> DataFrame:
+    """Benchmark-decontamination check: for every TEST document, how many
+    of its word-n-gram shingles also occur anywhere in TRAIN.
+
+    ``shingles`` is the (id, sh) distinct-shingle-hash table (one row per
+    distinct shingle per doc, e.g. :func:`..operators.dedup.shingle_hashes`);
+    ``train_pred`` / ``test_pred`` are boolean Column predicates over its
+    columns selecting the two disjoint corpus slices.
+
+    Returns (doc_id, n_shingles, n_contaminated, n_train_docs,
+    contamination): per test doc its distinct-shingle count, how many of
+    those shingles appear in train, how many distinct train docs share at
+    least one shingle, and the contaminated fraction. Test docs with zero
+    overlap are kept (left join), since "clean" is the answer the
+    pipeline acts on.
+
+    Scale: one equi-join on the shingle hash (uniform key -- md5-derived
+    -- so no skew) + two partial-aggregated groupBys. Identical join
+    shape to the n-gram near-dup operator, so the 100 TB story is the
+    same: shuffle ~ |postings|, never |docs|^2.
+    """
+    train = shingles.where(train_pred).select("sh", F.col("id").alias("train_id"))
+    test = shingles.where(test_pred).select(F.col("id").alias("doc_id"), "sh")
+    totals = test.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    matches = (
+        test.join(train, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_contaminated"),
+            F.countDistinct("train_id").alias("n_train_docs"),
+        )
+    )
+    return totals.join(matches, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("contamination"),
+    )
+
+
+def pack_sequences(
+    doc_tokens: DataFrame,
+    budget: int = 512,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy fixed-budget sequence packing: assign each document to a
+    training pack of ~``budget`` tokens.
+
+    Documents are hash-sharded (md5-derived, reproducible across engines
+    and repartitionings), ordered by id within their shard, and packed by
+    cumulative token count: a doc starts in pack ``floor(cum_before /
+    budget)`` of its shard -- the fill-and-overflow policy of pretraining
+    packers that split a straddling document across the pack boundary
+    (``pack_offset`` says where in the pack the doc starts).
+
+    Returns (doc_id, shard, pack_id, pack_offset, n_tokens) with
+    ``pack_id`` globally unique (shard-prefixed).
+
+    Scale: packing is inherently sequential WITHIN a pack stream -- no
+    engine can parallelize inside one running sum -- so the shard is the
+    parallelism unit. ``n_shards`` is fixed (not data-dependent) so
+    results are reproducible; size it ~ corpus_tokens / (10^9) in
+    production so each shard's running-sum window stays executor-sized.
+    One shuffle (the per-shard sort); everything else is map-only.
+    """
+    sharded = doc_tokens.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        (string_hash31(F.col(id_col).cast("string")) % n_shards).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sharded.select(
+        "doc_id",
+        "shard",
+        (F.col("shard") * 1_000_000 + F.floor(cum_before / budget)).alias("pack_id"),
+        (cum_before % budget).alias("pack_offset"),
+        "n_tokens",
+    )
+
+
+def unigram_logprob(tok_df: DataFrame) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM -- the cheap perplexity-style quality signal (docs of
+    rare-token soup score low, docs of common words score high).
+
+    Returns (doc_id, n_tokens, avg_logprob) with avg_logprob =
+    mean over token positions of ln(count(token) / total_tokens),
+    rounded to 6 decimals.
+
+    Scale: one partial-aggregated groupBy builds the unigram table
+    (~|vocab| rows), the total rides along as a broadcast scalar, and
+    scoring is a broadcast equi-join back onto the token stream + one
+    per-doc aggregation -- the exact shape of the IDF pipeline, so the
+    same 100 TB reasoning applies.
+    """
+    ex = tok_df.select("id", F.explode("tokens").alias("token"))
+    uni = ex.groupBy("token").agg(F.count("*").alias("n_occ"))
+    total = uni.agg(F.sum("n_occ").alias("total"))
+    scored = ex.join(F.broadcast(uni), "token").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n_occ") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -98,6 +98,30 @@ def _left_ddl(left: DataFrame) -> str:
     )
 
 
+def keep_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+) -> DataFrame:
+    """Latest-row-per-key compaction (CDC upsert semantics): keep exactly
+    the first row of each key group under ``order_cols`` (pass descending
+    columns for "latest"; include a unique tiebreaker column so the
+    result is deterministic).
+
+    One shuffle on the key; the rank window runs per key group, so with
+    a high-cardinality key (user, entity, primary key -- the CDC case)
+    partitions stay balanced at 100 TB. At very low key cardinality
+    prefer a groupBy(max(struct(order..., payload))) max-struct
+    aggregation instead, which partial-aggregates map-side.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -64,10 +64,18 @@ def common_token_pairs(
       join. The low-vocab regime is exactly where the sparse join
       explodes (df ~ |docs| makes its shuffle quadratic x vocab), while
       the bitmask plan moves |docs| longs and does one AND+popcount per
-      pair in whole-stage codegen -- no pair-level shuffle at all. The
-      broadcast side is |docs_b| 16-byte rows; past broadcast limits,
-      dedupe identical masks into classes first (<= 2^|vocab| classes)
-      and expand members after the class-pair popcounts.
+      pair in whole-stage codegen -- no pair-level shuffle at all.
+
+      The popcount cross join runs over mask EQUIVALENCE CLASSES, not
+      docs: a <=63-bit vocabulary admits at most 2^|vocab| distinct
+      masks and real corpora far fewer, so docs sharing an identical
+      token set collapse to one class row, each class pair is popcounted
+      once, and members re-attach through two broadcast equi-joins on
+      the mask value (map-only -- no giant collected member arrays, no
+      pair-level shuffle). This also bounds the broadcast at
+      |distinct masks| 8-byte rows instead of |docs_b| rows, which is
+      what keeps the strategy viable when the catalog outgrows the
+      broadcast limit but the vocabulary stays tiny.
     """
     a = idx_a.select("token", F.col("id").alias("a_id"))
     b = idx_b.select("token", F.col("id").alias("b_id"))
@@ -95,15 +103,29 @@ def common_token_pairs(
 
         ma = masks(a, "a_id").withColumnRenamed("mask", "mask_a")
         mb = masks(b, "b_id").withColumnRenamed("mask", "mask_b")
-        ma = ma.repartition(ma.sparkSession.sparkContext.defaultParallelism)
-        return (
-            ma.crossJoin(F.broadcast(mb))
+        # Equivalence-class the popcount: distinct masks only. Expansion
+        # back to doc pairs is two broadcast equi-joins on the mask value
+        # (class_pairs and mb are both small), so member re-attachment is
+        # map-only and no member list is ever materialized as an array.
+        ca = ma.select("mask_a").distinct()
+        cb = mb.select("mask_b").distinct()
+        # The stream side is tiny (one row per class); AQE would coalesce
+        # it to one partition, but each class row fans out to |cb| pairs,
+        # so keep the compute wide with an explicit (AQE-exempt)
+        # repartition.
+        ca = ca.repartition(ca.sparkSession.sparkContext.defaultParallelism)
+        class_pairs = (
+            ca.crossJoin(F.broadcast(cb))
             .select(
-                "a_id",
-                "b_id",
+                "mask_a",
+                "mask_b",
                 F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b"))).alias("n_common"),
             )
             .where(F.col("n_common") > 0)
+        )
+        return (
+            ma.join(F.broadcast(class_pairs), "mask_a")
+            .join(F.broadcast(mb), "mask_b")
             .select("a_id", "b_id", F.col("n_common").cast("long").alias("n_common"))
         )
     return (

@@ -11,6 +11,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from sparkbigdatatextanalysis_spark.operators import relational as rel
+from sparkbigdatatextanalysis_spark.operators import similarity as sim
 from sparkbigdatatextanalysis_spark.operators import skew
 
 PROP = settings(
@@ -88,3 +89,35 @@ def test_salted_join_matches_plain(spark, left, right, how):
     assert sorted(
         (r["lid"], r["rid"]) for r in salted.collect()
     ) == sorted((r["lid"], r["rid"]) for r in plain.collect())
+
+
+# Token sets over a tiny vocabulary -- the regime where the bitmask
+# strategy (incl. its mask-equivalence-class popcount) activates.
+# Duplicate token sets across docs are likely by construction, so class
+# expansion is genuinely exercised.
+TOKSET = st.sets(st.sampled_from(["t0", "t1", "t2", "t3", "t4"]), max_size=5)
+DOCS = st.lists(TOKSET, min_size=0, max_size=10)
+
+
+@PROP
+@given(docs_a=DOCS, docs_b=DOCS)
+def test_bitmask_class_pairs_match_sparse_and_naive(spark, docs_a, docs_b):
+    def postings(docs, prefix):
+        rows = [(t, f"{prefix}{i}") for i, ts in enumerate(docs) for t in ts]
+        return spark.createDataFrame(rows or [("x", "y")], "token STRING, id STRING").where(
+            F.lit(bool(rows))
+        )
+
+    idx_a, idx_b = postings(docs_a, "a"), postings(docs_b, "b")
+    want = {
+        (f"a{i}", f"b{j}", len(sa & sb))
+        for i, sa in enumerate(docs_a)
+        for j, sb in enumerate(docs_b)
+        if sa & sb
+    }
+    for strategy in ("bitmask", "sparse"):
+        got = {
+            (r["a_id"], r["b_id"], r["n_common"])
+            for r in sim.common_token_pairs(idx_a, idx_b, strategy=strategy).collect()
+        }
+        assert got == want, strategy

@@ -1,0 +1,123 @@
+"""Unit and property tests for the training-data pipeline operators
+(operators/pipeline.py, relational.keep_latest) against naive Python
+references — the oracle-parity sweep covers them end-to-end; these pin
+the operator semantics in isolation on adversarial small inputs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+from sparkbigdatatextanalysis_spark.operators import relational as rel
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def test_vocab_top_k_ranks_and_ties(spark):
+    rows = [
+        (0, ["b", "b", "a", "c"]),
+        (1, ["a", "b", "c", "c"]),
+        (2, ["c"]),
+    ]
+    tok = spark.createDataFrame(rows, "id INT, tokens ARRAY<STRING>")
+    got = [tuple(r) for r in pl.vocab_top_k(tok, k=2).collect()]
+    # counts: c=4 (3 docs), b=3 (2 docs), a=2 (2 docs)
+    assert got == [("c", 4, 3, 1), ("b", 3, 2, 2)]
+
+
+def test_vocab_top_k_tie_breaks_by_token(spark):
+    tok = spark.createDataFrame(
+        [(0, ["x", "y"]), (1, ["y", "x"])], "id INT, tokens ARRAY<STRING>"
+    )
+    got = [r["token"] for r in pl.vocab_top_k(tok, k=2).collect()]
+    assert got == ["x", "y"]
+
+
+def test_contamination_overlap_counts(spark):
+    # shingle table: train docs 0,1; test docs 10,11
+    rows = [
+        (0, 100), (0, 101), (1, 101), (1, 102),
+        (10, 100), (10, 101), (10, 999),   # 2 of 3 contaminated, 2 train docs
+        (11, 555),                          # clean
+    ]
+    sh = spark.createDataFrame(rows, "id INT, sh INT")
+    out = {
+        r["doc_id"]: (
+            r["n_shingles"], r["n_contaminated"], r["n_train_docs"], r["contamination"]
+        )
+        for r in pl.contamination_overlap(
+            sh, F.col("id") < 10, F.col("id") >= 10
+        ).collect()
+    }
+    assert out[10] == (3, 2, 2, round(2 / 3, 6))
+    assert out[11] == (1, 0, 0, 0.0)
+
+
+PACK_DOCS = st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30)
+
+
+@PROP
+@given(ntoks=PACK_DOCS, budget=st.integers(min_value=1, max_value=16))
+def test_pack_sequences_matches_naive(spark, ntoks, budget):
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(ntoks)], "doc_id INT, n_tokens INT"
+    )
+    out = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+        for r in pl.pack_sequences(df, budget=budget, n_shards=3).collect()
+    }
+    # naive: recompute shard from the operator's own output (hash is
+    # engine-defined), then sequential packing per shard by doc_id.
+    by_shard: dict[int, list[int]] = {}
+    for i in sorted(range(len(ntoks))):
+        by_shard.setdefault(out[i][0], []).append(i)
+    for shard, ids in by_shard.items():
+        cum = 0
+        for i in ids:
+            assert out[i] == (shard, shard * 1_000_000 + cum // budget, cum % budget)
+            cum += ntoks[i]
+
+
+EV = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user
+        st.integers(min_value=0, max_value=5),   # ts (ties likely)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@PROP
+@given(events=EV)
+def test_keep_latest_matches_naive(spark, events):
+    df = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(events)], "eid INT, u INT, ts INT"
+    )
+    out = rel.keep_latest(df, ["u"], [F.col("ts").desc(), F.col("eid").desc()])
+    got = {(r["u"], r["eid"]) for r in out.collect()}
+    want = {}
+    for i, (u, t) in enumerate(events):
+        if u not in want or (t, i) > want[u]:
+            want[u] = (t, i)
+    assert got == {(u, i) for u, (t, i) in want.items()}
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    # two docs, all four tokens distinct -> every p = 1/4, every doc's
+    # mean logprob = ln(0.25)
+    import math
+
+    tok = spark.createDataFrame(
+        [(0, ["a", "b"]), (1, ["c", "d"])], "id INT, tokens ARRAY<STRING>"
+    )
+    out = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+           for r in pl.unigram_logprob(tok).collect()}
+    assert out == {0: (2, round(math.log(0.25), 6)), 1: (2, round(math.log(0.25), 6))}
