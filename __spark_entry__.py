@@ -281,7 +281,11 @@ def q_inverted_index(spark, sf_dir):
 
 def q_common_token_pairs(spark, sf_dir):
     ta, tb = _tok_ab(spark, sf_dir)
-    return sim.common_token_pairs(sim.inverted_index(ta), sim.inverted_index(tb))
+    return sim.common_token_pairs(
+        sim.inverted_index(ta),
+        sim.inverted_index(tb),
+        vocab_n=_vocab_n(spark, sf_dir),
+    )
 
 
 def q_fast_cosine_join(spark, sf_dir):

@@ -45,7 +45,10 @@ BITMASK_VOCAB_MAX = 63
 
 
 def common_token_pairs(
-    idx_a: DataFrame, idx_b: DataFrame, strategy: str = "auto"
+    idx_a: DataFrame,
+    idx_b: DataFrame,
+    strategy: str = "auto",
+    vocab_n: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing >=1 token -> (a_id, b_id, n_common).
 
@@ -80,7 +83,11 @@ def common_token_pairs(
     a = idx_a.select("token", F.col("id").alias("a_id"))
     b = idx_b.select("token", F.col("id").alias("b_id"))
     if strategy == "auto":
-        vocab_n = a.select("token").union(b.select("token")).distinct().count()
+        # callers that already know the (possibly capped) vocabulary size
+        # pass it to skip the distinct-count job; only the <=63 decision
+        # matters, so a capped count is as good as an exact one.
+        if vocab_n is None:
+            vocab_n = a.select("token").union(b.select("token")).distinct().count()
         strategy = "bitmask" if vocab_n <= BITMASK_VOCAB_MAX else "sparse"
     if strategy == "bitmask":
         vocab = (

@@ -101,6 +101,25 @@ def test_no_unbroadcast_cartesian_anywhere(spark):
         assert "CartesianProduct" not in plan, f"cartesian in {name}"
 
 
+def test_vocab_topk_is_take_ordered(spark):
+    """The vocabulary head must plan as TakeOrdered (per-partition
+    bounded heaps), never a global sort of the whole vocabulary."""
+    plan = plan_str(entry_mod.q_vocab_top_tokens(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_latest_per_user_single_shuffle(spark):
+    """CDC compaction: exactly one input-proportional exchange (the
+    hash partition on user_id feeding the rank window)."""
+    plan = plan_str(entry_mod.q_events_latest_per_user(spark, SF))
+    # formatted mode lists each Exchange's args on its own line
+    n_exchanges = plan.count("Arguments: hashpartitioning(")
+    assert n_exchanges == 1, plan
+    # rank-limit pushdown: rows beyond the per-key top-1 are dropped
+    # map-side BEFORE the shuffle (Partial WindowGroupLimit)
+    assert "WindowGroupLimit" in plan
+
+
 def test_dense_strategy_picked_only_for_small_vocab(spark):
     """The auto similarity strategy must pick sparse on a realistic
     (large) vocabulary and dense on a tiny one."""
