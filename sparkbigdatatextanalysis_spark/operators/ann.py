@@ -7,12 +7,12 @@ Two paths, same exact-cosine rerank math:
   baseline; right answer at any scale where q is small or n fits a
   partition-parallel sweep.
 * ``cosine_topk_lsh`` -- the 100 TB path: random-hyperplane (sign) LSH.
-  Signatures are computed map-only per row (literal +-1 plane matrix,
-  zip_with integer dot products -- embeddings quantized to integers so
-  the signature is exact integer arithmetic, reproducible bit-for-bit in
-  the DuckDB oracle). Candidates = equi-join on (band, bucket); exact
-  cosine rerank only within buckets, so cost ~ sum-of-bucket-sizes
-  instead of n per query. Bucket bit-width ADAPTS to the corpus count
+  Signatures are computed map-only (one Arrow-batched int64 GEMM of the
+  floor-quantized vectors against the +-1 plane matrix per batch --
+  exact integer arithmetic, reproducible bit-for-bit in the DuckDB
+  oracle). Candidates = equi-join on (band, bucket); exact cosine
+  rerank only within buckets, so cost ~ sum-of-bucket-sizes instead of
+  n per query. Bucket bit-width ADAPTS to the corpus count
   (``adaptive_rows_per_band``): expected bucket size stays ~constant as
   n grows, so the per-bucket join never degenerates quadratic.
 
@@ -86,8 +86,8 @@ def lsh_signatures(
     """(id, band, bucket): sign-LSH band buckets, computed map-only.
 
     bit_i = [ sum_j floor(x_j * QUANT) * P[i][j] >= 0 ], bucket = the
-    band's bits packed into an integer. No shuffle, no UDF -- one narrow
-    projection per input row, which is what survives 100 TB.
+    band's bits packed into an integer. No shuffle -- one Arrow-batched
+    GEMM pass over the input, which is what survives 100 TB.
 
     ``rows_per_band`` (bucket bit-width) defaults to the adaptive
     :func:`adaptive_rows_per_band` rule on ``emb.count()`` -- one cheap
@@ -96,51 +96,53 @@ def lsh_signatures(
     """
     if rows_per_band is None:
         rows_per_band = adaptive_rows_per_band(emb.count())
-    planes = planes[: bands * rows_per_band]
-    dim = len(planes[0])
+    plane_rows = [list(p) for p in planes[: bands * rows_per_band]]
+    dim = len(plane_rows[0])
+    n_bands, rpb, quant = bands, rows_per_band, QUANT
+    id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[id_col]
 
-    # Quantize once into flat long columns behind a persist barrier -- the
-    # signature arithmetic then runs on plain attributes in whole-stage
-    # codegen instead of re-evaluating interpreted higher-order lambdas
-    # per plane (measured ~10x on 64-dim vectors). All wide expressions
-    # are built as single SQL strings: one py4j call each, instead of
-    # thousands of driver round-trips assembling Column trees (which
-    # dominated wall-clock at 64 dims x 16 planes).
-    qflat = emb.select(
-        F.col(id_col).alias("id"),
-        *[
-            F.expr(
-                f"CAST(floor(CAST(try_element_at({vec_col}, {j + 1}) AS DOUBLE)"
-                f" * {QUANT}) AS BIGINT) AS q{j}"
+    # One int64 GEMM per Arrow batch (quantized vectors x +-1 plane
+    # matrix), then vectorized sign + bit-pack. Same rationale as the
+    # blocked-GEMM near-dup path: dense all-pairs-of-dims arithmetic
+    # belongs in BLAS, and the scalar alternative -- one generated
+    # +-add chain per plane -- exceeds the JVM's 64 KB method limit past
+    # ~2.5k chain terms (janino "Code grows beyond 64 KB"), silently
+    # degrading the whole stage to interpreted row-at-a-time evaluation.
+    # Arithmetic is exact: floor-quantized int64 inputs, +-1 weights, so
+    # dots are bit-identical to the DuckDB oracle's. Vectors shorter
+    # than ``dim`` are zero-padded, which matches the oracle's
+    # length-bounded fold semantics. Map-only, no shuffle.
+    def _batches(it):
+        import numpy as np
+        import pandas as pd
+
+        p_mat = np.array(plane_rows, dtype=np.int64).T  # dim x n_planes
+        weights = 1 << np.arange(rpb, dtype=np.int64)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            m = np.zeros((n, dim), dtype=np.int64)
+            for i, v in enumerate(pdf["_vec"].to_numpy()):
+                a = np.floor(
+                    np.asarray(v[:dim], dtype=np.float64) * quant
+                ).astype(np.int64)
+                m[i, : len(a)] = a
+            bits = (m @ p_mat >= 0).astype(np.int64)  # n x n_planes
+            buckets = np.column_stack(
+                [bits[:, b * rpb : (b + 1) * rpb] @ weights for b in range(n_bands)]
+            )  # n x n_bands, row-major matches repeat(ids)/tile(bands)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["_id"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
             )
-            for j in range(dim)
-        ],
-    ).persist()
 
-    # Planes are +-1, so each plane dot is a pure add/subtract chain.
-    def _plane_dot_sql(i: int) -> str:
-        terms = [("q0" if planes[i][0] > 0 else "-q0")]
-        for j in range(1, dim):
-            terms.append(f"{'+' if planes[i][j] > 0 else '-'} q{j}")
-        return " ".join(terms)
-
-    dotted = qflat.select(
-        "id", *[F.expr(f"({_plane_dot_sql(i)}) AS d{i}") for i in range(len(planes))]
-    )
-
-    def _bucket_sql(b: int) -> str:
-        return " + ".join(
-            f"(CASE WHEN d{b * rows_per_band + i} >= 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(rows_per_band)
-        )
-
-    entries = ", ".join(
-        f"struct(CAST({b} AS INT) AS band, CAST({_bucket_sql(b)} AS BIGINT) AS bucket)"
-        for b in range(bands)
-    )
-    return dotted.select("id", F.explode(F.expr(f"array({entries})")).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    return emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(_batches, schema=f"id {id_type}, band int, bucket long")
 
 
 def _norm_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:

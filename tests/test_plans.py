@@ -74,7 +74,17 @@ def test_sparse_similarity_join_never_nested_loop(spark):
 def test_no_row_python_udf_anywhere(spark):
     """Every declared query plan must stay JVM-side except the multimodal
     Arrow/mapInPandas operators (and streaming helpers built for batch)."""
-    allowed_python = {"media_decode", "media_frame_sample"}
+    # ann_topk_lsh / dedup_embedding_lsh: sign-LSH signatures are one
+    # Arrow-batched int64 GEMM per batch -- the scalar codegen
+    # alternative (one +-add chain per plane) exceeds the JVM 64 KB
+    # method limit at adaptive plane counts and degrades the stage to
+    # interpreted evaluation.
+    allowed_python = {
+        "media_decode",
+        "media_frame_sample",
+        "ann_topk_lsh",
+        "dedup_embedding_lsh",
+    }
     # dedup_embedding's exact blocked-GEMM path is deliberately
     # Arrow-grouped (one BLAS matmul per block pair beats any number of
     # interpreted JVM zip_with folds for dense all-pairs math)
