@@ -427,6 +427,18 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates: pairs sharing >=1 of 4 16-bit
+    signature chunks (pigeonhole covers Hamming <= 3), with the exact
+    Hamming distance attached. See operators/dedup.py::simhash_near_pairs
+    for the bucket-size scale analysis."""
+    sigs = dd.simhash_signatures(_docs(spark, sf_dir))
+    out = dd.simhash_near_pairs(sigs)
+    return out.select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     out = dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
     return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
@@ -1161,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -2145,6 +2158,24 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln(n_occ / total)), 6) AS avg_logprob
         FROM ex JOIN uni USING (token), tot
         GROUP BY doc_id
+    """
+    # Nests the signature oracle as a derived table (like curation_pipeline)
+    # so the chunking/hamming stays consistent with the signature check.
+    sqls["dedup_simhash_pairs"] = f"""
+        WITH sigs AS ({sqls["dedup_simhash"]}),
+        ch AS (
+          SELECT doc_id, sim_hi, sim_lo, c.chunk,
+                 CASE WHEN c.chunk < 2
+                      THEN (sim_lo >> (c.chunk * 16)) & 65535
+                      ELSE (sim_hi >> ((c.chunk - 2) * 16)) & 65535
+                 END AS ckey
+          FROM sigs CROSS JOIN (SELECT range AS chunk FROM range(0, 4)) c
+        )
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               (bit_count(xor(a.sim_hi, b.sim_hi))
+                + bit_count(xor(a.sim_lo, b.sim_lo)))::BIGINT AS hamming
+        FROM ch a JOIN ch b USING (chunk, ckey)
+        WHERE a.doc_id < b.doc_id
     """
     sqls["events_latest_per_user"] = """
         SELECT user_id, event_id, ts, event_type, value

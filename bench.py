@@ -52,6 +52,10 @@ HEADLINE = [
     "sales_cube",
     "dedup_near_clusters",
     "tpch_q5_like",
+    "vocab_top_tokens",
+    "train_test_ngram_overlap",
+    "docs_pack_sequences",
+    "events_latest_per_user",
 ]
 
 
