@@ -143,7 +143,7 @@ def pack_sequences(
     )
 
 
-def unigram_logprob(tok_df: DataFrame) -> DataFrame:
+def unigram_logprob(tok_df: DataFrame, broadcast_uni: bool = True) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram LM -- the cheap perplexity-style quality signal (docs of
     rare-token soup score low, docs of common words score high).
@@ -156,12 +156,16 @@ def unigram_logprob(tok_df: DataFrame) -> DataFrame:
     (~|vocab| rows), the total rides along as a broadcast scalar, and
     scoring is a broadcast equi-join back onto the token stream + one
     per-doc aggregation -- the exact shape of the IDF pipeline, so the
-    same 100 TB reasoning applies.
+    same 100 TB reasoning applies; like the IDF join, pass
+    ``broadcast_uni=False`` to flip to a shuffle join if the vocabulary
+    ever outgrows the broadcast limit.
     """
     ex = tok_df.select("id", F.explode("tokens").alias("token"))
     uni = ex.groupBy("token").agg(F.count("*").alias("n_occ"))
     total = uni.agg(F.sum("n_occ").alias("total"))
-    scored = ex.join(F.broadcast(uni), "token").crossJoin(F.broadcast(total))
+    if broadcast_uni:
+        uni = F.broadcast(uni)
+    scored = ex.join(uni, "token").crossJoin(F.broadcast(total))
     return (
         scored.groupBy(F.col("id").alias("doc_id"))
         .agg(
