@@ -1371,6 +1371,48 @@ lsig AS (
 """
 
 
+def _kmeans_cents_sql(n_iter: int) -> tuple[str, str]:
+    """DuckDB CTE chain mirroring ann.kmeans_centroids exactly: returns
+    (cte_sql, final_name). Assignment argmax and DECIMAL-exact
+    per-dimension means per unrolled iteration; parallel unnests zip, so
+    (pos, val) pairs mirror posexplode (pos base differs but is only
+    ever grouped/sorted on)."""
+    ctes = [
+        f"c0 AS (SELECT vec_id AS c_id, v AS cv, norm AS cn FROM nv "
+        f"WHERE vec_id < {ann_ops.N_CENTROIDS})"
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        ctes.append(f"""
+        a{it} AS (
+          SELECT c_id, v FROM (
+            SELECT a.vec_id AS id, c_id, a.v,
+                   row_number() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY round({_emb_dot_sql("a.v", "cv")} / (a.norm * cn), 9) DESC, c_id
+                   ) AS rn
+            FROM nv a CROSS JOIN {prev}
+          ) WHERE rn = 1
+        ),
+        m{it} AS (
+          SELECT c_id, pos,
+                 CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS m
+          FROM (
+            SELECT c_id, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val
+            FROM a{it}
+          ) GROUP BY 1, 2
+        ),
+        c{it} AS (
+          SELECT c_id, cv, sqrt({_emb_dot_sql("cv", "cv")}) AS cn FROM (
+            SELECT c_id, array_agg(m ORDER BY pos) AS cv FROM m{it} GROUP BY c_id
+          )
+        )""")
+    return ",\n".join(ctes), f"c{n_iter}"
+
+
+_KMEANS_CTES, _KMEANS_FINAL = _kmeans_cents_sql(ann_ops.KMEANS_ITERS)
+
+
 def _lang_hits_sql(words: list[str]) -> str:
     lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
     return f"len(list_filter(toks, t -> list_contains({lst}, t)))"
@@ -1663,8 +1705,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk_ivf": f"""
             WITH {_EMB_NORM_SQL},
-            cents AS (SELECT vec_id AS c_id, v AS cv, norm AS cn
-                      FROM nv WHERE vec_id < {ann_ops.N_CENTROIDS}),
+            {_KMEANS_CTES},
+            cents AS (SELECT c_id, cv, cn FROM {_KMEANS_FINAL}),
             ascore AS (
               SELECT a.vec_id AS id, c_id,
                      round({_emb_dot_sql("a.v", "cv")} / (a.norm * cn), 9) AS cos

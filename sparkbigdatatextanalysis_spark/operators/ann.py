@@ -187,6 +187,84 @@ def cosine_topk_bruteforce(
 
 N_CENTROIDS = 16
 N_PROBE = 2
+KMEANS_ITERS = 2
+# Exact accumulator for centroid means: DECIMAL sums are associative, so
+# the per-dimension mean is identical regardless of partitioning or
+# engine -- the same trick the pricing rollups use for money sums.
+_MEAN_DECIMAL = "decimal(38,15)"
+
+
+def _init_centroids(nv: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic seed centroids: the first ``n_centroids`` vectors
+    by id (KMeans++ would trade reproducibility for quality here)."""
+    return nv.where(F.col("id") < n_centroids).select(
+        F.col("id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(c_id, cv, cn): Lloyd-refined IVF centroids, fully deterministic
+    and engine-reproducible -- the refinement the round-1 placeholder
+    ("first k by id") documented as the drop-in upgrade.
+
+    Each unrolled iteration is: broadcast-argmax assignment (map-only,
+    one narrow pass over the corpus -- no shuffle of the vectors), then
+    per-dimension means via posexplode + partial-aggregated groupBy
+    whose SUMs run in exact DECIMAL: double summation is order-dependent
+    and a centroid that differs in the last ulp between engines could
+    flip a boundary vector's argmax, so the accumulator must be
+    associative. The mean is then one decimal->double cast (correctly
+    rounded on both engines) over an exact numerator. Clusters that end
+    an iteration empty drop out -- mirrored exactly by the oracle, so
+    parity holds either way.
+
+    Scale: per iteration, one cross-with-broadcast pass (|corpus| x k
+    dots) + one shuffle of (cluster, dim) partial sums (k x dim rows
+    after map-side combine). n_iter is a compile-time unroll -- each
+    round is a fixed, inspectable plan stage.
+    """
+    nv = _norm_vecs(emb, id_col, vec_col)
+    cents = _init_centroids(nv, n_centroids)
+    for _ in range(n_iter):
+        scored = nv.crossJoin(F.broadcast(cents)).select(
+            "id",
+            "v",
+            "c_id",
+            F.round(
+                _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 9
+            ).alias("cos"),
+        )
+        w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("c_id"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("c_id", "v")
+        )
+        means = (
+            assign.select("c_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("c_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast(_MEAN_DECIMAL)).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+        )
+        cents = (
+            means.groupBy("c_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("c_id", F.transform("pm", lambda s: s["m"]).alias("cv"))
+            .select(
+                "c_id", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn")
+            )
+        )
+    return cents
 
 
 def ivf_assignments(
@@ -194,11 +272,12 @@ def ivf_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = N_CENTROIDS,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, cluster): inverted-file (IVF) coarse quantization with
-    deterministic centroids -- the first ``n_centroids`` vectors by id.
-    (A KMeans refinement would drop in here; fixed seeds keep the whole
-    operator reproducible and oracle-checkable.)
+    """(id, cluster): inverted-file (IVF) coarse quantization. Pass
+    ``cents`` (c_id, cv, cn) -- e.g. :func:`kmeans_centroids` -- to
+    assign against refined centroids; default is the deterministic
+    first-``n_centroids``-by-id seed set.
 
     Assignment is a map-only broadcast argmax: every vector scores
     against the tiny centroid set, no shuffle of the corpus. At 100 TB
@@ -206,9 +285,8 @@ def ivf_assignments(
     downstream search.
     """
     nv = _norm_vecs(emb, id_col, vec_col)
-    cents = nv.where(F.col("id") < n_centroids).select(
-        F.col("id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
-    )
+    if cents is None:
+        cents = _init_centroids(nv, n_centroids)
     scored = nv.crossJoin(F.broadcast(cents)).select(
         "id",
         "c_id",
@@ -230,18 +308,26 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     n_centroids: int = N_CENTROIDS,
     n_probe: int = N_PROBE,
+    refine_iters: int = KMEANS_ITERS,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query probes its ``n_probe``
     closest centroids and reranks exactly only within those clusters --
     per-query work is bounded by the probed clusters' sizes instead of
     the corpus. Same output schema as the brute force; recall < 1 is the
-    trade, tunable with n_probe."""
+    trade, tunable with n_probe. Centroids are Lloyd-refined for
+    ``refine_iters`` rounds (:func:`kmeans_centroids`); 0 pins the raw
+    deterministic seed set."""
     nv = _norm_vecs(emb, id_col, vec_col)
-    cents = nv.where(F.col("id") < n_centroids).select(
-        F.col("id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
-    )
+    if refine_iters > 0:
+        # persist: the centroid table feeds the corpus assignment AND
+        # every query's probe scoring.
+        cents = kmeans_centroids(
+            emb, id_col, vec_col, n_centroids, n_iter=refine_iters
+        ).persist()
+    else:
+        cents = _init_centroids(nv, n_centroids)
     # persist: assignments feed every probed-cluster lookup.
-    assign = ivf_assignments(emb, id_col, vec_col, n_centroids).persist()
+    assign = ivf_assignments(emb, id_col, vec_col, n_centroids, cents=cents).persist()
 
     q = query_ids.withColumnRenamed(query_ids.columns[0], "q_id")
     qv = nv.join(F.broadcast(q), nv.id == F.col("q_id")).select(

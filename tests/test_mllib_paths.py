@@ -96,6 +96,43 @@ def test_sign_lsh_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.3, (len(exact), len(approx), recall)
 
 
+def test_kmeans_centroids_deterministic_and_shaped(spark, emb):
+    """Lloyd refinement: stable across recomputation (decimal-exact
+    means), correct arity, and full-corpus assignment coverage."""
+    c1 = {r["c_id"]: (tuple(r["cv"]), r["cn"])
+          for r in ann_ops.kmeans_centroids(emb).collect()}
+    c2 = {r["c_id"]: (tuple(r["cv"]), r["cn"])
+          for r in ann_ops.kmeans_centroids(emb).collect()}
+    assert c1 == c2
+    assert 0 < len(c1) <= ann_ops.N_CENTROIDS
+    dim = len(emb.first()["embedding"])
+    assert all(len(cv) == dim for cv, _ in c1.values())
+    cents = ann_ops.kmeans_centroids(emb)
+    a = ann_ops.ivf_assignments(emb, cents=cents)
+    assert a.count() == emb.count()
+    assert a.select("id").distinct().count() == emb.count()
+
+
+def test_kmeans_ivf_recall_not_worse_than_seed(spark, emb):
+    """Refined centroids must not lose recall vs the raw first-k seed
+    set at the same probe budget."""
+    queries = emb.select("vec_id").orderBy("vec_id").limit(5)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    def recall(refine_iters):
+        got = {
+            (r["q_id"], r["n_id"])
+            for r in ann_ops.cosine_topk_ivf(
+                emb, queries, k=5, refine_iters=refine_iters
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+    assert recall(ann_ops.KMEANS_ITERS) >= recall(0) - 0.2  # no collapse
+    assert recall(ann_ops.KMEANS_ITERS) >= 0.3
+
+
 def test_brp_lsh_neighbors_overlap(spark, emb):
     """Seeded BRP-LSH top-k should substantially overlap the exact
     brute-force top-k (cosine ordering == euclidean on normalized)."""
