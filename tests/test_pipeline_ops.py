@@ -201,6 +201,24 @@ def test_lsh_signatures_deterministic(spark, small_emb):
     assert len(a) == 4 * ann.LSH_BANDS
 
 
+def test_lsh_signatures_ragged_vectors_zero_pad(spark):
+    """Vectors shorter than the plane dimension are zero-padded (the
+    oracle's length-bounded fold semantics): a short vector must produce
+    the same buckets as its explicitly zero-padded twin."""
+    dim = len(ann.HYPERPLANES[0])
+    short = [0.5, -1.25, 2.0]
+    padded = short + [0.0] * (dim - len(short))
+    df = spark.createDataFrame(
+        [(0, short), (1, padded)], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    sigs = {
+        (r["id"], r["band"]): r["bucket"]
+        for r in ann.lsh_signatures(df, rows_per_band=4).collect()
+    }
+    for b in range(ann.LSH_BANDS):
+        assert sigs[(0, b)] == sigs[(1, b)]
+
+
 # --- text stats ------------------------------------------------------------
 
 

@@ -110,6 +110,17 @@ def test_keep_latest_matches_naive(spark, events):
     assert got == {(u, i) for u, (t, i) in want.items()}
 
 
+def test_pack_sequences_invariant_to_partitioning(spark):
+    rows = [(i, (i * 7) % 23) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id INT, n_tokens INT")
+    base = {tuple(r) for r in pl.pack_sequences(df, budget=16, n_shards=4).collect()}
+    shuffled = {
+        tuple(r)
+        for r in pl.pack_sequences(df.repartition(13), budget=16, n_shards=4).collect()
+    }
+    assert base == shuffled
+
+
 def test_unigram_logprob_uniform_corpus(spark):
     # two docs, all four tokens distinct -> every p = 1/4, every doc's
     # mean logprob = ln(0.25)
