@@ -769,8 +769,13 @@ def q_events_value_zscore(spark, sf_dir):
     ev = _events(spark, sf_dir)
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd")
-    )
-    return ev.join(F.broadcast(stats), "event_type").select(
+    ).withColumnRenamed("event_type", "_et")
+    # null-safe equality: a NULL event_type forms its own stats group in
+    # both engines (the oracle's window PARTITION BY groups NULLs); a
+    # plain equi-join would silently drop those rows.
+    return ev.join(
+        F.broadcast(stats), ev.event_type.eqNullSafe(F.col("_et"))
+    ).select(
         "event_id",
         "event_type",
         F.round((F.col("value") - F.col("_mu")) / F.col("_sd"), 6).alias("z"),
@@ -1346,7 +1351,10 @@ qv AS (
   FROM embeddings
 ),
 rb AS (
-  SELECT min(r)::INT AS r FROM range(4, 33) t(r)
+  -- coalesce mirrors adaptive_rows_per_band's hi clamp: past
+  -- TARGET_BUCKET_ROWS * 2^32 rows no r satisfies the predicate and
+  -- min(r) would be NULL, silently emptying the planes CTE
+  SELECT coalesce(min(r), 32)::INT AS r FROM range(4, 33) t(r)
   WHERE {ann_ops.TARGET_BUCKET_ROWS} * (1::BIGINT << r::INT)
         >= (SELECT count(*) FROM embeddings)
 ),
@@ -2186,7 +2194,7 @@ def oracle_sql() -> dict[str, str]:
           FROM nt
         )
         SELECT doc_id, shard,
-               shard * 1000000 + (cum_before // 512) AS pack_id,
+               shard * (1::BIGINT << 40) + (cum_before // 512) AS pack_id,
                cum_before % 512 AS pack_offset,
                n_tokens
         FROM c

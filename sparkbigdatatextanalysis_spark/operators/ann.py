@@ -124,8 +124,14 @@ def lsh_signatures(
                 continue
             m = np.zeros((n, dim), dtype=np.int64)
             for i, v in enumerate(pdf["_vec"].to_numpy()):
+                if v is None:
+                    continue  # NULL vector -> all-zero (like zero-padding)
                 a = np.floor(
-                    np.asarray(v[:dim], dtype=np.float64) * quant
+                    np.nan_to_num(
+                        np.asarray(v[:dim], dtype=np.float64),
+                        nan=0.0, posinf=0.0, neginf=0.0,
+                    )
+                    * quant
                 ).astype(np.int64)
                 m[i, : len(a)] = a
             bits = (m @ p_mat >= 0).astype(np.int64)  # n x n_planes

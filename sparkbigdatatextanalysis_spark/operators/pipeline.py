@@ -74,8 +74,17 @@ def contamination_overlap(
     shape to the n-gram near-dup operator, so the 100 TB story is the
     same: shuffle ~ |postings|, never |docs|^2.
     """
-    train = shingles.where(train_pred).select("sh", F.col("id").alias("train_id"))
-    test = shingles.where(test_pred).select(F.col("id").alias("doc_id"), "sh")
+    # distinct on the HASH: upstream shingle tables are distinct per
+    # (id, shingle text), so two shingles colliding into one hash value
+    # would otherwise double-count in the totals while countDistinct(sh)
+    # collapses them in the matches -- keep every count hash-distinct so
+    # numerator, denominator, and the oracle all share one unit.
+    train = (
+        shingles.where(train_pred).select("sh", F.col("id").alias("train_id")).distinct()
+    )
+    test = (
+        shingles.where(test_pred).select(F.col("id").alias("doc_id"), "sh").distinct()
+    )
     totals = test.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     matches = (
         test.join(train, "sh")
@@ -114,7 +123,9 @@ def pack_sequences(
     (``pack_offset`` says where in the pack the doc starts).
 
     Returns (doc_id, shard, pack_id, pack_offset, n_tokens) with
-    ``pack_id`` globally unique (shard-prefixed).
+    ``pack_id = shard * 2^40 + pack_index`` -- globally unique up to
+    2^40 (~10^12) packs per shard, i.e. ~5*10^14 tokens per shard at the
+    default budget, far past the point where you'd add shards instead.
 
     Scale: packing is inherently sequential WITHIN a pack stream -- no
     engine can parallelize inside one running sum -- so the shard is the
@@ -137,7 +148,7 @@ def pack_sequences(
     return sharded.select(
         "doc_id",
         "shard",
-        (F.col("shard") * 1_000_000 + F.floor(cum_before / budget)).alias("pack_id"),
+        (F.col("shard") * (1 << 40) + F.floor(cum_before / budget)).alias("pack_id"),
         (cum_before % budget).alias("pack_offset"),
         "n_tokens",
     )

@@ -114,6 +114,8 @@ def keep_latest(
     prefer a groupBy(max(struct(order..., payload))) max-struct
     aggregation instead, which partial-aggregates map-side.
     """
+    if "_rn" in df.columns:
+        raise ValueError("keep_latest: input already has a column named '_rn'")
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
         df.withColumn("_rn", F.row_number().over(w))

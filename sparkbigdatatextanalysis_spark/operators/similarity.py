@@ -130,9 +130,14 @@ def common_token_pairs(
             )
             .where(F.col("n_common") > 0)
         )
+        # only the CLASS table is force-broadcast -- mb (one row per
+        # b-doc) is left to Catalyst/AQE, which broadcasts it while small
+        # and falls back to a shuffle equi-join on mask_b past the
+        # broadcast limit; that fallback is what delivers the bounded-
+        # broadcast claim above.
         return (
             ma.join(F.broadcast(class_pairs), "mask_a")
-            .join(F.broadcast(mb), "mask_b")
+            .join(mb, "mask_b")
             .select("a_id", "b_id", F.col("n_common").cast("long").alias("n_common"))
         )
     return (

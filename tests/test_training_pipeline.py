@@ -81,7 +81,7 @@ def test_pack_sequences_matches_naive(spark, ntoks, budget):
     for shard, ids in by_shard.items():
         cum = 0
         for i in ids:
-            assert out[i] == (shard, shard * 1_000_000 + cum // budget, cum % budget)
+            assert out[i] == (shard, shard * (1 << 40) + cum // budget, cum % budget)
             cum += ntoks[i]
 
 
