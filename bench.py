@@ -56,6 +56,9 @@ HEADLINE = [
     "train_test_ngram_overlap",
     "docs_pack_sequences",
     "events_latest_per_user",
+    "dedup_simhash_pairs",
+    "dedup_embedding_lsh",
+    "docs_unigram_logprob",
 ]
 
 
