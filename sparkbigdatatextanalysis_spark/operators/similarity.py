@@ -100,16 +100,28 @@ def common_token_pairs(
             )
         )
 
-        def masks(idx_df: DataFrame, out_id: str) -> DataFrame:
-            return (
-                idx_df.join(F.broadcast(vocab), "token")
-                .groupBy(F.col(idx_df.columns[1]))
-                .agg(F.sum(F.expr("shiftleft(1L, idx)")).alias("mask"))
-                .select(F.col(idx_df.columns[1]).alias(out_id), F.col("mask"))
-            )
-
-        ma = masks(a, "a_id").withColumnRenamed("mask", "mask_a")
-        mb = masks(b, "b_id").withColumnRenamed("mask", "mask_b")
+        # ONE side-tagged aggregation builds both mask tables, persisted:
+        # the final plan references each side's masks twice (expansion
+        # join + its class table) and Catalyst does not common-
+        # subexpression-eliminate repeated aggregations across join
+        # branches, so without the barrier the mask groupBy would run 4x.
+        # The cached table is one 16-byte row per doc -- the natural
+        # pipeline cache point.
+        u = a.select(F.lit(0).alias("side"), "token", F.col("a_id").alias("id")).unionByName(
+            b.select(F.lit(1).alias("side"), "token", F.col("b_id").alias("id"))
+        )
+        masks = (
+            u.join(F.broadcast(vocab), "token")
+            .groupBy("side", "id")
+            .agg(F.sum(F.expr("shiftleft(1L, idx)")).alias("mask"))
+            .persist()
+        )
+        ma = masks.where(F.col("side") == 0).select(
+            F.col("id").alias("a_id"), F.col("mask").alias("mask_a")
+        )
+        mb = masks.where(F.col("side") == 1).select(
+            F.col("id").alias("b_id"), F.col("mask").alias("mask_b")
+        )
         # Equivalence-class the popcount: distinct masks only. Expansion
         # back to doc pairs is two broadcast equi-joins on the mask value
         # (class_pairs and mb are both small), so member re-attachment is
