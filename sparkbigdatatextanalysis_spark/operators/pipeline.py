@@ -74,6 +74,12 @@ def contamination_overlap(
     shape to the n-gram near-dup operator, so the 100 TB story is the
     same: shuffle ~ |postings|, never |docs|^2.
     """
+    # persist: the shingle table feeds four plan branches (train, test
+    # totals, and both sides of the match join) and Catalyst does not
+    # CSE repeated subtrees across branches -- without the barrier the
+    # whole shingle pipeline would run 4x (same reasoning as
+    # ngram_jaccard_pairs).
+    shingles = shingles.persist()
     # distinct on the HASH: upstream shingle tables are distinct per
     # (id, shingle text), so two shingles colliding into one hash value
     # would otherwise double-count in the totals while countDistinct(sh)
