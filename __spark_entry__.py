@@ -1387,7 +1387,7 @@ def _kmeans_cents_sql(n_iter: int) -> tuple[str, str]:
     ever grouped/sorted on)."""
     ctes = [
         f"c0 AS (SELECT vec_id AS c_id, v AS cv, norm AS cn FROM nv "
-        f"WHERE vec_id < {ann_ops.N_CENTROIDS})"
+        f"ORDER BY vec_id LIMIT {ann_ops.N_CENTROIDS})"
     ]
     for it in range(1, n_iter + 1):
         prev = f"c{it - 1}"
@@ -1542,11 +1542,20 @@ def oracle_sql() -> dict[str, str]:
             ),
             grid AS (SELECT range AS bin FROM range(0, 101)),
             tot AS (SELECT count(*) AS n_dups FROM dup_sims),
+            -- gold pairs absent from the candidates exist with sim 0.0,
+            -- so they are predicted positives at threshold 0 and must
+            -- enter the all-pairs bins too (else fp(0) goes negative)
+            miss AS (
+              SELECT count(*) AS n_missing
+              FROM gold LEFT JOIN sims USING (a_id, b_id)
+              WHERE sims.sim IS NULL
+            ),
             binned AS (
               SELECT grid.bin,
-                     coalesce(cnt_all, 0) AS cnt_all,
+                     coalesce(cnt_all, 0)
+                       + (CASE WHEN grid.bin = 0 THEN n_missing ELSE 0 END) AS cnt_all,
                      coalesce(cnt_dup, 0) AS cnt_dup
-              FROM grid LEFT JOIN bins_all USING (bin) LEFT JOIN bins_dup USING (bin)
+              FROM grid LEFT JOIN bins_all USING (bin) LEFT JOIN bins_dup USING (bin), miss
             ),
             cum AS (
               SELECT bin,

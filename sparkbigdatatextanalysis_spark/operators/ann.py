@@ -111,7 +111,10 @@ def lsh_signatures(
     # Arithmetic is exact: floor-quantized int64 inputs, +-1 weights, so
     # dots are bit-identical to the DuckDB oracle's. Vectors shorter
     # than ``dim`` are zero-padded, which matches the oracle's
-    # length-bounded fold semantics. Map-only, no shuffle.
+    # length-bounded fold semantics; vectors LONGER than the plane
+    # dimension are truncated to it -- the plane pool fixes the signature
+    # dimensionality, so regenerate HYPERPLANES (larger ``dim`` in
+    # _lcg_planes) before signing wider embeddings. Map-only, no shuffle.
     def _batches(it):
         import numpy as np
         import pandas as pd
@@ -202,8 +205,10 @@ _MEAN_DECIMAL = "decimal(38,15)"
 
 def _init_centroids(nv: DataFrame, n_centroids: int) -> DataFrame:
     """Deterministic seed centroids: the first ``n_centroids`` vectors
-    by id (KMeans++ would trade reproducibility for quality here)."""
-    return nv.where(F.col("id") < n_centroids).select(
+    by id (KMeans++ would trade reproducibility for quality here).
+    TakeOrdered limit, not ``id < n`` -- id spaces that do not start at 0
+    (offsets, UUIDs) must still seed a full centroid set."""
+    return nv.orderBy("id").limit(n_centroids).select(
         F.col("id").alias("c_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
     )
 
@@ -396,7 +401,12 @@ def cosine_topk_lsh(
         .select("q_id", F.col("id").alias("n_id"))
         .distinct()
     )
-    qv = nv.select(F.col("id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qn"))
+    # query vectors only -- broadcasting the unfiltered corpus table here
+    # would collect every vector to the driver (the bruteforce/IVF paths
+    # already filter; this one must too)
+    qv = nv.join(F.broadcast(q), nv.id == F.col("q_id")).select(
+        "q_id", F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
     cv = nv.select(F.col("id").alias("n_id"), F.col("v").alias("nv"), F.col("norm").alias("nn"))
     scored = pairs.join(F.broadcast(qv), "q_id").join(cv, "n_id").select(
         "q_id",

@@ -55,10 +55,22 @@ def connected_components(
     # Convergence metric: labels only ever DECREASE (min-propagation), so
     # the label sum strictly decreases every non-converged round --
     # fixpoint <=> sum unchanged. One small agg job per round instead of
-    # a labels-join-labels diff count. DECIMAL(38) keeps the sum exact
-    # for arbitrary 64-bit ids at any node count.
+    # a labels-join-labels diff count. Numeric ids: DECIMAL(38) keeps
+    # the sum exact for arbitrary 64-bit ids at any node count. Other id
+    # types (string/UUID doc keys) cannot cast -- their fingerprint is
+    # the exact decimal sum of xxhash64(node, comp): any label change
+    # changes it except on a 64-bit hash-sum collision (~2^-64 per
+    # round; the labels themselves stay exact either way).
+    comp_type = dict(edges.select(F.col(src).alias("c")).dtypes)["c"]
+    numeric = comp_type in ("tinyint", "smallint", "int", "bigint", "decimal")
+
     def label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        metric = (
+            F.col("comp").cast("decimal(38,0)")
+            if numeric
+            else F.xxhash64("node", "comp").cast("decimal(38,0)")
+        )
+        return df.agg(F.sum(metric)).first()[0]
 
     prev_sum = label_sum(labels)  # also materializes the persist
 

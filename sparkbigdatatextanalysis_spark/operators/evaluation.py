@@ -83,8 +83,12 @@ def threshold_sweep(
     # bins_dup via gold_standard_sims -- scanned the pair table 3-4x.)
     # Gold pairs the candidate join never produced count as sim 0.0
     # (reference gs_value default): their count is |gold| - |matched|,
-    # folded into bin 0 arithmetically. Assumes gold pairs are distinct
-    # (they are in every gold-standard fixture).
+    # folded into bin 0 arithmetically -- into BOTH distributions. A
+    # missing gold pair deemed to exist with sim 0.0 is also a predicted
+    # positive at threshold 0, so it must enter cnt_all as well as
+    # cnt_dup; folding it into cnt_dup alone makes tp exceed pred_pos at
+    # threshold 0 (negative fp, precision > 1). Assumes gold pairs are
+    # distinct (they are in every gold-standard fixture).
     g = gold.select("a_id", "b_id", F.lit(1).alias("_gold"))
     bin_col = F.least(
         F.floor(F.col("sim") * n_thresholds).cast("long"),
@@ -117,7 +121,10 @@ def threshold_sweep(
         .select(
             "bin",
             "n_dups",
-            F.coalesce("cnt_all", F.lit(0)).alias("cnt_all"),
+            (
+                F.coalesce("cnt_all", F.lit(0))
+                + F.when(F.col("bin") == 0, F.col("n_dups") - F.col("matched")).otherwise(0)
+            ).alias("cnt_all"),
             (
                 F.coalesce("cnt_matched", F.lit(0))
                 + F.when(F.col("bin") == 0, F.col("n_dups") - F.col("matched")).otherwise(0)

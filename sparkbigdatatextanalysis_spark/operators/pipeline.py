@@ -178,7 +178,10 @@ def unigram_logprob(tok_df: DataFrame, broadcast_uni: bool = True) -> DataFrame:
     ever outgrows the broadcast limit.
     """
     ex = tok_df.select("id", F.explode("tokens").alias("token"))
-    uni = ex.groupBy("token").agg(F.count("*").alias("n_occ"))
+    # persist: the unigram table feeds both the total (scalar agg) and
+    # the scoring join; without the barrier the corpus-wide explode +
+    # groupBy would execute twice (no CSE across plan branches)
+    uni = ex.groupBy("token").agg(F.count("*").alias("n_occ")).persist()
     total = uni.agg(F.sum("n_occ").alias("total"))
     if broadcast_uni:
         uni = F.broadcast(uni)

@@ -441,11 +441,14 @@ def _cosine_similarity_dense(
     flats: DataFrame | None = None,
 ) -> DataFrame:
     """Dense-pivot strategy: map-side broadcast cross join, in-row dot
-    product, filter dot > 0 (== shares a token, weights positive)."""
+    product, filter dot > 0 (== shares a token, weights positive) unless
+    ``keep_zero_pairs``."""
     vocab = vocab_index(weights_a, weights_b)
-    if vocab_n is not None and vocab_n <= DENSE_UNROLL_MAX:
+    # a prebuilt flat table always routes to the flat branch (it defines
+    # its own width); otherwise the unroll cutoff decides
+    if flats is not None or (vocab_n is not None and vocab_n <= DENSE_UNROLL_MAX):
         return _cosine_similarity_dense_flat(
-            weights_a, weights_b, vocab, vocab_n,
+            weights_a, weights_b, vocab, vocab_n or DENSE_UNROLL_MAX,
             keep_zero_pairs=keep_zero_pairs, flats=flats,
         )
     da = _dense_vectors(weights_a, vocab).select(
@@ -459,19 +462,19 @@ def _cosine_similarity_dense(
     # pair compute must stay wide. An explicit user repartition is exempt
     # from AQE coalescing and restores full parallelism.
     da = da.repartition(da.sparkSession.sparkContext.defaultParallelism)
-    return (
-        da.crossJoin(F.broadcast(db))
-        .select(
-            "a_id",
-            "b_id",
-            F.aggregate(
-                F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-            ).alias("dot"),
-            "na",
-            "nb",
-        )
-        .where(F.col("dot") > 0)
-        .select("a_id", "b_id", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("sim"))
+    paired = da.crossJoin(F.broadcast(db)).select(
+        "a_id",
+        "b_id",
+        F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        ).alias("dot"),
+        "na",
+        "nb",
+    )
+    if not keep_zero_pairs:
+        paired = paired.where(F.col("dot") > 0)
+    return paired.select(
+        "a_id", "b_id", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("sim")
     )
 
 
