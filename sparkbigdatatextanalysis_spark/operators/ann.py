@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vector import vec_dot
+
 N_PLANES_MAX = 256  # pre-generated hyperplane pool (bands * rows <= this)
 LSH_BANDS = 8
 TARGET_BUCKET_ROWS = 32  # adaptive width aims buckets at ~this many rows
@@ -66,7 +68,9 @@ HYPERPLANES: list[list[int]] = _lcg_planes()
 
 
 def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    # shared implementation: functions.vector.vec_dot (identical fold
+    # order, so results stay bit-exact with the DuckDB oracle)
+    return vec_dot(a, b)
 
 
 def _int_dot(a: Column, b: Column) -> Column:
