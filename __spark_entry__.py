@@ -1149,6 +1149,151 @@ def q_events_latest_per_user(spark, sf_dir):
     return out.select("user_id", "event_id", "ts", "event_type", "value")
 
 
+def q_tpch_q4_like(spark, sf_dir):
+    """TPC-H Q4-shaped order-priority check: count orders in one quarter
+    that have at least one lineitem shipped after the order date (an
+    EXISTS / semi-join shape). Implemented as the equivalent pre-
+    aggregation: max(l_shipdate) per orderkey (map-side partial agg
+    shrinks lineitem to one row per order BEFORE the join), then a join
+    on the uniform orderkey and a date comparison -- same answer as the
+    correlated EXISTS, one shuffle each side, no row blow-up at 100 TB."""
+    lo = F.to_timestamp(F.lit("1997-01-01"))
+    hi = F.to_timestamp(F.lit("1997-04-01"))
+    o = (
+        _scan(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _scan(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_tpch_q18_like(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume-customer query: orders whose total
+    lineitem quantity exceeds 300 (GROUP BY + HAVING over the fact),
+    joined back to orders and customer, top-100 by order value.
+    The HAVING prunes the fact to a handful of orderkeys FIRST, so both
+    dimension attachments broadcast that small survivor set -- at 100 TB
+    the only full-table work is one partial-aggregated fact shuffle.
+    l_quantity is integral-valued, so the double sum is exact (< 2^53)
+    and needs no DECIMAL detour."""
+    qty = (
+        _scan(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    o = _scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _scan(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = o.join(F.broadcast(qty), o.o_orderkey == qty.l_orderkey)
+    out = big.join(c, big.o_custkey == c.c_custkey)
+    return (
+        out.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Sequential funnel over the event stream: users who viewed, then
+    later clicked, then later purchased (first-touch semantics) -- see
+    operators/funnel.py. Each stage is one filter + one user-keyed join
+    + one partial-aggregated min over a monotonically shrinking set."""
+    from sparkbigdatatextanalysis_spark.operators import funnel as fn
+
+    return fn.funnel_steps(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
+def q_table_profile(spark, sf_dir):
+    """One-pass column profiling of the orders table (operators/
+    profile.py): per column its row/null/distinct counts and min/max.
+    The data-QA gate a training pipeline runs on every ingested table."""
+    from sparkbigdatatextanalysis_spark.operators import profile as pf
+
+    return pf.profile_table(
+        _scan(spark, sf_dir, "orders"),
+        num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+        ts_cols=["o_orderdate"],
+    )
+
+
+def q_corpus_bigrams(spark, sf_dir):
+    """Top-100 corpus bigrams with ranks -- phrase-mining / tokenizer-
+    merge statistics. Bigrams form in-row via zip_with (no positional
+    self-join); count is one partial agg; top-k is TakeOrdered. See
+    operators/pipeline.py::bigram_top_k."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    return pl.bigram_top_k(_tok(spark, sf_dir), k=100)
+
+
+def q_events_rolling_1h(spark, sf_dir):
+    """Trailing one-hour per-user event count and mean value at every
+    event -- a RANGE-frame time window (vs user_running_stats' ROWS
+    frame). Ordered by epoch MICROSECONDS so the frame bound is exact
+    and engine-independent at the data's native precision. One shuffle
+    on the high-cardinality user key; per-user state is bounded by the
+    hour, so the window never degenerates at scale."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )
+
+
+def q_docs_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling: per-language keep rates (50%
+    for English, 20% otherwise) via md5-hash bucketing of the doc id --
+    the domain-mixing step of corpus construction. Same reproducibility
+    story as docs_split_sample (hash, not rand(): stable across runs,
+    engines, partitionings, and corpus growth); a 'strat:' salt
+    decorrelates these buckets from the train/val/test split. Map-only
+    at any scale."""
+    from sparkbigdatatextanalysis_spark.functions.hashing import string_hash31
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    bucket = (
+        string_hash31(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return d.select("doc_id", "lang", bucket.alias("bucket")).where(
+        F.col("bucket") < rate
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_concat": q_scan_concat,
@@ -1222,6 +1367,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "events_latest_per_user": q_events_latest_per_user,
+        "tpch_q4_like": q_tpch_q4_like,
+        "tpch_q18_like": q_tpch_q18_like,
+        "funnel_conversion": q_funnel_conversion,
+        "table_profile": q_table_profile,
+        "corpus_bigrams": q_corpus_bigrams,
+        "events_rolling_1h": q_events_rolling_1h,
+        "docs_stratified_sample": q_docs_stratified_sample,
     }
 
 
@@ -2243,5 +2395,107 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY ts DESC, event_id DESC) AS rn
           FROM events
         ) WHERE rn = 1
+    """
+    sqls["tpch_q4_like"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY 1
+    """
+    sqls["tpch_q18_like"] = """
+        WITH qty AS (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_totalprice, sum_qty
+        FROM qty
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """
+    sqls["funnel_conversion"] = """
+        WITH s0 AS (
+          SELECT user_id AS u, min(ts) AS rt FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        s1 AS (
+          SELECT e.user_id AS u, min(e.ts) AS rt
+          FROM events e JOIN s0 ON e.user_id = s0.u AND e.ts > s0.rt
+          WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id AS u, min(e.ts) AS rt
+          FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.rt
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT 0::BIGINT AS step_idx, 'view' AS step,
+               count(*)::BIGINT AS n_users FROM s0
+        UNION ALL
+        SELECT 1::BIGINT, 'click', count(*)::BIGINT FROM s1
+        UNION ALL
+        SELECT 2::BIGINT, 'purchase', count(*)::BIGINT FROM s2
+    """
+    _prof_num = ["o_orderkey", "o_custkey", "o_totalprice"]
+    _prof_str = ["o_orderstatus", "o_orderpriority"]
+    _prof_ts = ["o_orderdate"]
+    _prof_parts = []
+    for c in [*_prof_num, *_prof_str, *_prof_ts]:
+        if c in _prof_num:
+            mn, mx = f"min({c})::DOUBLE", f"max({c})::DOUBLE"
+            ms, xs = "NULL::VARCHAR", "NULL::VARCHAR"
+        elif c in _prof_ts:
+            mn, mx = "NULL::DOUBLE", "NULL::DOUBLE"
+            ms = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            xs = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = "NULL::DOUBLE", "NULL::DOUBLE"
+            ms, xs = f"min({c})", f"max({c})"
+        _prof_parts.append(f"""
+          SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+                 (count(*) - count({c}))::BIGINT AS n_nulls,
+                 count(DISTINCT {c})::BIGINT AS n_distinct,
+                 {mn} AS min_num, {mx} AS max_num,
+                 {ms} AS min_str, {xs} AS max_str
+          FROM orders""")
+    sqls["table_profile"] = "\nUNION ALL\n".join(_prof_parts)
+    sqls["corpus_bigrams"] = f"""
+        WITH {_BASE},
+        pos AS (
+          SELECT doc_id, unnest(toks) AS token,
+                 unnest(range(1, len(toks) + 1)) AS pos
+          FROM tok
+        ),
+        big AS (
+          SELECT a.token || ' ' || b.token AS bigram
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        cnt AS (SELECT bigram, count(*)::BIGINT AS n_occ FROM big GROUP BY 1)
+        SELECT bigram, n_occ,
+               row_number() OVER (ORDER BY n_occ DESC, bigram)::BIGINT AS rank
+        FROM cnt
+        ORDER BY n_occ DESC, bigram
+        LIMIT 100
+    """
+    sqls["events_rolling_1h"] = """
+        SELECT event_id, user_id,
+               (count(*) OVER win)::BIGINT AS n_1h,
+               round(avg(value) OVER win, 6) AS avg_1h
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """
+    sqls["docs_stratified_sample"] = f"""
+        SELECT doc_id, lang,
+               {string_hash31_sql("('strat:' || doc_id::VARCHAR)")} % 100 AS bucket
+        FROM documents
+        WHERE {string_hash31_sql("('strat:' || doc_id::VARCHAR)")} % 100
+              < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
     """
     return sqls

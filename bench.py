@@ -59,6 +59,11 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_embedding_lsh",
     "docs_unigram_logprob",
+    "tpch_q18_like",
+    "funnel_conversion",
+    "corpus_bigrams",
+    "events_rolling_1h",
+    "table_profile",
 ]
 
 

@@ -195,3 +195,29 @@ def unigram_logprob(tok_df: DataFrame, broadcast_uni: bool = True) -> DataFrame:
             ),
         )
     )
+
+
+def bigram_top_k(tok_df: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus bigram head: (bigram, n_occ, rank) for the k most frequent
+    adjacent token pairs (ties broken by bigram text).
+
+    Bigrams are formed IN-ROW with ``zip_with`` over the token array and
+    its shift-by-one slice -- no positional self-join, no window over
+    the exploded stream -- so the only shuffle is the partial-aggregated
+    count, and the top-k is TakeOrdered exactly as in
+    :func:`vocab_top_k`. This is the phrase-mining / tokenizer-merge
+    statistics step of pretraining pipelines.
+    """
+    pairs = tok_df.where(F.size("tokens") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tokens"), 1, F.size("tokens") - 1),
+                F.slice(F.col("tokens"), 2, F.size("tokens") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    counts = pairs.groupBy("bigram").agg(F.count("*").alias("n_occ"))
+    top = counts.orderBy(F.col("n_occ").desc(), "bigram").limit(k)
+    w = Window.orderBy(F.col("n_occ").desc(), "bigram")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

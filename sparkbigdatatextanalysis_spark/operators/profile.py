@@ -1,0 +1,94 @@
+"""Table profiling: one-pass column statistics for data-quality checks.
+
+A training-data pipeline audits every ingested table before it joins the
+corpus: row counts, null ratios, cardinalities, and value ranges per
+column. The reference has no profiling surface (its only data-quality
+signal is the malformed-CSV-line count, Utils.scala:22-24); this operator
+generalizes that idea to a first-class, oracle-checkable query.
+
+Shape: ONE aggregation over the table computes every per-column statistic
+as a single wide row (count/nulls/distinct/min/max per column), which is
+then unpivoted driver-free into the tall (column, stats...) form with an
+``explode(array(struct...))`` over that one row. At 100 TB the scan is
+the cost; all aggregates are partial-aggregated map-side. The exact
+``count_distinct`` over k columns makes Catalyst plan an Expand (k rows
+per input row) -- the documented scale knob is ``approx=True``, which
+swaps in HyperLogLog++ partials (no Expand, mergeable sketches) at the
+price of an estimate (and of oracle-exactness, so the checked query uses
+exact mode).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def profile_table(
+    df: DataFrame,
+    num_cols: Sequence[str] = (),
+    str_cols: Sequence[str] = (),
+    ts_cols: Sequence[str] = (),
+    approx: bool = False,
+) -> DataFrame:
+    """Profile ``df`` -> (col_name, n_rows, n_nulls, n_distinct, min_num,
+    max_num, min_str, max_str), one row per profiled column.
+
+    Numeric columns report min/max in ``min_num``/``max_num`` (DOUBLE,
+    the raw values -- no arithmetic, so cross-engine bit-identical);
+    string columns report lexicographic min/max in ``min_str``/``max_str``;
+    timestamp columns are formatted to second precision in the string
+    slots. The unused pair is NULL.
+    """
+    cols = [*num_cols, *str_cols, *ts_cols]
+    if not cols:
+        raise ValueError("profile_table: no columns given")
+    nd = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(nd(c).alias(f"nd_{c}"))
+        if c in num_cols:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
+        elif c in ts_cols:
+            aggs.append(F.date_format(F.min(F.col(c)), TS_FMT).alias(f"mn_{c}"))
+            aggs.append(F.date_format(F.max(F.col(c)), TS_FMT).alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
+    wide = df.agg(*aggs)
+
+    def row_struct(c: str):
+        is_num = c in num_cols
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+            (F.col(f"mn_{c}") if is_num else F.lit(None).cast("double")).alias(
+                "min_num"
+            ),
+            (F.col(f"mx_{c}") if is_num else F.lit(None).cast("double")).alias(
+                "max_num"
+            ),
+            (F.lit(None).cast("string") if is_num else F.col(f"mn_{c}")).alias(
+                "min_str"
+            ),
+            (F.lit(None).cast("string") if is_num else F.col(f"mx_{c}")).alias(
+                "max_str"
+            ),
+        )
+
+    tall = wide.select(
+        F.explode(F.array(*[row_struct(c) for c in cols])).alias("s")
+    )
+    return tall.select("s.*")

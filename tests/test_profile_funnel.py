@@ -1,0 +1,128 @@
+"""Unit tests for table profiling, funnel analysis, and bigram mining
+(operators/profile.py, operators/funnel.py, pipeline.bigram_top_k) on
+adversarial small inputs — the oracle-parity sweep covers them
+end-to-end on the real tables.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from sparkbigdatatextanalysis_spark.operators import funnel as fn
+from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+from sparkbigdatatextanalysis_spark.operators import profile as pf
+
+
+def test_profile_counts_nulls_distinct(spark):
+    rows = [
+        (1, "a", 2.0, datetime.datetime(2024, 1, 1, 12, 0, 5)),
+        (2, None, 2.0, datetime.datetime(2024, 1, 2, 0, 0, 0)),
+        (3, "b", None, None),
+        (3, "a", -1.5, datetime.datetime(2024, 1, 1, 12, 0, 5)),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, s STRING, x DOUBLE, t TIMESTAMP")
+    got = {
+        r["col_name"]: r
+        for r in pf.profile_table(
+            df, num_cols=["k", "x"], str_cols=["s"], ts_cols=["t"]
+        ).collect()
+    }
+    assert set(got) == {"k", "x", "s", "t"}
+    k = got["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_num"], k["max_num"]) == (1.0, 3.0)
+    assert k["min_str"] is None and k["max_str"] is None
+    x = got["x"]
+    assert (x["n_nulls"], x["n_distinct"], x["min_num"], x["max_num"]) == (
+        1,
+        2,
+        -1.5,
+        2.0,
+    )
+    s = got["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+    assert s["min_num"] is None
+    t = got["t"]
+    assert (t["min_str"], t["max_str"]) == (
+        "2024-01-01 12:00:05",
+        "2024-01-02 00:00:00",
+    )
+
+
+def test_profile_requires_columns(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        pf.profile_table(df)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id LONG, event_type STRING, ts TIMESTAMP"
+    )
+
+
+def test_funnel_strict_ordering(spark):
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: full funnel in order
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # u2: click BEFORE first view -> stops at view
+        (2, "click", t(0)), (2, "view", t(1)),
+        # u3: view+click, purchase at the SAME instant as click -> strict
+        #     'later' excludes it
+        (3, "view", t(0)), (3, "click", t(1)), (3, "purchase", t(1)),
+        # u4: never viewed
+        (4, "purchase", t(0)),
+    ]
+    got = {
+        r["step"]: (r["step_idx"], r["n_users"])
+        for r in fn.funnel_steps(
+            _ev(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {"view": (0, 3), "click": (1, 2), "purchase": (2, 1)}
+
+
+def test_funnel_first_touch_uses_earliest_reach(spark):
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    # u1 clicks before AND after the first view; the funnel must attribute
+    # the click at t2 (after first view t1), not the one at t0.
+    rows = [
+        (1, "click", t(0)), (1, "view", t(1)), (1, "click", t(2)),
+        (1, "purchase", t(3)),
+    ]
+    got = {
+        r["step"]: r["n_users"]
+        for r in fn.funnel_steps(
+            _ev(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_funnel_empty_steps_raise(spark):
+    with pytest.raises(ValueError):
+        fn.funnel_steps(_ev(spark, []), [])
+
+
+def test_funnel_zero_rows_still_emits_steps(spark):
+    got = fn.funnel_steps(_ev(spark, []), ["view", "click"]).collect()
+    assert {(r["step"], r["n_users"]) for r in got} == {
+        ("view", 0),
+        ("click", 0),
+    }
+
+
+def test_bigram_top_k_counts_and_short_docs(spark):
+    rows = [
+        (0, ["a", "b", "a", "b"]),   # "a b" x2, "b a" x1
+        (1, ["a", "b"]),             # "a b" x1
+        (2, ["z"]),                  # too short: no bigrams
+        (3, []),                     # empty: no bigrams
+    ]
+    tok = spark.createDataFrame(rows, "id INT, tokens ARRAY<STRING>")
+    got = [tuple(r) for r in pl.bigram_top_k(tok, k=3).collect()]
+    assert got == [("a b", 3, 1), ("b a", 1, 2)]
