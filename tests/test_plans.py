@@ -148,3 +148,63 @@ def test_dense_strategy_picked_only_for_small_vocab(spark):
         assert "BroadcastNestedLoopJoin" in auto_plan
     else:
         assert "NestedLoopJoin" not in auto_plan
+
+
+def test_tpch_q4_filter_pushed_and_preagg(spark):
+    """Q4 shape: the quarter filter must reach the orders scan, and the
+    EXISTS must be the pre-aggregated join (partial agg on lineitem),
+    never a per-pair nested loop."""
+    plan = plan_str(entry_mod.q_tpch_q4_like(spark, SF))
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "NestedLoopJoin" not in plan
+
+
+def test_tpch_q18_broadcasts_survivor_set(spark):
+    """Q18 shape: after the HAVING prune both dimension attachments must
+    be broadcast joins -- the only full-table work is the fact agg."""
+    plan = plan_str(entry_mod.q_tpch_q18_like(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_bigrams_no_join(spark):
+    """Bigrams form in-row (zip_with over the token array): the plan may
+    not contain any join (a positional self-join would shuffle the whole
+    exploded token stream twice), and top-k must be TakeOrdered."""
+    plan = plan_str(entry_mod.q_corpus_bigrams(spark, SF))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rolling_1h_single_shuffle_range_frame(spark):
+    """The trailing-hour window: exactly one input-proportional exchange
+    (hash on user_id) and a RANGE frame, not ROWS."""
+    plan = plan_str(entry_mod.q_events_rolling_1h(spark, SF))
+    assert plan.count("Arguments: hashpartitioning(") == 1, plan
+    assert "RangeFrame" in plan
+
+
+def test_table_profile_single_scan(spark):
+    """Profiling is one pass: a single FileScan of the table feeds every
+    per-column statistic (the Expand for exact distincts multiplies rows,
+    it must not re-scan)."""
+    plan = plan_str(entry_mod.q_table_profile(spark, SF))
+    # formatted mode prints one Location line per scan node
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan
+
+
+def test_stratified_sample_map_only(spark):
+    """Hash-bucket stratified sampling must stay map-only: no shuffle,
+    no join -- it's a filter over a scan at any scale."""
+    plan = plan_str(entry_mod.q_docs_stratified_sample(spark, SF))
+    assert "hashpartitioning(" not in plan
+    assert "Join" not in plan
+
+
+def test_funnel_no_window_over_stream(spark):
+    """The funnel must be the chained min-agg form: no window over the
+    full event stream (per-user sort of 100 TB), only user-keyed joins
+    of shrinking reach tables."""
+    plan = plan_str(entry_mod.q_funnel_conversion(spark, SF))
+    assert "Window" not in plan
