@@ -1297,6 +1297,237 @@ def q_docs_stratified_sample(spark, sf_dir):
     )
 
 
+def q_tpch_q2_like(spark, sf_dir):
+    """TPC-H Q2-shaped minimum-cost-supplier query (adapted: lineitem
+    unit price stands in for partsupp supplycost). The correlated scalar
+    subquery ("price = min price for that part") is decorrelated into a
+    per-part MIN aggregate joined back -- the rewrite every optimizer
+    applies to Q2, expressed directly. Filtered part dim broadcasts to
+    both the offer scan and nothing else shuffles except the per-part
+    partial-agg MIN; unit price is a per-row IEEE division, identical
+    on any engine, so the equality join back is exact."""
+    p = (
+        _scan(spark, sf_dir, "part")
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") < 15))
+        .select("p_partkey", "p_name", "p_brand")
+    )
+    li = _scan(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    offers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_partkey", "p_name", "p_brand", "l_suppkey", "unit_price"
+    )
+    minp = offers.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    best = (
+        offers.join(
+            minp,
+            (offers.p_partkey == minp._pk)
+            & (offers.unit_price == minp.min_price),
+        )
+        .select("p_partkey", "p_name", "p_brand", "l_suppkey", "min_price")
+        .distinct()
+    )
+    s = _scan(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = _scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.col("s_name").alias("supp_name"),
+            "n_name",
+            F.round("min_price", 6).alias("min_price"),
+        )
+    )
+
+
+def q_tpch_q7_like(spark, sf_dir):
+    """TPC-H Q7-shaped bi-national volume query: revenue shipped between
+    NATION_1 and NATION_2 (either direction) per year. Customer and
+    supplier are nation-FILTERED before their joins, so both shrink to
+    ~2/25 of their tables and broadcast (the filter pushes to the scan);
+    the only big shuffle is lineitem-orders on the orderkey. Revenue
+    sums go through DECIMAL (order-independent, see pricing_rollup)."""
+    n = _scan(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        _scan(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _scan(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = _scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,10)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_tpch_q16_like(spark, sf_dir):
+    """TPC-H Q16-shaped supplier-count query: distinct suppliers able to
+    ship each (brand, type, size) part class, excluding complained-about
+    suppliers (acctbal < 0 stands in for the comment filter). The
+    exclusion is a broadcast ANTI join (the excluded set is tiny); the
+    distinct count aggregates partial map-side on (class, suppkey)
+    before the final per-class count -- Spark's two-phase distinct."""
+    excl = (
+        _scan(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = _scan(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    li = _scan(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_merge_upsert_events(spark, sf_dir):
+    """MERGE INTO (lakehouse upsert): the per-user latest-event snapshot
+    of the first half of the month merged with the second half's
+    changeset -- updates replace, new users insert, untouched rows keep.
+    Copy-on-write decomposition with changeset-only broadcasts; see
+    operators/relational.py::merge_upsert."""
+    ev = _events(spark, sf_dir)
+    cut = F.to_timestamp(F.lit("2024-01-16"))
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    base = rel.keep_latest(ev.where(F.col("ts") < cut), ["user_id"], order).select(
+        *cols
+    )
+    delta = rel.keep_latest(
+        ev.where(F.col("ts") >= cut), ["user_id"], order
+    ).select(*cols)
+    return rel.merge_upsert(base, delta, ["user_id"])
+
+
+def q_events_gapfill(spark, sf_dir):
+    """Time-series densification: one row per (user, hour) over each
+    user's active span, empty hours explicit with zero counts -- the
+    regular-grid input rolling stats and forecasting need. Aggregate
+    first (the only pass over the raw events), then explode a
+    sequence() per user map-side; see operators/timeseries.py."""
+    from sparkbigdatatextanalysis_spark.operators import timeseries as tso
+
+    ev = _events(spark, sf_dir)
+    out = tso.gap_fill(
+        ev,
+        key="user_id",
+        ts="ts",
+        bucket="1 hour",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")), 6
+            ).cast("double"),
+        },
+        fill={"n_events": 0, "sum_value": 0.0},
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH").alias("hour"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_orders_corr(spark, sf_dir):
+    """Per-segment Pearson correlation between order price and the
+    customer's account balance, from five DECIMAL moment sums (not
+    corr(): double summation is order-dependent across partitionings/
+    engines; decimal moments are bit-stable). One fact pass, partial
+    aggs; see operators/stats.py::grouped_pearson."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+
+    o = _scan(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _scan(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("x"),
+        F.col("c_acctbal").alias("y"),
+    )
+    r = st.grouped_pearson(j, "x", "y", ["segment"])
+    return r.select("segment", "n", F.round("pearson_r", 9).alias("pearson_r"))
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label per-dimension mean embedding (the aggregation side of
+    vector work: IVF coarse centroids / per-class probes). posexplode +
+    DECIMAL partial sums -- 100 TB of vectors collapses to |labels| x dim
+    rows at the combiner; see operators/vectors.py::group_centroids."""
+    from sparkbigdatatextanalysis_spark.operators import vectors as vec
+
+    emb = _scan(spark, sf_dir, "embeddings")
+    return vec.group_centroids(emb, group="label", vec="embedding")
+
+
+def q_heavy_hitter_users(spark, sf_dir):
+    """Join-key skew diagnostics: users with event counts above 1.5x the
+    mean key load, with their global share -- the measurement that
+    decides salting (operators/skew.py) before a big join. One partial-
+    agg count per key + a broadcast single-row total."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+
+    return st.heavy_hitters(_events(spark, sf_dir), "user_id", factor=1.5)
+
+
+def q_text_normalize(spark, sf_dir):
+    """Text normalization pass: lowercase + whitespace collapse + trim,
+    with the per-doc character saving -- the cheap cleanup step ahead of
+    tokenization/dedup in a corpus pipeline. Pure narrow projection,
+    scan-speed at any scale."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length("text") - F.length(norm)).alias("n_chars_saved"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_concat": q_scan_concat,
@@ -1377,6 +1608,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bigrams": q_corpus_bigrams,
         "events_rolling_1h": q_events_rolling_1h,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "tpch_q2_like": q_tpch_q2_like,
+        "tpch_q7_like": q_tpch_q7_like,
+        "tpch_q16_like": q_tpch_q16_like,
+        "merge_upsert_events": q_merge_upsert_events,
+        "events_gapfill": q_events_gapfill,
+        "orders_corr": q_orders_corr,
+        "embedding_centroids": q_embedding_centroids,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "text_normalize": q_text_normalize,
     }
 
 
@@ -2500,5 +2740,176 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE {string_hash31_sql("('strat:' || doc_id::VARCHAR)")} % 100
               < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+    """
+    sqls["tpch_q2_like"] = """
+        WITH p AS (
+          SELECT p_partkey, p_name, p_brand FROM part
+          WHERE p_type = 'STANDARD' AND p_size < 15
+        ),
+        off AS (
+          SELECT p.p_partkey, p.p_name, p.p_brand, l.l_suppkey,
+                 l.l_extendedprice / l.l_quantity AS unit_price
+          FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
+        ),
+        minp AS (
+          SELECT p_partkey AS pk, min(unit_price) AS min_price
+          FROM off GROUP BY 1
+        ),
+        best AS (
+          SELECT DISTINCT o.p_partkey, o.p_name, o.p_brand, o.l_suppkey,
+                          m.min_price
+          FROM off o JOIN minp m
+            ON o.p_partkey = m.pk AND o.unit_price = m.min_price
+        )
+        SELECT b.p_partkey, b.p_name, b.p_brand, s.s_name AS supp_name,
+               n.n_name, round(b.min_price, 6) AS min_price
+        FROM best b
+        JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """
+    sqls["tpch_q7_like"] = """
+        WITH n AS (
+          SELECT n_nationkey, n_name FROM nation
+          WHERE n_name IN ('NATION_1', 'NATION_2')
+        ),
+        s AS (
+          SELECT s_suppkey, n.n_name AS supp_nation
+          FROM supplier JOIN n ON s_nationkey = n.n_nationkey
+        ),
+        c AS (
+          SELECT c_custkey, n.n_name AS cust_nation
+          FROM customer JOIN n ON c_nationkey = n.n_nationkey
+        )
+        SELECT s.supp_nation, c.cust_nation,
+               date_part('year', l.l_shipdate)::INTEGER AS ship_year,
+               count(*)::BIGINT AS n_items,
+               (round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(28,10))), 4))::DOUBLE AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN c ON o.o_custkey = c.c_custkey
+        JOIN s ON l.l_suppkey = s.s_suppkey
+        WHERE s.supp_nation <> c.cust_nation
+        GROUP BY 1, 2, 3
+    """
+    sqls["tpch_q16_like"] = """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+        GROUP BY 1, 2, 3
+    """
+    sqls["merge_upsert_events"] = """
+        WITH base AS (
+          SELECT user_id, event_id, ts, event_type, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-16'
+          ) WHERE rn = 1
+        ),
+        delta AS (
+          SELECT user_id, event_id, ts, event_type, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+          ) WHERE rn = 1
+        )
+        SELECT b.*, 'keep' AS action FROM base b
+        WHERE b.user_id NOT IN (SELECT user_id FROM delta)
+        UNION ALL
+        SELECT d.*,
+               CASE WHEN d.user_id IN (SELECT user_id FROM base)
+                    THEN 'update' ELSE 'insert' END AS action
+        FROM delta d
+    """
+    sqls["events_gapfill"] = """
+        WITH hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS bucket,
+                 count(*)::BIGINT AS n_events,
+                 (round(sum(CAST(value AS DECIMAL(28,10))), 6))::DOUBLE
+                   AS sum_value
+          FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+          FROM hourly GROUP BY 1
+        ),
+        grid AS (
+          SELECT user_id,
+                 unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+          FROM bounds
+        )
+        SELECT g.user_id, strftime(g.bucket, '%Y-%m-%d %H') AS hour,
+               coalesce(h.n_events, 0)::BIGINT AS n_events,
+               coalesce(h.sum_value, 0.0) AS sum_value
+        FROM grid g
+        LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.bucket = h.bucket
+    """
+    sqls["orders_corr"] = """
+        WITH j AS (
+          SELECT c.c_mktsegment AS segment, o.o_totalprice AS x,
+                 c.c_acctbal AS y
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_totalprice IS NOT NULL AND c.c_acctbal IS NOT NULL
+        ),
+        m AS (
+          SELECT segment, count(*)::BIGINT AS n,
+                 sum(CAST(x AS DECIMAL(38,10))) AS sx,
+                 sum(CAST(y AS DECIMAL(38,10))) AS sy,
+                 sum(CAST(x * x AS DECIMAL(38,10))) AS sxx,
+                 sum(CAST(y * y AS DECIMAL(38,10))) AS syy,
+                 sum(CAST(x * y AS DECIMAL(38,10))) AS sxy
+          FROM j GROUP BY 1
+        )
+        SELECT segment, n,
+               round(CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                           AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+                 THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                      / sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      / sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                 END, 9) AS pearson_r
+        FROM m
+    """
+    sqls["embedding_centroids"] = """
+        WITH ex AS (
+          SELECT label,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        m AS (
+          SELECT label, dim, count(*)::BIGINT AS n_vectors,
+                 sum(CAST(v AS DECIMAL(38,15))) AS s
+          FROM ex GROUP BY 1, 2
+        )
+        SELECT label, dim::INTEGER AS dim,
+               round(CAST(s AS DOUBLE) / n_vectors, 9) AS centroid,
+               n_vectors
+        FROM m
+    """
+    sqls["heavy_hitter_users"] = """
+        WITH counts AS (
+          SELECT user_id, count(*)::BIGINT AS n_rows FROM events GROUP BY 1
+        ),
+        totals AS (
+          SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS nkeys
+          FROM counts
+        )
+        SELECT c.user_id, c.n_rows,
+               round(c.n_rows / t.total, 9) AS share
+        FROM counts c CROSS JOIN totals t
+        WHERE c.n_rows > 1.5 * (t.total / t.nkeys)
+    """
+    sqls["text_normalize"] = """
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+               (length(text)
+                - length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))::BIGINT
+                 AS n_chars_saved
+        FROM documents
     """
     return sqls

@@ -64,6 +64,9 @@ HEADLINE = [
     "corpus_bigrams",
     "events_rolling_1h",
     "table_profile",
+    "merge_upsert_events",
+    "events_gapfill",
+    "embedding_centroids",
 ]
 
 

@@ -138,3 +138,62 @@ def interval_join(
     return left.join(
         right, (F.col(key_left) == F.col(key_right)) & cond, how
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    action_col: str = "action",
+) -> DataFrame:
+    """MERGE INTO semantics (Delta/Iceberg-style upsert) as pure
+    DataFrame ops: rows of ``source`` replace same-key rows of
+    ``target`` ("update"), new-key source rows append ("insert"), and
+    untouched target rows pass through ("keep"). ``source`` must be
+    pre-compacted to one row per key (use :func:`keep_latest`); both
+    inputs must share the target schema.
+
+    Shape chosen for scale: NOT a full-outer join (full outer cannot
+    broadcast and shuffles both sides). Instead the copy-on-write
+    decomposition every lakehouse MERGE compiles to:
+
+    * kept   = target ANTI JOIN source-keys   -- broadcastable when the
+      changeset is small (the CDC common case), so the 100 TB target
+      never shuffles;
+    * matched = target-keys SEMI JOIN source-keys -- again broadcasting
+      only the changeset; the result is at most changeset-sized, so
+      tagging source rows update/insert joins two SMALL sets.
+
+    Every broadcast is of the (deduplicated, key-only) changeset --
+    never of the target -- so the big side is only ever scanned, not
+    shuffled. With a changeset too big to broadcast, AQE falls back to
+    shuffle hash joins on the same equi-key, one shuffle per join.
+    """
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            "merge_upsert: target/source schemas differ: "
+            f"{sorted(set(target.columns) ^ set(source.columns))}"
+        )
+    if action_col in target.columns:
+        raise ValueError(f"merge_upsert: column {action_col!r} already exists")
+    src_keys = source.select(*keys).distinct()
+    kept = target.join(F.broadcast(src_keys), keys, "left_anti").withColumn(
+        action_col, F.lit("keep")
+    )
+    matched = (
+        target.select(*keys)
+        .join(F.broadcast(src_keys), keys, "left_semi")
+        .distinct()
+        .withColumn("_in_target", F.lit(1))
+    )
+    upserts = (
+        source.join(F.broadcast(matched), keys, "left")
+        .withColumn(
+            action_col,
+            F.when(F.col("_in_target").isNotNull(), F.lit("update")).otherwise(
+                F.lit("insert")
+            ),
+        )
+        .drop("_in_target")
+    )
+    return kept.unionByName(upserts.select(*kept.columns))

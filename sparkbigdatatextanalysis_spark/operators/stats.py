@@ -1,0 +1,84 @@
+"""Statistical diagnostics: grouped correlation and join-key skew.
+
+Beyond the reference's mean/count aggregates (EntityResolution.scala:277
+— evaluateModel's three actions), an analytics engine needs second-order
+statistics. Both operators here are single-pass partial aggregations —
+the 100 TB shape — and both are written to be bit-reproducible across
+engines so the DuckDB oracle can hash-match them:
+
+* ``grouped_pearson`` computes Pearson r from five DECIMAL moment sums
+  instead of calling ``corr()``: double summation is order-dependent
+  (different partitionings / engines fold in different orders), while
+  DECIMAL addition is associative, so the moments — and therefore r —
+  are identical on any engine at any partition count. The per-row
+  products are computed in DOUBLE (IEEE ops on identical inputs are
+  bit-identical) and only the *sums* go through DECIMAL.
+* ``heavy_hitters`` finds hot join keys (the salting/skew-join decision
+  input — see operators/skew.py): one partial-agg count per key plus a
+  broadcast single-row total; keys whose count exceeds ``factor`` times
+  the mean key load are flagged with their global share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 38 total digits, 10 fractional: fits sums of ~1e9-row groups of
+# products up to ~1e18 with room to spare.
+_DEC = "decimal(38,10)"
+
+
+def grouped_pearson(
+    df: DataFrame, x: str, y: str, group: list[str], out: str = "pearson_r"
+) -> DataFrame:
+    """Per-group Pearson correlation of columns ``x`` and ``y`` via
+    decimal moment sums; also returns the group size. NULL in either
+    column drops the row (pairwise-complete, matching SQL corr())."""
+    d = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    xc, yc = F.col(x), F.col(y)
+    m = d.groupBy(*group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc.cast(_DEC)).alias("_sx"),
+        F.sum(yc.cast(_DEC)).alias("_sy"),
+        F.sum((xc * xc).cast(_DEC)).alias("_sxx"),
+        F.sum((yc * yc).cast(_DEC)).alias("_syy"),
+        F.sum((xc * yc).cast(_DEC)).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    r = F.when(
+        (varx > 0) & (vary > 0), cov / F.sqrt(varx) / F.sqrt(vary)
+    )
+    return m.select(*group, "n", r.alias(out))
+
+
+def heavy_hitters(
+    df: DataFrame, key: str, factor: float = 2.0
+) -> DataFrame:
+    """Keys whose row count exceeds ``factor`` x the mean rows-per-key,
+    with each key's share of the table. One groupBy(key) with map-side
+    partials; the (total, n_keys) scalars ride in on a broadcast
+    single-row cross join — no second pass over the data, no window
+    over a global partition."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .where(
+            F.col("n_rows")
+            > F.lit(factor) * (F.col("_total") / F.col("_nkeys"))
+        )
+        .select(
+            key,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 9).alias("share"),
+        )
+    )

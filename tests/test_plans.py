@@ -208,3 +208,87 @@ def test_funnel_no_window_over_stream(spark):
     of shrinking reach tables."""
     plan = plan_str(entry_mod.q_funnel_conversion(spark, SF))
     assert "Window" not in plan
+
+
+def test_tpch_q2_pushdown_and_broadcasts(spark):
+    """Q2 shape: the part-class filters must reach the part scan, every
+    dim attach must broadcast, and the min-price correlation must be the
+    decorrelated agg+join (no nested loop)."""
+    plan = plan_str(entry_mod.q_tpch_q2_like(spark, SF))
+    assert "EqualTo(p_type,STANDARD)" in plan
+    assert "LessThan(p_size,15)" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "NestedLoopJoin" not in plan
+
+
+def test_tpch_q7_broadcasts_filtered_dims(spark):
+    """Q7 shape: nation-filtered customer and supplier sides broadcast
+    (the IN filter pushes to the nation scan); the only big join is
+    lineitem-orders."""
+    plan = plan_str(entry_mod.q_tpch_q7_like(spark, SF))
+    assert "In(n_name" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q16_broadcast_anti_join(spark):
+    """Q16 shape: the supplier exclusion must be a broadcast ANTI join
+    (never a shuffle of the fact for a tiny exclusion set)."""
+    plan = plan_str(entry_mod.q_tpch_q16_like(spark, SF))
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_upsert_no_full_outer(spark):
+    """MERGE must compile to the copy-on-write decomposition: no
+    full-outer join (full outer cannot broadcast -- it would shuffle the
+    100 TB target), changeset-sized broadcasts only."""
+    plan = plan_str(entry_mod.q_merge_upsert_events(spark, SF))
+    assert "FullOuter" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_gapfill_generates_grid_in_plan(spark):
+    """Gap fill: the grid comes from an exploded sequence() (map-side row
+    generation), never from a join against a materialized calendar."""
+    plan = plan_str(entry_mod.q_events_gapfill(spark, SF))
+    assert "explode(sequence(" in plan
+
+
+def test_orders_corr_single_agg_no_window(spark):
+    """Moment-sum Pearson: one partial-agg pass over the fact join; no
+    window function (a corr-via-window would single-thread each group)."""
+    plan = plan_str(entry_mod.q_orders_corr(spark, SF))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_centroids_partial_agg(spark):
+    """Centroids: posexplode feeds ONE hash shuffle on (label, dim) with
+    map-side partial sums -- the shape that collapses 100 TB of vectors
+    at the combiner."""
+    plan = plan_str(entry_mod.q_embedding_centroids(spark, SF))
+    assert "posexplode(" in plan
+    assert plan.count("Arguments: hashpartitioning(") == 1, plan
+
+
+def test_heavy_hitters_one_shuffle_broadcast_total(spark):
+    """Skew diagnostics: one hash shuffle (per-key counts); the global
+    total attaches as a broadcast single row, not a second pass or a
+    global window."""
+    df = entry_mod.q_heavy_hitter_users(spark, SF)
+    df.collect()  # finalize the adaptive plan
+    plan = plan_str(df)
+    # The totals branch shares the per-key count exchange: AQE's
+    # ReuseExchange dedupes the two identical shuffles at runtime, so
+    # the table is scanned and shuffled once.
+    assert "ReusedExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_text_normalize_map_only(spark):
+    """Normalization is a narrow projection: no shuffle, no join."""
+    plan = plan_str(entry_mod.q_text_normalize(spark, SF))
+    assert "hashpartitioning(" not in plan
+    assert "Join" not in plan

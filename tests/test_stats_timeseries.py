@@ -1,0 +1,202 @@
+"""Unit tests for the round-2 batch: merge_upsert, gap_fill,
+grouped_pearson, heavy_hitters, group_centroids."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkbigdatatextanalysis_spark.operators import relational as rel
+from sparkbigdatatextanalysis_spark.operators import stats as st
+from sparkbigdatatextanalysis_spark.operators import timeseries as tso
+from sparkbigdatatextanalysis_spark.operators import vectors as vec
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_actions(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, s STRING, v DOUBLE"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 22.0), (4, "d", 40.0)], "k INT, s STRING, v DOUBLE"
+    )
+    out = rel.merge_upsert(target, source, ["k"])
+    rows = {r["k"]: (r["s"], r["v"], r["action"]) for r in out.collect()}
+    assert rows == {
+        1: ("a", 10.0, "keep"),
+        2: ("B", 22.0, "update"),
+        3: ("c", 30.0, "keep"),
+        4: ("d", 40.0, "insert"),
+    }
+
+
+def test_merge_upsert_empty_source_and_target(spark):
+    schema = "k INT, v DOUBLE"
+    t = spark.createDataFrame([(1, 1.0)], schema)
+    empty = spark.createDataFrame([], schema)
+    all_keep = rel.merge_upsert(t, empty, ["k"]).collect()
+    assert [(r["k"], r["action"]) for r in all_keep] == [(1, "keep")]
+    all_insert = rel.merge_upsert(empty, t, ["k"]).collect()
+    assert [(r["k"], r["action"]) for r in all_insert] == [(1, "insert")]
+
+
+def test_merge_upsert_validates(spark):
+    t = spark.createDataFrame([(1, 1.0)], "k INT, v DOUBLE")
+    s_bad = spark.createDataFrame([(1, "x")], "k INT, other STRING")
+    with pytest.raises(ValueError, match="schemas differ"):
+        rel.merge_upsert(t, s_bad, ["k"])
+    t_clash = spark.createDataFrame([(1, "keep")], "k INT, action STRING")
+    with pytest.raises(ValueError, match="already exists"):
+        rel.merge_upsert(t_clash, t_clash, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# gap_fill
+# ---------------------------------------------------------------------------
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_gap_fill_inserts_zero_rows(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0, 10), 5.0),
+            (1, _ts(0, 50), 7.0),
+            (1, _ts(3, 0), 1.0),  # hours 1 and 2 are gaps
+            (2, _ts(5, 0), 2.0),  # single-bucket key: no gap rows
+        ],
+        "user_id INT, ts TIMESTAMP, value DOUBLE",
+    )
+    out = tso.gap_fill(
+        ev,
+        key="user_id",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum("value"),
+        },
+        fill={"sum_value": 0.0},
+    )
+    rows = {
+        (r["user_id"], r["bucket"].hour): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, 0): (2, 12.0),
+        (1, 1): (0, 0.0),
+        (1, 2): (0, 0.0),
+        (1, 3): (1, 1.0),
+        (2, 5): (1, 2.0),
+    }
+
+
+def test_gap_fill_day_bucket(spark):
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 9), 1.0), (1, dt.datetime(2024, 1, 4, 9), 1.0)],
+        "user_id INT, ts TIMESTAMP, value DOUBLE",
+    )
+    out = tso.gap_fill(ev, key="user_id", bucket="1 day").collect()
+    days = sorted(r["bucket"].day for r in out)
+    assert days == [1, 2, 3, 4]
+    assert sum(r["n_events"] for r in out) == 2
+
+
+# ---------------------------------------------------------------------------
+# grouped_pearson
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_pearson_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in ("a", "b"):
+        x = rng.uniform(0, 1000, 200)
+        y = 0.4 * x + rng.normal(0, 50, 200) if g == "a" else rng.uniform(0, 1, 200)
+        rows += [(g, float(xi), float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+    got = {
+        r["g"]: (r["n"], r["pearson_r"])
+        for r in st.grouped_pearson(df, "x", "y", ["g"]).collect()
+    }
+    for g in ("a", "b"):
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        expected = np.corrcoef(xs, ys)[0, 1]
+        assert got[g][0] == 200
+        assert got[g][1] == pytest.approx(expected, abs=1e-9)
+
+
+def test_grouped_pearson_degenerate_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 1.0, 2.0), ("b", 1.0, None), ("b", 2.0, 4.0)],
+        "g STRING, x DOUBLE, y DOUBLE",
+    )
+    got = {r["g"]: (r["n"], r["pearson_r"]) for r in
+           st.grouped_pearson(df, "x", "y", ["g"]).collect()}
+    # group a: zero x-variance -> NULL r, not NaN/crash
+    assert got["a"] == (2, None)
+    # group b: the NULL-y row is dropped (pairwise complete)
+    assert got["b"][0] == 1
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_flags_hot_key(spark):
+    rows = [(1,)] * 60 + [(2,)] * 20 + [(3,)] * 20  # mean load ~33.3
+    df = spark.createDataFrame(rows, "k INT")
+    out = st.heavy_hitters(df, "k", factor=1.5)
+    got = {r["k"]: (r["n_rows"], r["share"]) for r in out.collect()}
+    assert got == {1: (60, 0.6)}
+
+
+def test_heavy_hitters_uniform_none(spark):
+    df = spark.createDataFrame([(i % 4,) for i in range(100)], "k INT")
+    assert st.heavy_hitters(df, "k", factor=1.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# group_centroids
+# ---------------------------------------------------------------------------
+
+
+def test_group_centroids_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    data = [
+        (int(lbl), [float(v) for v in rng.uniform(-1, 1, 8)])
+        for lbl in rng.integers(0, 3, 50)
+    ]
+    df = spark.createDataFrame(data, "label INT, embedding ARRAY<DOUBLE>")
+    got = {
+        (r["label"], r["dim"]): (r["centroid"], r["n_vectors"])
+        for r in vec.group_centroids(df).collect()
+    }
+    for lbl in range(3):
+        vecs = np.array([v for l, v in data if l == lbl])
+        mean = vecs.mean(axis=0)
+        for d in range(8):
+            c, n = got[(lbl, d)]
+            assert n == len(vecs)
+            assert c == pytest.approx(round(float(mean[d]), 9), abs=1e-8)
+
+
+def test_group_centroids_null_and_ragged(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, None), (0, [3.0])],
+        "label INT, embedding ARRAY<DOUBLE>",
+    )
+    got = {(r["label"], r["dim"]): (r["centroid"], r["n_vectors"])
+           for r in vec.group_centroids(df).collect()}
+    # NULL vector skipped entirely; ragged vector contributes only dim 0
+    assert got == {(0, 0): (2.0, 2), (0, 1): (2.0, 1)}
