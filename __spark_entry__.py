@@ -1528,6 +1528,83 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+def q_orders_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((status, priority), (status), ()) -- the
+    general form of sales_cube's CUBE: only the requested subtotal
+    levels are produced, so the shuffle carries 3 set-expansions per
+    input row instead of CUBE's 4. Same map-side Expand + partial-agg
+    shape; DECIMAL money sums as everywhere."""
+    o = _scan(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_events_interarrival(spark, sf_dir):
+    """Inter-arrival-time distribution: per-user lag() gap between
+    consecutive events, bucketed to whole minutes and counted -- the
+    diagnostic behind sessionization gap thresholds. One shuffle on the
+    high-cardinality user key for the lag window, then a partial-agg
+    histogram; the bucket is exact integer microsecond arithmetic, no
+    float drift."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        ev.select(gap_us.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+        .select((F.floor(F.col("gap_us") / 60_000_000)).alias("gap_minutes"))
+        .groupBy("gap_minutes")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+def q_orders_status_breakdown(spark, sf_dir):
+    """Conditional aggregation (SQL FILTER clause): per priority, one
+    row with per-status counts and the open-order revenue share -- the
+    complement of user_type_pivot's pivot (fixed conditions, no value
+    list). Single partial-agg pass; conditions evaluate map-side."""
+    o = _scan(spark, sf_dir, "orders")
+
+    def cnt(status):
+        return F.count(F.when(F.col("o_orderstatus") == status, 1))
+
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return o.groupBy("o_orderpriority").agg(
+        cnt("O").alias("n_open"),
+        cnt("F").alias("n_filled"),
+        cnt("P").alias("n_pending"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", dec)).cast("double")
+            / F.sum(dec).cast("double"),
+            9,
+        ).alias("open_price_share"),
+    )
+
+
+def q_docs_pii_scrub(spark, sf_dir):
+    """PII scrubbing pass: redact email-like tokens and long digit runs
+    (ids, phone numbers) before a corpus ships to training. Map-only
+    regexp_replace at scan speed; the redaction count comes from
+    regexp_extract_all so both engines count identically. The synthetic
+    corpus is clean word-soup, so counts are zero here -- the operator's
+    behavior on dirty text is locked in by tests/test_stats_timeseries.py."""
+    return ts.pii_scrub(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_concat": q_scan_concat,
@@ -1617,6 +1694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "heavy_hitter_users": q_heavy_hitter_users,
         "text_normalize": q_text_normalize,
+        "orders_grouping_sets": q_orders_grouping_sets,
+        "events_interarrival": q_events_interarrival,
+        "orders_status_breakdown": q_orders_status_breakdown,
+        "docs_pii_scrub": q_docs_pii_scrub,
     }
 
 
@@ -2740,6 +2821,60 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE {string_hash31_sql("('strat:' || doc_id::VARCHAR)")} % 100
               < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+    """
+    sqls["orders_grouping_sets"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus)::BIGINT AS g_status,
+               grouping(o_orderpriority)::BIGINT AS g_priority,
+               count(*)::BIGINT AS n_orders,
+               (round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4))::DOUBLE
+                 AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """
+    sqls["events_interarrival"] = """
+        WITH g AS (
+          SELECT epoch_us(ts)
+                 - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id)
+                 AS gap_us
+          FROM events
+        )
+        SELECT (gap_us // 60000000)::BIGINT AS gap_minutes,
+               count(*)::BIGINT AS n_gaps
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY 1
+    """
+    sqls["orders_status_breakdown"] = """
+        SELECT o_orderpriority,
+               (count(*) FILTER (WHERE o_orderstatus = 'O'))::BIGINT AS n_open,
+               (count(*) FILTER (WHERE o_orderstatus = 'F'))::BIGINT AS n_filled,
+               (count(*) FILTER (WHERE o_orderstatus = 'P'))::BIGINT AS n_pending,
+               round(
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                      FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+                 / CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE),
+                 9) AS open_price_share
+        FROM orders
+        GROUP BY 1
+    """
+    sqls["docs_pii_scrub"] = r"""
+        WITH ne AS (
+          SELECT doc_id, text,
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS no_email
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(no_email, '\d{6,}', '<NUM>', 'g')
+                 AS scrubbed_text,
+               (len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(no_email, '\d{6,}')))::BIGINT
+                 AS n_redactions
+        FROM ne
     """
     sqls["tpch_q2_like"] = """
         WITH p AS (

@@ -131,3 +131,34 @@ def doc_fingerprints(
         F.min("sh").alias("fingerprint"),
         F.count("*").cast("int").alias("n_shingles"),
     )
+
+
+# PII patterns: email-like tokens and long digit runs (ids, phone
+# numbers). Kept module-level so the Spark query and the DuckDB oracle
+# (and any caller) share one definition.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITS_RE = r"\d{6,}"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact email-like tokens and >=6-digit runs before a corpus ships
+    to training: (id, scrubbed_text, n_redactions). Map-only
+    regexp_replace at scan speed; the count comes from
+    regexp_extract_all so engines count identical non-overlapping
+    matches. Emails are scrubbed first so their digit-bearing local
+    parts are not double-counted as digit runs."""
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(no_email, PII_DIGITS_RE, "<NUM>")
+    # Count digit runs on the email-scrubbed intermediate, so a digit
+    # run inside an email's local part is one redaction, not two.
+    n_red = F.size(
+        F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))
+    ) + F.size(F.regexp_extract_all(no_email, F.lit(PII_DIGITS_RE), F.lit(0)))
+    return docs.select(
+        id_col,
+        scrubbed.alias("scrubbed_text"),
+        n_red.cast("long").alias("n_redactions"),
+    )

@@ -292,3 +292,36 @@ def test_text_normalize_map_only(spark):
     plan = plan_str(entry_mod.q_text_normalize(spark, SF))
     assert "hashpartitioning(" not in plan
     assert "Join" not in plan
+
+
+def test_grouping_sets_expand(spark):
+    """GROUPING SETS expands map-side (Expand node) into exactly the
+    requested 3 sets -- never a union of 3 re-scans."""
+    plan = plan_str(entry_mod.q_orders_grouping_sets(spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_interarrival_one_shuffle(spark):
+    """Inter-arrival histogram: one hash shuffle on the user key for the
+    lag window; the minute bucketing and count aggregate partially
+    map-side after it."""
+    plan = plan_str(entry_mod.q_events_interarrival(spark, SF))
+    assert plan.count("Arguments: hashpartitioning(") <= 2
+    assert "Window" in plan
+
+
+def test_status_breakdown_single_pass(spark):
+    """Conditional aggregation: one scan, one aggregate -- no pivot
+    pre-pass, no join, no Expand."""
+    plan = plan_str(entry_mod.q_orders_status_breakdown(spark, SF))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "Expand" not in plan
+
+
+def test_pii_scrub_map_only(spark):
+    """Scrubbing is a narrow projection: no shuffle, no join."""
+    plan = plan_str(entry_mod.q_docs_pii_scrub(spark, SF))
+    assert "hashpartitioning(" not in plan
+    assert "Join" not in plan

@@ -200,3 +200,83 @@ def test_group_centroids_null_and_ragged(spark):
            for r in vec.group_centroids(df).collect()}
     # NULL vector skipped entirely; ragged vector contributes only dim 0
     assert got == {(0, 0): (2.0, 2), (0, 1): (2.0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_dirty_text(spark):
+    from sparkbigdatatextanalysis_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or call 0123456789 now"),
+            (2, "clean text with short 12345 digits"),  # 5 digits: kept
+            (3, "ids 111111 and 222222222"),
+            (4, "digits inside email a123456@b.com count once"),
+            (5, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {r["doc_id"]: (r["scrubbed_text"], r["n_redactions"])
+           for r in ts.pii_scrub(df).collect()}
+    assert got[1] == ("contact <EMAIL> or call <NUM> now", 2)
+    assert got[2] == ("clean text with short 12345 digits", 0)
+    assert got[3] == ("ids <NUM> and <NUM>", 2)
+    assert got[4] == ("digits inside email <EMAIL> count once", 1)
+    assert got[5] == (None, None)
+
+
+def test_pii_scrub_matches_duckdb_on_dirty_text(spark):
+    """The Spark operator and the oracle SQL's regex semantics agree on
+    text that actually contains PII (the driver corpus is clean, so this
+    is the real cross-engine check)."""
+    import duckdb
+
+    from sparkbigdatatextanalysis_spark.operators import textstats as ts
+
+    rows = [
+        (1, "mail x@y.io and 9876543 end"),
+        (2, "a@b.cd c@d.ef 123456789012"),
+        (3, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = sorted(
+        (r["doc_id"], r["scrubbed_text"], r["n_redactions"])
+        for r in ts.pii_scrub(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    import __spark_entry__ as entry_mod
+
+    exp = sorted(con.execute(entry_mod.oracle_sql()["docs_pii_scrub"]).fetchall())
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert randomized invariants
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_randomized_invariants(spark):
+    rng = np.random.default_rng(11)
+    tkeys = sorted(rng.choice(1000, 80, replace=False).tolist())
+    skeys = sorted(rng.choice(1000, 40, replace=False).tolist())
+    target = spark.createDataFrame([(k, f"t{k}") for k in tkeys], "k INT, v STRING")
+    source = spark.createDataFrame([(k, f"s{k}") for k in skeys], "k INT, v STRING")
+    out = rel.merge_upsert(target, source, ["k"]).collect()
+    by_action = {}
+    for r in out:
+        by_action.setdefault(r["action"], set()).add(r["k"])
+    tset, sset = set(tkeys), set(skeys)
+    assert by_action.get("keep", set()) == tset - sset
+    assert by_action.get("update", set()) == tset & sset
+    assert by_action.get("insert", set()) == sset - tset
+    assert len(out) == len(tset | sset)
+    # source wins on every source key
+    vals = {r["k"]: r["v"] for r in out}
+    for k in skeys:
+        assert vals[k] == f"s{k}"
