@@ -1,0 +1,93 @@
+"""Streaming anomaly monitor (streaming/monitor.py) vs its batch twin.
+
+Same harness as the streaming funnel test: replay sf0.001 events as a
+2-file time-split stream so per-key Welford state must survive across
+micro-batches; the streamed anomaly rows must equal the batch scan
+EXACTLY (shared scan code + bit-exact state round-trip)."""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from sparkbigdatatextanalysis_spark.streaming.monitor import (
+    anomaly_scan,
+    anomaly_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _key(r):
+    return (r["user_id"], r["event_id"], r["ts"].isoformat(), r["value"],
+            r["zscore"], r["n_prior"])
+
+
+def test_anomaly_scan_flags_known_outlier(spark):
+    import datetime as dt
+
+    rows = [
+        (1, i, dt.datetime(2024, 1, 1, 0, i), 10.0 + (i % 3))  # tame values
+        for i in range(10)
+    ] + [(1, 10, dt.datetime(2024, 1, 1, 0, 30), 500.0)]  # clear outlier
+    ev = spark.createDataFrame(
+        rows, "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    out = anomaly_scan(ev, threshold=3.0, min_n=5).collect()
+    assert [r["event_id"] for r in out] == [10]
+    r = out[0]
+    # z-score against the stats of the 10 prior values, ddof=1
+    prior = np.array([10.0 + (i % 3) for i in range(10)])
+    expect = (500.0 - prior.mean()) / prior.std(ddof=1)
+    assert r["n_prior"] == 10
+    assert r["zscore"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_anomaly_scan_min_n_gate(spark):
+    import datetime as dt
+
+    # Second value is wildly off, but with only 1 prior observation the
+    # min_n gate must suppress the alert (and with n=1, variance is 0).
+    rows = [(1, 0, dt.datetime(2024, 1, 1), 1.0), (1, 1, dt.datetime(2024, 1, 2), 99.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    assert anomaly_scan(ev, threshold=1.0, min_n=5).count() == 0
+
+
+def test_streaming_monitor_matches_batch(spark, tmp_path):
+    events = entry_mod._events(spark, SF).cache()
+    med = events.select(F.unix_micros("ts").alias("us")).approxQuantile(
+        "us", [0.5], 0.0
+    )[0]
+    src = str(tmp_path / "events_stream")
+    events.where(F.unix_micros("ts") <= med).coalesce(1).write.parquet(f"{src}/f0")
+    time.sleep(1.1)  # file-source orders batches by mod time
+    events.where(F.unix_micros("ts") > med).coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        anomaly_stream(stream, threshold=2.5, min_n=5)
+        .writeStream.format("memory")
+        .queryName("monitor_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(_key(r) for r in spark.table("monitor_out").collect())
+    exp = sorted(
+        _key(r) for r in anomaly_scan(events, threshold=2.5, min_n=5).collect()
+    )
+    assert len(exp) > 0, "no anomalies at this threshold -- test is vacuous"
+    assert got == exp
