@@ -237,3 +237,69 @@ def sample_frames(
             )
 
     return media.select("media_id", "payload").mapInPandas(_batches, FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sim_hi", LongType()),
+        StructField("sim_lo", LongType()),
+    ]
+)
+
+
+def average_hash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """64-bit perceptual average hash (aHash) per media row: resize to a
+    ``grid x grid`` grayscale thumbnail (via :func:`resize_images`, so
+    the real-PIL and deterministic-fake branches share one contract),
+    then bit i = pixel_i > mean(pixels), packed row-major into two
+    32-bit halves (sim_hi, sim_lo) -- the exact signature shape of
+    ``dedup.simhash_signatures``, so the text SimHash candidate
+    machinery applies to media unchanged.
+
+    The hash math is vectorized numpy over each Arrow batch; at scale
+    the stage is map-only (one pass, no shuffle) and the signature table
+    it emits is 3 longs per asset.
+    """
+    if grid * grid != 64:
+        raise ValueError("average_hash: grid*grid must be 64 (one bit per pixel)")
+    resized = resize_images(media, width=grid, height=grid)
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            px = np.frombuffer(
+                b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
+            ).reshape(len(pdf), 64)
+            means = px.mean(axis=1, keepdims=True)
+            bits = (px > means).astype(np.uint64)
+            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            sig = (bits * weights).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "sim_hi": (sig >> np.uint64(32)).astype("int64"),
+                    "sim_lo": (sig & np.uint64(0xFFFFFFFF)).astype("int64"),
+                }
+            )
+
+    return resized.mapInPandas(_batches, AHASH_SCHEMA)
+
+
+def media_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-dup media pairs: aHash signatures bucketed by the
+    SAME 4x16-bit chunk pigeonhole as text SimHash (every pair within
+    Hamming <= 3 shares an exact chunk), exact Hamming filter on the
+    candidates. Returns (a_id, b_id, hamming).
+
+    One map-only signature pass + the bounded-bucket candidate equi-join
+    -- the multimodal arm of the dedup family, never an all-pairs
+    compare."""
+    from .dedup import simhash_near_pairs
+
+    sigs = average_hash(media).select(
+        F.col("media_id").alias("id"), "sim_hi", "sim_lo"
+    )
+    return simhash_near_pairs(sigs).where(F.col("hamming") <= max_hamming)

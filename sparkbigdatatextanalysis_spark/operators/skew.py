@@ -56,3 +56,55 @@ def salted_join(
         how,
     )
     return out.drop(p["_salt"]).drop(b["_salt"])
+
+
+def salted_join_auto(
+    probe: DataFrame,
+    build: DataFrame,
+    key_probe: str,
+    key_build: str,
+    n_salts: int = 8,
+    factor: float = 4.0,
+    salt_from: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Hybrid skew join: measure first, salt ONLY the hot keys.
+
+    ``salted_join`` replicates the ENTIRE build side ``n_salts`` times;
+    when only a handful of keys are hot that multiplies build rows for
+    keys that never needed it. This variant runs
+    :func:`..stats.heavy_hitters` on the probe side (one partial-agg
+    count, the diagnostic is a small table), broadcast-tags both inputs
+    with the hot-key set, and unions:
+
+    * cold rows -> plain equi-join (no replication, no salt column);
+    * hot rows  -> salted join with build replication restricted to the
+      (tiny) hot-key slice.
+
+    Build replication cost drops from |build| x n_salts to
+    |hot build rows| x n_salts. Results are identical to a plain join
+    for inner/left (property-tested); the same outer-join caveat as
+    ``salted_join`` applies, enforced there.
+
+    At 100 TB: the measurement pass re-scans the probe side once --
+    cheaper than a blown shuffle partition; persist the probe first if
+    its lineage is expensive.
+    """
+    from .stats import heavy_hitters
+
+    hot = F.broadcast(
+        heavy_hitters(probe.select(key_probe), key_probe, factor=factor)
+        .select(F.col(key_probe).alias("_hotkey"))
+    )
+    p_hot = probe.join(hot, probe[key_probe] == F.col("_hotkey"), "left_semi")
+    p_cold = probe.join(hot, probe[key_probe] == F.col("_hotkey"), "left_anti")
+    b_hot = build.join(hot, build[key_build] == F.col("_hotkey"), "left_semi")
+    b_cold = build.join(hot, build[key_build] == F.col("_hotkey"), "left_anti")
+    cold = p_cold.join(
+        b_cold, F.col(key_probe) == F.col(key_build), how
+    )
+    hot_joined = salted_join(
+        p_hot, b_hot, key_probe, key_build,
+        n_salts=n_salts, salt_from=salt_from, how=how,
+    )
+    return cold.unionByName(hot_joined.select(*cold.columns))

@@ -121,3 +121,50 @@ def test_bitmask_class_pairs_match_sparse_and_naive(spark, docs_a, docs_b):
             for r in sim.common_token_pairs(idx_a, idx_b, strategy=strategy).collect()
         }
         assert got == want, strategy
+
+
+SKEWED = st.lists(
+    st.one_of(st.just(0), KEYS),  # key 0 over-represented ~half the time
+    min_size=1,
+    max_size=30,
+)
+
+
+@PROP
+@given(probe_keys=SKEWED, build_keys=RIGHT, how=st.sampled_from(["inner", "left"]))
+def test_salted_join_auto_matches_plain(spark, probe_keys, build_keys, how):
+    """The hybrid measure-then-salt join is result-identical to a plain
+    join whatever the hot-key set turns out to be (including empty)."""
+    ldf = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(probe_keys)], "lid INT, k INT"
+    )
+    rdf = spark.createDataFrame(
+        [(j, k) for j, (k, _) in enumerate(build_keys)], "rid INT, rk INT"
+    )
+    auto = skew.salted_join_auto(
+        ldf, rdf, "k", "rk", n_salts=3, factor=1.5, salt_from="lid", how=how
+    )
+    plain = ldf.join(rdf, ldf.k == rdf.rk, how)
+    assert sorted(
+        (r["lid"], r["rid"]) for r in auto.collect()
+    ) == sorted((r["lid"], r["rid"]) for r in plain.collect())
+
+
+def test_salted_join_auto_splits_hot_key(spark):
+    """Deterministic case: one dominant key. The hot path must actually
+    engage (the hot-key slice is non-empty) and results stay exact."""
+    probe = [(i, 7 if i % 4 else i % 3) for i in range(200)]
+    build = [(j, j % 10) for j in range(30)]
+    ldf = spark.createDataFrame(probe, "lid INT, k INT")
+    rdf = spark.createDataFrame(build, "rid INT, rk INT")
+    from sparkbigdatatextanalysis_spark.operators.stats import heavy_hitters
+
+    hot = [r["k"] for r in heavy_hitters(ldf, "k", factor=2.0).collect()]
+    assert hot == [7]
+    auto = skew.salted_join_auto(
+        ldf, rdf, "k", "rk", n_salts=4, factor=2.0, salt_from="lid"
+    )
+    plain = ldf.join(rdf, ldf.k == rdf.rk)
+    assert sorted((r["lid"], r["rid"]) for r in auto.collect()) == sorted(
+        (r["lid"], r["rid"]) for r in plain.collect()
+    )

@@ -160,3 +160,60 @@ def test_sliding_window_overlap(spark, events_stream_dir):
     out = sagg.sliding_user_activity(batch)
     # each event is counted in exactly window/slide = 2 windows
     assert out.agg(F.sum("n_events")).first()[0] == 2 * n_events
+
+
+def test_average_hash_matches_numpy_reference(spark):
+    """aHash vs a straight-line numpy reference over the same fake-resize
+    contract (crop/pad to 64 bytes, bit = pixel > mean)."""
+    import numpy as np
+
+    payloads = [
+        (1, b"abcdefgh" * 10),          # cropped to 64
+        (2, b"ab"),                      # padded with zeros
+        (3, bytes(range(64))),           # exact size
+        (4, b""),                        # all padding -> hash 0
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads], "media_id LONG, payload BINARY"
+    )
+    got = {r["media_id"]: (r["sim_hi"], r["sim_lo"])
+           for r in mm.average_hash(media).collect()}
+    for mid, p in payloads:
+        px = np.frombuffer(p[:64].ljust(64, b"\x00"), dtype=np.uint8)
+        bits = px > px.mean()
+        sig = sum(int(b) << i for i, b in enumerate(bits))
+        assert got[mid] == (sig >> 32, sig & 0xFFFFFFFF), mid
+    assert got[4] == (0, 0)
+
+
+def test_media_near_dup_finds_perturbed_copy(spark):
+    """A payload and a lightly perturbed copy land within Hamming<=3 and
+    must be found; an unrelated payload must not pair with them."""
+    base = bytes((i * 37) % 251 for i in range(64))
+    # flip one pixel across the mean boundary -> small Hamming change
+    perturbed = bytearray(base)
+    perturbed[5] = 255 if base[5] < 128 else 0
+    other = bytes((i * 91 + 13) % 256 for i in range(64))
+    media = spark.createDataFrame(
+        [(1, bytearray(base)), (2, perturbed), (3, bytearray(other))],
+        "media_id LONG, payload BINARY",
+    )
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in mm.media_near_dup_pairs(media, max_hamming=3).collect()}
+    assert (1, 2) in pairs
+    assert all(k == (1, 2) for k in pairs)
+
+
+def test_media_near_dup_self_consistent_on_corpus(spark):
+    """On the synthetic corpus the operator runs end-to-end and every
+    emitted pair respects the Hamming bound (and is ordered/distinct)."""
+    docs = spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet").limit(200)
+    pairs = mm.media_near_dup_pairs(
+        mm.docs_as_media(docs), max_hamming=3
+    ).collect()
+    seen = set()
+    for r in pairs:
+        assert r["a_id"] < r["b_id"]
+        assert r["hamming"] <= 3
+        assert (r["a_id"], r["b_id"]) not in seen
+        seen.add((r["a_id"], r["b_id"]))
