@@ -63,3 +63,33 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_partitioned_incremental(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Incremental partitioned sink: dynamic partition overwrite --
+    ONLY the partitions present in ``df`` are replaced, everything else
+    on disk is untouched. This is the daily-batch write pattern at
+    100 TB: reprocessing one day rewrites one date partition, not the
+    table; a plain mode='overwrite' would truncate all history.
+
+    ``max_records_per_file`` caps file sizes inside a partition (the
+    small-files/giant-files dial); together with AQE-coalesced shuffle
+    output it keeps per-partition file counts sane without a manual
+    repartition.
+
+    The dynamic mode is set per-write via the DataFrameWriter option so
+    the session default (static, the safe one) is untouched.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
