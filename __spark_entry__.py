@@ -1316,8 +1316,13 @@ def q_tpch_q2_like(spark, sf_dir):
         "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
     )
-    offers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
-        "p_partkey", "p_name", "p_brand", "l_suppkey", "unit_price"
+    # Persist: offers feeds both the per-part MIN and the join-back --
+    # without the barrier the lineitem scan + broadcast join runs twice
+    # (same reuse shape as dedup.simhash_near_pairs' chunked table).
+    offers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_name", "p_brand", "l_suppkey", "unit_price")
+        .persist()
     )
     minp = offers.groupBy(F.col("p_partkey").alias("_pk")).agg(
         F.min("unit_price").alias("min_price")

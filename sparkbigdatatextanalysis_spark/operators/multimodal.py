@@ -299,6 +299,15 @@ def media_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     compare."""
     from .dedup import simhash_near_pairs
 
+    if max_hamming > 3:
+        # 4 chunks pigeonhole-guarantee candidates only up to Hamming 3;
+        # a larger threshold would silently miss pairs whose differing
+        # bits spread across all chunks.
+        raise ValueError(
+            "media_near_dup_pairs: max_hamming > 3 exceeds the 4-chunk "
+            "candidate guarantee; use more/narrower chunks for a wider radius"
+        )
+
     sigs = average_hash(media).select(
         F.col("media_id").alias("id"), "sim_hi", "sim_lo"
     )

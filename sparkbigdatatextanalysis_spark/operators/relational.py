@@ -176,6 +176,10 @@ def merge_upsert(
         )
     if action_col in target.columns:
         raise ValueError(f"merge_upsert: column {action_col!r} already exists")
+    if "_in_target" in target.columns:
+        raise ValueError(
+            "merge_upsert: input already has a column named '_in_target'"
+        )
     src_keys = source.select(*keys).distinct()
     kept = target.join(F.broadcast(src_keys), keys, "left_anti").withColumn(
         action_col, F.lit("keep")

@@ -35,14 +35,31 @@ def gap_fill(
     ``aggs`` maps output column name -> aggregate expression over the
     events in a bucket (default ``{"n_events": count(*)}``); ``fill``
     gives the value used for empty buckets (default 0 for every agg).
-    Bucket edges come from ``date_trunc`` of the unit in ``bucket``
-    (e.g. ``"1 hour"`` truncates to the hour), so edges are exact and
-    engine-independent.
+    ``bucket`` is ``"N unit"`` with unit in second/minute/hour/day/week;
+    edges come from exact integer floor arithmetic on epoch seconds
+    (UTC-aligned, so "1 day" == date_trunc('day') under the session's
+    UTC pin), which keeps aggregation buckets and the sequence() grid
+    stride consistent for multi-unit buckets like "15 minutes". NB:
+    "week" buckets are epoch-aligned (start on Thursday), not ISO
+    Monday like date_trunc('week').
     """
-    unit = bucket.split()[1].rstrip("s")  # "1 hour" -> "hour"
+    parts = bucket.split()
+    if len(parts) != 2:
+        raise ValueError(f"gap_fill: bucket must be 'N unit', got {bucket!r}")
+    count, unit = int(parts[0]), parts[1].rstrip("s")
+    secs_per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                "week": 604800}
+    if unit not in secs_per or count < 1:
+        raise ValueError(
+            f"gap_fill: unsupported bucket {bucket!r} (units: "
+            f"{sorted(secs_per)}, count >= 1)"
+        )
+    step = count * secs_per[unit]
     aggs = aggs or {"n_events": F.count(F.lit(1))}
     fill = fill or {}
-    b = F.date_trunc(unit, F.col(ts)).alias("bucket")
+    b = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts)) / step).cast("long") * step
+    ).alias("bucket")
     per_bucket = events.groupBy(F.col(key), b).agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )

@@ -57,12 +57,20 @@ def _scan_values(
             var = m2 / (n - 1) if n > 1 else 0.0
             if var > 0:
                 z = (x - mean) / math.sqrt(var)
-                if abs(z) > threshold:
-                    out["event_id"].append(ev_id)
-                    out["ts"].append(ts)
-                    out["value"].append(x)
-                    out["zscore"].append(z)
-                    out["n_prior"].append(n)
+            elif x != mean:
+                # Constant prior history then a deviation: the clearest
+                # possible anomaly. Report signed infinity rather than
+                # suppressing it (a var>0-only guard would permanently
+                # mute heartbeat-style keys).
+                z = math.inf if x > mean else -math.inf
+            else:
+                z = 0.0
+            if abs(z) > threshold:
+                out["event_id"].append(ev_id)
+                out["ts"].append(ts)
+                out["value"].append(x)
+                out["zscore"].append(z)
+                out["n_prior"].append(n)
         n += 1
         delta = x - mean
         mean += delta / n

@@ -280,3 +280,42 @@ def test_merge_upsert_randomized_invariants(spark):
     vals = {r["k"]: r["v"] for r in out}
     for k in skeys:
         assert vals[k] == f"s{k}"
+
+
+def test_gap_fill_multi_unit_bucket(spark):
+    """15-minute buckets: aggregation buckets and grid stride must agree
+    (regression: date_trunc-to-minute buckets vs 15-minute grid strides
+    silently dropped aggregated rows)."""
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 7), 1.0),   # 00:00 bucket
+            (1, dt.datetime(2024, 1, 1, 0, 22), 2.0),  # 00:15 bucket
+            (1, dt.datetime(2024, 1, 1, 1, 3), 3.0),   # 01:00 bucket
+        ],
+        "user_id INT, ts TIMESTAMP, value DOUBLE",
+    )
+    out = tso.gap_fill(ev, key="user_id", bucket="15 minutes")
+    rows = {
+        (r["bucket"].hour, r["bucket"].minute): r["n_events"]
+        for r in out.collect()
+    }
+    assert rows == {
+        (0, 0): 1, (0, 15): 1, (0, 30): 0, (0, 45): 0, (1, 0): 1,
+    }
+    assert sum(rows.values()) == 3  # no aggregated row lost
+
+
+def test_gap_fill_rejects_bad_bucket(spark):
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "user_id INT, ts TIMESTAMP, value DOUBLE"
+    )
+    with pytest.raises(ValueError, match="bucket must be"):
+        tso.gap_fill(ev, key="user_id", bucket="hour")
+    with pytest.raises(ValueError, match="unsupported bucket"):
+        tso.gap_fill(ev, key="user_id", bucket="2 months")
+
+
+def test_merge_upsert_rejects_reserved_column(spark):
+    t = spark.createDataFrame([(1, 1)], "k INT, _in_target INT")
+    with pytest.raises(ValueError, match="_in_target"):
+        rel.merge_upsert(t, t, ["k"])

@@ -91,3 +91,23 @@ def test_streaming_monitor_matches_batch(spark, tmp_path):
     )
     assert len(exp) > 0, "no anomalies at this threshold -- test is vacuous"
     assert got == exp
+
+
+def test_anomaly_scan_constant_history_spike(spark):
+    """Zero-variance prior history then a spike: must emit a signed-
+    infinity z-score, not silently suppress (regression for the
+    var>0-only guard)."""
+    import datetime as dt
+
+    rows = [(1, i, dt.datetime(2024, 1, 1, 0, i), 5.0) for i in range(8)]
+    rows += [(1, 8, dt.datetime(2024, 1, 1, 1, 0), 500.0),
+             (1, 9, dt.datetime(2024, 1, 1, 1, 1), -500.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    out = {r["event_id"]: r["zscore"]
+           for r in anomaly_scan(ev, threshold=3.0, min_n=5).collect()}
+    assert out[8] == math.inf
+    # after the +500 spike the variance is huge; -500 may or may not
+    # trip the threshold -- only event 8's detection is the contract
+    assert 8 in out
