@@ -319,3 +319,39 @@ def test_merge_upsert_rejects_reserved_column(spark):
     t = spark.createDataFrame([(1, 1)], "k INT, _in_target INT")
     with pytest.raises(ValueError, match="_in_target"):
         rel.merge_upsert(t, t, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# gap_fill properties
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_properties_random(spark):
+    """Random events: per key the output buckets form a CONTIGUOUS range
+    at the bucket stride, counts sum to the input count, and zero-count
+    rows appear exactly at the empty buckets."""
+    rng = np.random.default_rng(21)
+    rows = [
+        (int(k), dt.datetime(2024, 1, 1) + dt.timedelta(minutes=int(m)), 1.0)
+        for k, m in zip(rng.integers(0, 4, 300), rng.integers(0, 600, 300))
+    ]
+    ev = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP, value DOUBLE")
+    out = tso.gap_fill(ev, key="user_id", bucket="15 minutes").collect()
+    per_key: dict[int, dict] = {}
+    for r in out:
+        per_key.setdefault(r["user_id"], {})[r["bucket"]] = r["n_events"]
+    assert sum(sum(d.values()) for d in per_key.values()) == len(rows)
+    for k, d in per_key.items():
+        bks = sorted(d)
+        for a, b in zip(bks, bks[1:]):
+            assert (b - a).total_seconds() == 900  # contiguous 15-min stride
+        # expected counts from raw rows
+        from collections import Counter
+
+        exp = Counter(
+            dt.datetime(2024, 1, 1)
+            + dt.timedelta(seconds=((t - dt.datetime(2024, 1, 1)).total_seconds() // 900) * 900)
+            for kk, t, _ in rows
+            if kk == k
+        )
+        assert {b: c for b, c in d.items() if c > 0} == dict(exp)

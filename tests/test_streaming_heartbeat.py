@@ -69,3 +69,48 @@ def test_silence_alerts_rejects_bad_gap(spark):
     df = spark.createDataFrame([], SCHEMA)
     with pytest.raises(ValueError, match="unsupported gap unit"):
         silence_alerts(df, gap="2 fortnights")
+
+
+def test_silence_alert_per_episode_on_recovery(spark, tmp_path):
+    """A key that dies, alerts, recovers, then dies again must alert once
+    PER episode (state re-registers after eviction)."""
+    src = str(tmp_path / "hb2_stream")
+    batches = [
+        [(2, _t(0)), (1, _t(0))],
+        [(1, _t(20))],            # wm 20: episode-1 deadline (min 10) blown
+        [(1, _t(22))],            # fires ep-1 alert (no user-2 data here --
+                                  # data in the firing batch would cancel it)
+        [(2, _t(25)), (1, _t(25))],  # user 2 recovers, re-registers
+        [(1, _t(50))],            # wm 50: episode-2 deadline (min 35) blown
+        [(1, _t(70))],            # fires ep-2 alert
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        silence_alerts(stream, gap="10 minutes")
+        .writeStream.format("memory")
+        .queryName("hb2_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    two = sorted(
+        (r["last_ts"].isoformat(), r["deadline_ts"].isoformat())
+        for r in spark.table("hb2_out").collect()
+        if r["user_id"] == 2
+    )
+    assert two == [
+        (_t(0).isoformat(), _t(10).isoformat()),
+        (_t(25).isoformat(), _t(35).isoformat()),
+    ]

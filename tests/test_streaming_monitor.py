@@ -111,3 +111,45 @@ def test_anomaly_scan_constant_history_spike(spark):
     # after the +500 spike the variance is huge; -500 may or may not
     # trip the threshold -- only event 8's detection is the contract
     assert 8 in out
+
+
+def test_streaming_monitor_checkpoint_restart(spark, tmp_path):
+    """Welford state must survive a checkpointed restart: replaying the
+    second half in a NEW query against the same checkpoint yields the
+    same anomalies as one batch scan of everything."""
+    events = entry_mod._events(spark, SF).cache()
+    med = events.select(F.unix_micros("ts").alias("us")).approxQuantile(
+        "us", [0.5], 0.0
+    )[0]
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    events.where(F.unix_micros("ts") <= med).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            anomaly_stream(stream, threshold=2.5, min_n=5)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    events.where(F.unix_micros("ts") > med).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    got = sorted(_key(r) for r in spark.read.parquet(sink).collect())
+    exp = sorted(
+        _key(r) for r in anomaly_scan(events, threshold=2.5, min_n=5).collect()
+    )
+    assert len(exp) > 0
+    assert got == exp
