@@ -75,7 +75,7 @@ def connected_components(
     prev_sum = label_sum(labels)  # also materializes the persist
 
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # candidate labels flowing over edges: node <- neighbor's comp
         flowed = (
             sym.join(labels, sym.v == labels.node)
@@ -85,8 +85,16 @@ def connected_components(
             labels.unionByName(flowed)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist()
         )
+        # persist caches rows but the LOGICAL plan still grows one
+        # union+join+agg layer per round; past ~10 rounds plan
+        # canonicalization OOMs the driver. localCheckpoint (eager)
+        # truncates lineage too. Cheap persist for the common 2-4 round
+        # near-dup case, checkpoint cadence for deep graphs.
+        if i % 5 == 4:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         new_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
@@ -130,3 +138,96 @@ def dedup_clusters(
     ).withColumn(
         "is_kept", (F.col("doc_id") == F.col("keep_id")).cast("long")
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) -- the high-diameter companion to
+    :func:`connected_components`: label propagation needs O(diameter)
+    rounds, this needs O(log^2 n) worst / O(log n) in practice, so a
+    10,000-link chain converges in a handful of rounds instead of
+    10,000.
+
+    Each half-round is the same distributed shape as one propagation
+    round: a groupBy(u).min partial agg + an equi-join back on u over
+    the edge list (shuffle ~ |edges|); the driver sees only an O(1)
+    fingerprint per round for the fixpoint check. Components are
+    labeled by their minimum node id, exactly like the propagation
+    form (property-tested equal).
+    """
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; attach m(u) = min({u} U N(u));
+        # emit (v, m) for v > u
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient child > parent; m(u) = min(N(u) U {u}) = min(N(u));
+        # emit (v, m) for v in N(u) U {u}, v != m
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        withm = d.join(m, "u")
+        out = withm.where(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def fingerprint(e: DataFrame):
+        # order-insensitive exact edge-set fingerprint (same trick as
+        # label_sum): decimal sum of per-edge 64-bit hashes
+        return e.agg(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+
+    # localCheckpoint (eager) TRUNCATES the lineage each round -- unlike
+    # persist, which caches data but leaves the logical plan growing by
+    # two unions + two joins + two distincts per round until plan
+    # canonicalization OOMs the driver. On a cluster swap in a reliable
+    # checkpoint() if executor loss must be survivable mid-computation.
+    e = e0.distinct().localCheckpoint(eager=True)
+    prev = None
+    converged = False
+    for _ in range(max_iter):
+        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
+        fp = fingerprint(new_e)
+        e = new_e
+        if prev is not None and fp == prev:
+            converged = True
+            break
+        prev = fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # fixpoint edge set is a star forest child->root (root = min id);
+    # roots appear only on the v side, so add their self rows
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    out = nodes.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("comp")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+    return out

@@ -59,3 +59,56 @@ def test_dedup_clusters_covers_singletons(spark):
     }
     kept = out.agg(F.sum("is_kept")).first()[0]
     assert kept == 4  # 6 docs - 2 merged
+
+
+def test_star_matches_label_propagation_random(spark):
+    import numpy as np
+
+    from sparkbigdatatextanalysis_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = np.random.default_rng(13)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 60, 80), rng.integers(0, 60, 80))
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "a_id INT, b_id INT")
+    lab = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    star = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert star == lab
+
+
+def test_star_converges_on_long_chain_where_propagation_cannot(spark):
+    """A 60-link chain has diameter 60: min-label propagation at
+    max_iter=20 must refuse (correctly), while the star formulation
+    converges in O(log n) rounds and labels the whole chain 0."""
+    import pytest as _pytest
+
+    from sparkbigdatatextanalysis_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(chain, "a_id INT, b_id INT")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=20)
+    star = connected_components_star(df, max_iter=15)
+    rows = star.collect()
+    assert len(rows) == 61
+    assert all(r["comp"] == 0 for r in rows)
+
+
+def test_star_handles_self_loops_and_duplicates(spark):
+    from sparkbigdatatextanalysis_spark.operators.components import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2), (5, 6)], "a_id INT, b_id INT"
+    )
+    got = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5}
