@@ -203,14 +203,18 @@ def connected_components_star(
     # two unions + two joins + two distincts per round until plan
     # canonicalization OOMs the driver. On a cluster swap in a reliable
     # checkpoint() if executor loss must be survivable mid-computation.
-    e = e0.distinct().localCheckpoint(eager=True)
-    prev = None
+    base = e0.distinct().localCheckpoint(eager=True)
+    e = base
+    # Fingerprint the initial set too: input that is already a star
+    # forest (re-runs, tiny-clique graphs) then converges after ONE
+    # round instead of needing a second to confirm.
+    prev = fingerprint(e)
     converged = False
     for _ in range(max_iter):
         new_e = small_star(large_star(e)).localCheckpoint(eager=True)
         fp = fingerprint(new_e)
         e = new_e
-        if prev is not None and fp == prev:
+        if fp == prev:
             converged = True
             break
         prev = fp
@@ -219,10 +223,12 @@ def connected_components_star(
             f"connected_components_star did not converge in {max_iter} rounds"
         )
     # fixpoint edge set is a star forest child->root (root = min id);
-    # roots appear only on the v side, so add their self rows
+    # roots appear only on the v side, so add their self rows. Derive
+    # nodes from the CHECKPOINTED base, not e0 -- e0 would re-execute
+    # the (possibly expensive) upstream pair-generation plan twice.
     nodes = (
-        e0.select(F.col("u").alias("node"))
-        .unionByName(e0.select(F.col("v").alias("node")))
+        base.select(F.col("u").alias("node"))
+        .unionByName(base.select(F.col("v").alias("node")))
         .distinct()
     )
     out = nodes.join(

@@ -43,18 +43,9 @@ def gap_fill(
     "week" buckets are epoch-aligned (start on Thursday), not ISO
     Monday like date_trunc('week').
     """
-    parts = bucket.split()
-    if len(parts) != 2:
-        raise ValueError(f"gap_fill: bucket must be 'N unit', got {bucket!r}")
-    count, unit = int(parts[0]), parts[1].rstrip("s")
-    secs_per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
-                "week": 604800}
-    if unit not in secs_per or count < 1:
-        raise ValueError(
-            f"gap_fill: unsupported bucket {bucket!r} (units: "
-            f"{sorted(secs_per)}, count >= 1)"
-        )
-    step = count * secs_per[unit]
+    from ..functions.intervals import parse_interval_seconds
+
+    step = parse_interval_seconds(bucket)
     aggs = aggs or {"n_events": F.count(F.lit(1))}
     fill = fill or {}
     b = F.timestamp_seconds(

@@ -15,6 +15,14 @@ engine, not leaked forever (contrast NoTimeout operators, whose state
 is bounded by key cardinality). A key that comes back after a silence
 simply re-registers -- each silence episode emits exactly once.
 
+Timezone correctness: the state math never touches pandas-converted
+timestamps (Spark renders those in SESSION-LOCAL wall time, which would
+shift the registered deadline by the UTC offset and either delay alerts
+or crash the query with a deadline-below-watermark error). Instead true
+epoch microseconds are computed JVM-side (``unix_micros``) before the
+stateful stage, and the emitted micros are converted back JVM-side
+(``timestamp_micros``) after it -- correct under any session timezone.
+
 Timing semantics (engine-defined): timeouts fire in the first
 micro-batch AFTER the watermark advances past the deadline, so a
 silence row's emission requires some later event (any key) to push the
@@ -33,11 +41,12 @@ from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-HEARTBEAT_OUTPUT_SCHEMA = (
-    "user_id BIGINT, last_ts TIMESTAMP, deadline_ts TIMESTAMP"
-)
+from ..functions.intervals import parse_interval_seconds
+
+_RAW_OUTPUT_SCHEMA = "user_id BIGINT, last_us BIGINT, deadline_us BIGINT"
 HEARTBEAT_STATE_SCHEMA = "last_us BIGINT"
 
 
@@ -50,15 +59,15 @@ def silence_alerts(
     episode: the key's last event time and the deadline it blew.
 
     ``events`` must have (user_id, ts); the watermark is applied here so
-    batch callers don't need to. ``gap`` uses Spark interval syntax
-    restricted to "N unit" with unit in seconds/minutes/hours.
+    callers don't need to. ``gap`` is ``"N unit"`` with unit in
+    seconds/minutes/hours/days (validated up front -- a zero or negative
+    gap would otherwise kill the query mid-stream with Spark's
+    deadline-below-watermark error).
     """
-    n, unit = gap.split()
-    secs_per = {"second": 1, "minute": 60, "hour": 3600}
-    key = unit.rstrip("s")
-    if key not in secs_per:
-        raise ValueError(f"silence_alerts: unsupported gap unit {unit!r}")
-    gap_ms = int(n) * secs_per[key] * 1000
+    gap_ms = (
+        parse_interval_seconds(gap, ("second", "minute", "hour", "day"))
+        * 1000
+    )
 
     def fn(
         key_: Tuple[Any, ...],
@@ -72,34 +81,40 @@ def silence_alerts(
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "last_ts": [pd.Timestamp(last_us, unit="us")],
-                    "deadline_ts": [
-                        pd.Timestamp(last_us + gap_ms * 1000, unit="us")
-                    ],
+                    "last_us": [last_us],
+                    "deadline_us": [last_us + gap_ms * 1000],
                 }
             )
             return
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch_max_us = int(batch["ts"].astype("int64").max() // 1000)
+        batch_max_us = int(batch["ts_us"].max())
         if state.exists:
             (last_us,) = state.get
             last_us = max(last_us, batch_max_us)
         else:
             last_us = batch_max_us
         state.update((int(last_us),))
-        # Event-time timeout deadline is in epoch MILLIseconds.
+        # Event-time timeout deadline is in TRUE epoch milliseconds;
+        # ts_us is unix_micros, so this is timezone-independent.
         state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
         return
 
-    return (
-        events.select("user_id", "ts")
+    raw = (
+        events.select(
+            "user_id", "ts", F.unix_micros(F.col("ts")).alias("ts_us")
+        )
         .withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
-            outputStructType=HEARTBEAT_OUTPUT_SCHEMA,
+            outputStructType=_RAW_OUTPUT_SCHEMA,
             stateStructType=HEARTBEAT_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("last_us").alias("last_ts"),
+        F.timestamp_micros("deadline_us").alias("deadline_ts"),
     )

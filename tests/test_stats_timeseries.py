@@ -309,10 +309,12 @@ def test_gap_fill_rejects_bad_bucket(spark):
     ev = spark.createDataFrame(
         [(1, dt.datetime(2024, 1, 1), 1.0)], "user_id INT, ts TIMESTAMP, value DOUBLE"
     )
-    with pytest.raises(ValueError, match="bucket must be"):
+    with pytest.raises(ValueError, match="interval must be"):
         tso.gap_fill(ev, key="user_id", bucket="hour")
-    with pytest.raises(ValueError, match="unsupported bucket"):
+    with pytest.raises(ValueError, match="unsupported interval unit"):
         tso.gap_fill(ev, key="user_id", bucket="2 months")
+    with pytest.raises(ValueError, match="count must be >= 1"):
+        tso.gap_fill(ev, key="user_id", bucket="0 minutes")
 
 
 def test_merge_upsert_rejects_reserved_column(spark):

@@ -67,8 +67,12 @@ def test_silence_alert_fires_and_state_evicts(spark, tmp_path):
 
 def test_silence_alerts_rejects_bad_gap(spark):
     df = spark.createDataFrame([], SCHEMA)
-    with pytest.raises(ValueError, match="unsupported gap unit"):
+    with pytest.raises(ValueError, match="unsupported interval unit"):
         silence_alerts(df, gap="2 fortnights")
+    with pytest.raises(ValueError, match="count must be >= 1"):
+        silence_alerts(df, gap="0 minutes")
+    with pytest.raises(ValueError, match="interval must be"):
+        silence_alerts(df, gap="10minutes")
 
 
 def test_silence_alert_per_episode_on_recovery(spark, tmp_path):
@@ -114,3 +118,48 @@ def test_silence_alert_per_episode_on_recovery(spark, tmp_path):
         (_t(0).isoformat(), _t(10).isoformat()),
         (_t(25).isoformat(), _t(35).isoformat()),
     ]
+
+
+def test_silence_alerts_correct_under_non_utc_session(spark, tmp_path):
+    """The deadline math must hold under a non-UTC session timezone
+    (regression: pandas-converted timestamps are session-local wall
+    time; using them as epoch shifted deadlines by the UTC offset)."""
+    src = str(tmp_path / "hb3_stream")
+    batches = [
+        [(1, _t(0)), (2, _t(1))],
+        [(1, _t(20))],
+        [(1, _t(40))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+        time.sleep(1.1)
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            silence_alerts(stream, gap="10 minutes")
+            .writeStream.format("memory")
+            .queryName("hb3_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("hb3_out").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    # With the UTC pin restored, read the values back as instants: the
+    # alert still refers to minute 1 + 10-minute deadline.
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 2
+    assert (r["deadline_ts"] - r["last_ts"]).total_seconds() == 600
