@@ -1,0 +1,97 @@
+"""Distributed BPE (operators/bpe.py) vs a straight-line Python
+reference implementation of the classic algorithm."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from sparkbigdatatextanalysis_spark.operators import bpe
+
+MARKER = "▁"
+
+
+# ---------------------------------------------------------------------------
+# Python reference (textbook BPE on word counts)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int, min_count: int = 2):
+    vocab = {w: [MARKER] + list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += word_counts[w]
+        if not pairs:
+            break
+        # max count, ties lexicographic on (left, right)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (left, right), _ = best
+        merges.append((left, right))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+WORDS = (
+    ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3 + ["new"] * 2
+)
+
+
+@pytest.fixture(scope="module")
+def tok_df(spark):
+    # one doc per word occurrence keeps counts explicit
+    return spark.createDataFrame(
+        [(i, [w]) for i, w in enumerate(WORDS)], "id LONG, tokens ARRAY<STRING>"
+    )
+
+
+def test_bpe_learn_matches_reference(spark, tok_df):
+    merges, vocab = bpe.bpe_learn(tok_df, n_merges=8)
+    ref_merges, ref_vocab = _ref_bpe(Counter(WORDS), 8)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
+    assert got == ref_vocab
+
+
+def test_bpe_learn_stops_when_dry(spark):
+    # every word unique, every pair count 1 -> min_pair_count=2 stops at 0
+    df = spark.createDataFrame(
+        [(0, ["ab"]), (1, ["cd"])], "id LONG, tokens ARRAY<STRING>"
+    )
+    merges, _ = bpe.bpe_learn(df, n_merges=5)
+    assert merges == []
+
+
+def test_bpe_segment_order_preserving(spark, tok_df):
+    merges, vocab = bpe.bpe_learn(tok_df, n_merges=8)
+    _, ref_vocab = _ref_bpe(Counter(WORDS), 8)
+    doc = spark.createDataFrame(
+        [(0, ["newest", "low", "newest"])], "id LONG, tokens ARRAY<STRING>"
+    )
+    rows = bpe.bpe_segment(doc, merges).collect()
+    assert len(rows) == 1
+    expect = ref_vocab["newest"] + ref_vocab["low"] + ref_vocab["newest"]
+    assert list(rows[0]["pieces"]) == expect
+
+
+def test_bpe_segment_unseen_word_falls_back_to_chars(spark, tok_df):
+    merges, _ = bpe.bpe_learn(tok_df, n_merges=4)
+    doc = spark.createDataFrame([(0, ["zzq"])], "id LONG, tokens ARRAY<STRING>")
+    rows = bpe.bpe_segment(doc, merges).collect()
+    # no rule matches: marker + raw characters (any learned rule that
+    # happens to apply would only merge, never drop content)
+    assert "".join(rows[0]["pieces"]) == MARKER + "zzq"
