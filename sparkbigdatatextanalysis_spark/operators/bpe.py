@@ -30,41 +30,67 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.arrays import adjacent_pairs
+
+# SentencePiece-style escape for marker characters that occur INSIDE
+# corpus words: without it an interior U+2581 is indistinguishable from
+# a word boundary (learned rules would cross into it; decode-by-
+# replacing-the-marker would strip real content). Words containing the
+# literal escape string itself are a documented non-goal (match
+# SentencePiece, which has the same caveat for its <0x..> forms).
+MARKER_ESCAPE = "<0x2581>"
+
+def _chars(s: Column) -> Column:
+    """Per-CODEPOINT character array. Deliberately not a regex split:
+    Spark's regex path runs over UTF-16, where a lookahead split lands
+    between surrogate halves and destroys every supplementary-plane
+    character (emoji, CJK extensions) into invalid fragments.
+    ``length``/``substring`` run on UTF8String characters, i.e. whole
+    codepoints. The explicit empty guard matters because sequence(1, 0)
+    would generate a DESCENDING range, not an empty one."""
+    return F.when(
+        F.length(s) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.substring(s, i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _to_symbols(word: Column, marker: str) -> Column:
+    """marker + per-character (codepoint-safe) symbols of ``word``, with
+    pre-existing marker characters escaped. One definition shared by
+    learn and segment so the symbol alphabet cannot diverge."""
+    escaped = F.replace(word, F.lit(marker), F.lit(MARKER_ESCAPE))
+    return F.concat(F.array(F.lit(marker)), _chars(escaped))
+
 
 def words_to_symbols(tok_df: DataFrame, marker: str = "▁") -> DataFrame:
     """(word, n_occurrences, symbols) from a tokenized corpus
     (id, tokens): ONE corpus pass -- the count groupBy -- then a map-only
     split of each distinct word into characters, with ``marker``
     (SentencePiece-style) prepended so merges cannot cross word
-    boundaries when vocab entries are later re-applied."""
+    boundaries when vocab entries are later re-applied. NULL and empty
+    tokens are dropped (they carry no pairs and would otherwise pollute
+    the vocabulary with a bare-marker entry)."""
     words = (
         tok_df.select(F.explode("tokens").alias("word"))
+        .where(F.col("word").isNotNull() & (F.col("word") != ""))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
-    symbols = F.concat(
-        F.array(F.lit(marker)),
-        # chars; Spark's split keeps a trailing empty match for the
-        # end-of-string lookahead position -- remove it
-        F.array_remove(F.split(F.col("word"), "(?!^)"), ""),
+    return words.select(
+        "word", "n_occ", _to_symbols(F.col("word"), marker).alias("symbols")
     )
-    return words.select("word", "n_occ", symbols.alias("symbols"))
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Adjacent-pair counts over the symbol arrays, weighted by word
     frequency; pairs form in-row via zip_with against the shifted array."""
-    pairs = F.zip_with(
-        F.slice(F.col("symbols"), 1, F.greatest(F.size("symbols") - 1, F.lit(0))),
-        F.slice(
-            F.col("symbols"),
-            2,
-            F.greatest(F.size("symbols") - 1, F.lit(0)),
-        ),
-        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
-    )
     return (
-        vocab.select("n_occ", F.explode(pairs).alias("p"))
+        vocab.select(
+            "n_occ", F.explode(adjacent_pairs(F.col("symbols"))).alias("p")
+        )
         .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
         .agg(F.sum("n_occ").alias("n"))
     )
@@ -142,16 +168,21 @@ def bpe_segment(
     expression path targets; a production 30k-merge tokenizer would
     replay rules with a trie inside an Arrow ``mapInPandas`` stage
     instead (same contract, Python-side fold).
+
+    NULL and empty tokens are skipped (a single NULL element would
+    otherwise null out flatten() and silently drop the whole document's
+    pieces; an empty token would fabricate a bare-marker word boundary).
     """
 
     def seg(t: Column) -> Column:
-        symbols = F.concat(
-            F.array(F.lit(marker)), F.array_remove(F.split(t, "(?!^)"), "")
-        )
+        symbols = _to_symbols(t, marker)
         for left, right in merges:
             symbols = _apply_merge(symbols, left, right)
         return symbols
 
+    clean = F.filter(
+        F.col("tokens"), lambda x: x.isNotNull() & (x != F.lit(""))
+    )
     return tok_df.select(
-        "id", F.flatten(F.transform("tokens", seg)).alias("pieces")
+        "id", F.flatten(F.transform(clean, seg)).alias("pieces")
     )

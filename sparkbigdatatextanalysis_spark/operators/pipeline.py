@@ -208,12 +208,12 @@ def bigram_top_k(tok_df: DataFrame, k: int = 100) -> DataFrame:
     :func:`vocab_top_k`. This is the phrase-mining / tokenizer-merge
     statistics step of pretraining pipelines.
     """
+    from ..functions.arrays import adjacent_pairs
+
     pairs = tok_df.where(F.size("tokens") >= 2).select(
         F.explode(
-            F.zip_with(
-                F.slice(F.col("tokens"), 1, F.size("tokens") - 1),
-                F.slice(F.col("tokens"), 2, F.size("tokens") - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
+            adjacent_pairs(
+                F.col("tokens"), lambda a, b: F.concat_ws(" ", a, b)
             )
         ).alias("bigram")
     )

@@ -114,3 +114,36 @@ def test_bpe_on_synthetic_corpus(spark):
         # reconstruction: dropping markers reproduces the concatenated words
         joined = "".join(r["pieces"]).replace(MARKER, "")
         assert len(joined) > 0
+
+
+def test_bpe_non_bmp_characters_survive(spark):
+    """Supplementary-plane characters (emoji) must split as whole
+    codepoints, not UTF-16 surrogate halves (regression: (?!^) split
+    destroyed them into '?' pairs)."""
+    word = "a\U0001F600b"
+    df = spark.createDataFrame([(0, [word] * 3)], "id LONG, tokens ARRAY<STRING>")
+    vocab = bpe.words_to_symbols(df)
+    syms = list(vocab.collect()[0]["symbols"])
+    assert syms == [MARKER, "a", "\U0001F600", "b"]
+    rows = bpe.bpe_segment(df, merges=[]).collect()
+    assert "".join(rows[0]["pieces"]).replace(MARKER, "") == word * 3
+
+
+def test_bpe_marker_in_word_is_escaped(spark):
+    """A literal marker character inside a corpus word must not read as
+    a word boundary (SentencePiece-style escape)."""
+    df = spark.createDataFrame([(0, ["x▁y"])], "id LONG, tokens ARRAY<STRING>")
+    syms = list(bpe.words_to_symbols(df).collect()[0]["symbols"])
+    assert syms[0] == MARKER
+    assert MARKER not in syms[1:]
+    assert bpe.MARKER_ESCAPE in "".join(syms[1:])
+
+
+def test_bpe_segment_skips_null_and_empty_tokens(spark):
+    """One NULL token must not null the whole document (flatten over a
+    null inner array), and empty tokens must not emit bare markers."""
+    df = spark.createDataFrame(
+        [(0, ["ab", None, "", "cd"])], "id LONG, tokens ARRAY<STRING>"
+    )
+    rows = bpe.bpe_segment(df, merges=[]).collect()
+    assert list(rows[0]["pieces"]) == [MARKER, "a", "b", MARKER, "c", "d"]
