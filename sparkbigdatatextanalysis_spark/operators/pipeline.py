@@ -221,3 +221,45 @@ def bigram_top_k(tok_df: DataFrame, k: int = 100) -> DataFrame:
     top = counts.orderBy(F.col("n_occ").desc(), "bigram").limit(k)
     w = Window.orderBy(F.col("n_occ").desc(), "bigram")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def chunk_tokens(
+    tok_df: DataFrame, size: int, stride: int | None = None
+) -> DataFrame:
+    """Context-window chunking: split each document's token array into
+    (possibly overlapping) windows of ``size`` tokens advancing by
+    ``stride`` (default = size, i.e. non-overlapping) -- the
+    sequence-preparation step for pretraining windows and RAG passage
+    indexes (contrast :func:`pack_sequences`, which CONCATENATES short
+    docs; this SPLITS long ones).
+
+    Returns (id, chunk_idx, chunk, n_chunk_tokens). Windows form IN-ROW
+    (transform over a sequence of window starts + slice), so the
+    operator is map-only and order-preserving at any scale; only the
+    final short window is emitted (standard tail handling: every token
+    appears in >= 1 chunk, the last window may be shorter than
+    ``size``). Empty/NULL token arrays produce no rows.
+    """
+    if size < 1:
+        raise ValueError(f"chunk_tokens: size must be >= 1, got {size}")
+    stride = size if stride is None else stride
+    if stride < 1 or stride > size:
+        raise ValueError(
+            f"chunk_tokens: stride must be in [1, size], got {stride}"
+        )
+    n = F.size("tokens")
+    # number of windows so that every token is covered and no window
+    # starts at/after the end: 1 + ceil(max(n - size, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - size, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.slice(F.col("tokens"), k * stride + 1, size),
+    )
+    out = tok_df.where(
+        F.col("tokens").isNotNull() & (F.size("tokens") > 0)
+    ).select("id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    return out.select(
+        "id", "chunk_idx", "chunk", F.size("chunk").alias("n_chunk_tokens")
+    )

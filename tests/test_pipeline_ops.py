@@ -277,3 +277,47 @@ def test_ivf_assignments_cover_all_vectors_once(spark, small_emb):
     assert len(rows) == small_emb.count()
     assert len({r["id"] for r in rows}) == len(rows)
     assert all(r["cluster"] in (0, 1) for r in rows)
+
+
+def test_chunk_tokens_matches_reference(spark):
+    """Windows vs a straight-line Python reference across sizes/strides
+    and lengths (shorter than size, exact multiple, off-by-one)."""
+    from sparkbigdatatextanalysis_spark.operators.pipeline import chunk_tokens
+
+    docs = {
+        0: [f"t{i}" for i in range(10)],
+        1: [f"t{i}" for i in range(3)],
+        2: [f"t{i}" for i in range(8)],   # exact multiple of size 4
+        3: [f"t{i}" for i in range(9)],   # one past a multiple
+        4: ["only"],
+    }
+    df = spark.createDataFrame(list(docs.items()), "id LONG, tokens ARRAY<STRING>")
+    for size, stride in [(4, 4), (4, 2), (5, 1), (3, 3)]:
+        got = {
+            (r["id"], r["chunk_idx"]): (list(r["chunk"]), r["n_chunk_tokens"])
+            for r in chunk_tokens(df, size, stride).collect()
+        }
+        exp = {}
+        for did, toks in docs.items():
+            n = len(toks)
+            n_chunks = 1 + max(0, -(-(n - size) // stride)) if n > size else 1
+            for k in range(n_chunks):
+                w = toks[k * stride : k * stride + size]
+                exp[(did, k)] = (w, len(w))
+        assert got == exp, (size, stride)
+
+
+def test_chunk_tokens_edge_cases(spark):
+    from sparkbigdatatextanalysis_spark.operators.pipeline import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(0, []), (1, None), (2, ["a", "b"])], "id LONG, tokens ARRAY<STRING>"
+    )
+    rows = chunk_tokens(df, size=5).collect()
+    assert [(r["id"], list(r["chunk"])) for r in rows] == [(2, ["a", "b"])]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="size must be"):
+        chunk_tokens(df, size=0)
+    with _pytest.raises(ValueError, match="stride must be"):
+        chunk_tokens(df, size=4, stride=5)
