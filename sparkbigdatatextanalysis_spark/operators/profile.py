@@ -92,3 +92,78 @@ def profile_table(
         F.explode(F.array(*[row_struct(c) for c in cols])).alias("s")
     )
     return tall.select("s.*")
+
+
+def profile_drift(
+    profile_old: DataFrame,
+    profile_new: DataFrame,
+    null_ratio_alert: float = 0.05,
+    distinct_ratio_alert: float = 0.5,
+) -> DataFrame:
+    """Snapshot-over-snapshot drift report from two :func:`profile_table`
+    outputs: per column, the null-ratio delta, the relative change in
+    distinct cardinality, range movement, and presence changes (column
+    added/removed between snapshots).
+
+    Returns (col_name, status, null_ratio_old, null_ratio_new,
+    null_ratio_delta, distinct_rel_change, range_moved, alert) where
+    ``status`` is 'both' / 'added' / 'removed' and ``alert`` fires when
+    the null-ratio delta exceeds ``null_ratio_alert``, the distinct
+    cardinality changes by more than ``distinct_ratio_alert``
+    (relative), or a column appeared/disappeared -- the ingest-gate
+    check a daily pipeline runs before a new snapshot joins the corpus.
+
+    Scale: the inputs are already profile outputs (one row per column),
+    so this is a full-outer join of two tiny tables -- driver-free but
+    effectively free at any corpus size; the expensive part (the scans)
+    happened in profile_table.
+    """
+    o = profile_old.select(
+        "col_name",
+        (1 - F.col("n_nulls") / F.col("n_rows")).alias("_fill_o"),
+        F.col("n_nulls").alias("_nn_o"),
+        F.col("n_rows").alias("_nr_o"),
+        F.col("n_distinct").alias("_nd_o"),
+        F.col("min_num").alias("_mn_o"),
+        F.col("max_num").alias("_mx_o"),
+    )
+    n = profile_new.select(
+        "col_name",
+        F.col("n_nulls").alias("_nn_n"),
+        F.col("n_rows").alias("_nr_n"),
+        F.col("n_distinct").alias("_nd_n"),
+        F.col("min_num").alias("_mn_n"),
+        F.col("max_num").alias("_mx_n"),
+    )
+    j = o.join(n, "col_name", "full_outer")
+    status = (
+        F.when(F.col("_nr_o").isNull(), F.lit("added"))
+        .when(F.col("_nr_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("both"))
+    )
+    nro = F.col("_nn_o") / F.col("_nr_o")
+    nrn = F.col("_nn_n") / F.col("_nr_n")
+    nr_delta = nrn - nro
+    nd_rel = F.when(
+        F.col("_nd_o") > 0, F.abs(F.col("_nd_n") - F.col("_nd_o")) / F.col("_nd_o")
+    )
+    range_moved = (
+        F.col("_mn_o").isNotNull()
+        & F.col("_mn_n").isNotNull()
+        & ((F.col("_mn_n") < F.col("_mn_o")) | (F.col("_mx_n") > F.col("_mx_o")))
+    )
+    alert = (
+        (status != "both")
+        | (F.abs(F.coalesce(nr_delta, F.lit(0.0))) > null_ratio_alert)
+        | (F.coalesce(nd_rel, F.lit(0.0)) > distinct_ratio_alert)
+    )
+    return j.select(
+        "col_name",
+        status.alias("status"),
+        F.round(nro, 6).alias("null_ratio_old"),
+        F.round(nrn, 6).alias("null_ratio_new"),
+        F.round(nr_delta, 6).alias("null_ratio_delta"),
+        F.round(nd_rel, 6).alias("distinct_rel_change"),
+        F.coalesce(range_moved, F.lit(False)).alias("range_moved"),
+        alert.alias("alert"),
+    )

@@ -126,3 +126,50 @@ def test_bigram_top_k_counts_and_short_docs(spark):
     tok = spark.createDataFrame(rows, "id INT, tokens ARRAY<STRING>")
     got = [tuple(r) for r in pl.bigram_top_k(tok, k=3).collect()]
     assert got == [("a b", 3, 1), ("b a", 1, 2)]
+
+
+def test_profile_drift_detects_changes(spark):
+    """Drift between two snapshots: a null spike alerts, a stable column
+    does not, added/removed columns always alert, range widening is
+    reported."""
+    from sparkbigdatatextanalysis_spark.operators.profile import (
+        profile_drift,
+        profile_table,
+    )
+
+    old = spark.createDataFrame(
+        [(i, float(i % 10), "x") for i in range(100)],
+        "id LONG, v DOUBLE, s STRING",
+    )
+    rows = [
+        (i, None if i % 4 == 0 else float(i % 10) * 2, "x")  # nulls + wider range
+        for i in range(100)
+    ]
+    new = spark.createDataFrame(rows, "id LONG, v DOUBLE, s STRING")
+    po = profile_table(old, num_cols=["id", "v"], str_cols=["s"])
+    pn = profile_table(new, num_cols=["id", "v"], str_cols=["s"])
+    drift = {r["col_name"]: r for r in profile_drift(po, pn).collect()}
+
+    assert drift["v"]["alert"] is True
+    assert drift["v"]["null_ratio_delta"] == 0.25
+    assert drift["v"]["range_moved"] is True
+    assert drift["id"]["alert"] is False
+    assert drift["id"]["null_ratio_delta"] == 0.0
+    assert drift["s"]["alert"] is False
+
+
+def test_profile_drift_added_removed_columns(spark):
+    from sparkbigdatatextanalysis_spark.operators.profile import (
+        profile_drift,
+        profile_table,
+    )
+
+    old = spark.createDataFrame([(1, "a")], "id LONG, gone STRING")
+    new = spark.createDataFrame([(1, 2.0)], "id LONG, fresh DOUBLE")
+    po = profile_table(old, num_cols=["id"], str_cols=["gone"])
+    pn = profile_table(new, num_cols=["id", "fresh"])
+    drift = {r["col_name"]: (r["status"], r["alert"])
+             for r in profile_drift(po, pn).collect()}
+    assert drift["gone"] == ("removed", True)
+    assert drift["fresh"] == ("added", True)
+    assert drift["id"] == ("both", False)
