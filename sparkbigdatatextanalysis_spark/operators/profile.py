@@ -109,9 +109,12 @@ def profile_drift(
     null_ratio_delta, distinct_rel_change, range_moved, alert) where
     ``status`` is 'both' / 'added' / 'removed' and ``alert`` fires when
     the null-ratio delta exceeds ``null_ratio_alert``, the distinct
-    cardinality changes by more than ``distinct_ratio_alert``
-    (relative), or a column appeared/disappeared -- the ingest-gate
-    check a daily pipeline runs before a new snapshot joins the corpus.
+    cardinality changes by more than ``distinct_ratio_alert`` (relative;
+    a 0 -> N explosion counts as infinite), the value range widens in
+    either direction (numeric or string/timestamp slots), one side is
+    an empty snapshot while the other has rows, or a column appeared/
+    disappeared -- the ingest-gate check a daily pipeline runs before a
+    new snapshot joins the corpus.
 
     Scale: the inputs are already profile outputs (one row per column),
     so this is a full-outer join of two tiny tables -- driver-free but
@@ -120,12 +123,13 @@ def profile_drift(
     """
     o = profile_old.select(
         "col_name",
-        (1 - F.col("n_nulls") / F.col("n_rows")).alias("_fill_o"),
         F.col("n_nulls").alias("_nn_o"),
         F.col("n_rows").alias("_nr_o"),
         F.col("n_distinct").alias("_nd_o"),
         F.col("min_num").alias("_mn_o"),
         F.col("max_num").alias("_mx_o"),
+        F.col("min_str").alias("_ms_o"),
+        F.col("max_str").alias("_xs_o"),
     )
     n = profile_new.select(
         "col_name",
@@ -134,6 +138,8 @@ def profile_drift(
         F.col("n_distinct").alias("_nd_n"),
         F.col("min_num").alias("_mn_n"),
         F.col("max_num").alias("_mx_n"),
+        F.col("min_str").alias("_ms_n"),
+        F.col("max_str").alias("_xs_n"),
     )
     j = o.join(n, "col_name", "full_outer")
     status = (
@@ -141,21 +147,48 @@ def profile_drift(
         .when(F.col("_nr_n").isNull(), F.lit("removed"))
         .otherwise(F.lit("both"))
     )
-    nro = F.col("_nn_o") / F.col("_nr_o")
-    nrn = F.col("_nn_n") / F.col("_nr_n")
+
+    # Zero-row-guarded ratios: the unguarded division crashes under
+    # Spark 4's default ANSI mode the day an ingest produces an empty
+    # snapshot (and silently reads as "no drift" with ANSI off).
+    def _ratio(nn, nr):
+        return F.when(F.col(nr) > 0, F.col(nn) / F.col(nr))
+
+    nro = _ratio("_nn_o", "_nr_o")
+    nrn = _ratio("_nn_n", "_nr_n")
     nr_delta = nrn - nro
+    # 0 -> N distinct is an unbounded relative change, not "no change".
     nd_rel = F.when(
-        F.col("_nd_o") > 0, F.abs(F.col("_nd_n") - F.col("_nd_o")) / F.col("_nd_o")
+        F.col("_nd_o") > 0,
+        F.abs(F.col("_nd_n") - F.col("_nd_o")) / F.col("_nd_o"),
+    ).when(
+        (F.col("_nd_o") == 0) & (F.col("_nd_n") > 0), F.lit(float("inf"))
     )
-    range_moved = (
-        F.col("_mn_o").isNotNull()
-        & F.col("_mn_n").isNotNull()
-        & ((F.col("_mn_n") < F.col("_mn_o")) | (F.col("_mx_n") > F.col("_mx_o")))
+
+    def _widened(lo_o, lo_n, hi_o, hi_n):
+        return (
+            F.col(lo_o).isNotNull()
+            & F.col(lo_n).isNotNull()
+            & ((F.col(lo_n) < F.col(lo_o)) | (F.col(hi_n) > F.col(hi_o)))
+        )
+
+    # numeric ranges compare numerically; string/timestamp ranges live in
+    # the _str slots (timestamps formatted so lexicographic order is
+    # chronological)
+    range_moved = _widened("_mn_o", "_mn_n", "_mx_o", "_mx_n") | _widened(
+        "_ms_o", "_ms_n", "_xs_o", "_xs_n"
     )
+    # One side empty while the other has rows is itself drift even
+    # though the ratios are NULL then.
+    emptiness_flip = (
+        (F.col("_nr_o") == 0) & (F.col("_nr_n") > 0)
+    ) | ((F.col("_nr_o") > 0) & (F.col("_nr_n") == 0))
     alert = (
         (status != "both")
+        | F.coalesce(emptiness_flip, F.lit(False))
         | (F.abs(F.coalesce(nr_delta, F.lit(0.0))) > null_ratio_alert)
         | (F.coalesce(nd_rel, F.lit(0.0)) > distinct_ratio_alert)
+        | F.coalesce(range_moved, F.lit(False))
     )
     return j.select(
         "col_name",

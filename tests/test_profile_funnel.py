@@ -173,3 +173,36 @@ def test_profile_drift_added_removed_columns(spark):
     assert drift["gone"] == ("removed", True)
     assert drift["fresh"] == ("added", True)
     assert drift["id"] == ("both", False)
+
+
+def test_profile_drift_range_only_and_empty_snapshot(spark):
+    """Range widening alone must alert (regression: range_moved was
+    reported but excluded from the gate); an empty new snapshot must
+    alert rather than crash (ANSI division) or read as no-drift; a
+    0 -> N distinct explosion must alert."""
+    from sparkbigdatatextanalysis_spark.operators.profile import (
+        profile_drift,
+        profile_table,
+    )
+
+    old = spark.createDataFrame(
+        [(float(i % 5), None) for i in range(50)], "v DOUBLE, z DOUBLE"
+    )
+    new = spark.createDataFrame(
+        [(float(i % 5) if i else 99.0, float(i % 7)) for i in range(50)],
+        "v DOUBLE, z DOUBLE",
+    )
+    po = profile_table(old, num_cols=["v", "z"])
+    pn = profile_table(new, num_cols=["v", "z"])
+    drift = {r["col_name"]: r for r in profile_drift(po, pn).collect()}
+    # v: same null ratio, distinct 5 -> 6 (under 50%), max 4 -> 99
+    assert drift["v"]["range_moved"] is True
+    assert drift["v"]["alert"] is True
+    # z: all-null -> populated = 0 -> 7 distinct explosion
+    assert drift["z"]["alert"] is True
+
+    empty = spark.createDataFrame([], "v DOUBLE, z DOUBLE")
+    pe = profile_table(empty, num_cols=["v", "z"])
+    d2 = {r["col_name"]: r for r in profile_drift(po, pe).collect()}
+    assert d2["v"]["alert"] is True  # populated -> empty snapshot
+    assert d2["v"]["null_ratio_new"] is None
