@@ -139,7 +139,10 @@ def threshold_sweep(
         (F.col("pred_pos") - F.col("tp")).alias("fp"),
         (F.col("n_dups") - F.col("tp")).alias("fn"),
         F.when(F.col("pred_pos") > 0, F.col("tp") / F.col("pred_pos")).alias("precision"),
-        (F.col("tp") / F.col("n_dups")).alias("recall"),
+        # n_dups == 0 (empty gold standard) -> NULL recall, matching the
+        # precision guard; the unguarded division raises under Spark 4's
+        # default ANSI mode.
+        F.when(F.col("n_dups") > 0, F.col("tp") / F.col("n_dups")).alias("recall"),
         F.when(
             (F.col("pred_pos") + F.col("n_dups")) > 0,
             2.0 * F.col("tp") / (F.col("pred_pos") + F.col("n_dups")),

@@ -112,3 +112,18 @@ def test_minhash_on_degenerates(spark, degenerate_docs):
     pairs = dd.minhash_lsh_pairs(safe)
     got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
     assert (4, 5) in got  # identical docs must land in the same buckets
+
+
+def test_threshold_sweep_empty_gold(spark):
+    """An empty gold-standard table yields NULL recall (not an ANSI
+    divide-by-zero crash)."""
+    from sparkbigdatatextanalysis_spark.operators.evaluation import threshold_sweep
+
+    sims = spark.createDataFrame(
+        [(1, 2, 0.5), (3, 4, 0.9)], "a_id LONG, b_id LONG, sim DOUBLE"
+    )
+    gold = spark.createDataFrame([], "a_id LONG, b_id LONG")
+    rows = threshold_sweep(sims, gold).collect()
+    assert len(rows) == 101
+    assert all(r["recall"] is None for r in rows)
+    assert all(r["fn"] == 0 for r in rows)
