@@ -263,3 +263,52 @@ def chunk_tokens(
     return out.select(
         "id", "chunk_idx", "chunk", F.size("chunk").alias("n_chunk_tokens")
     )
+
+
+def sample_to_token_budget(
+    doc_tokens: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Downsample a corpus to ~``budget`` total tokens: keep a
+    deterministic hash-random subset of documents whose token counts sum
+    to the budget -- the "train on 50B of these 2T tokens" step of corpus
+    construction.
+
+    Documents are ordered by an md5-derived hash (salted 'budget:' so
+    the order is decorrelated from the split/sampling hashes), sharded
+    for parallelism like :func:`pack_sequences`, and kept while the
+    shard's running token total is below its share of the budget. The
+    greedy prefix admits the document straddling the boundary, so the
+    overshoot is bounded by n_shards * max_doc_tokens -- negligible at
+    real budgets; reproducible across engines, partitionings, and reruns
+    (hash order, not rand()).
+
+    Returns the kept (doc_id, n_tokens, shard, cum_before) rows. One
+    shuffle (the per-shard hash-order sort); map-only otherwise.
+    """
+    if budget < 1:
+        raise ValueError(f"sample_to_token_budget: budget must be >= 1, got {budget}")
+    h = string_hash31(
+        F.concat(F.lit("budget:"), F.col(id_col).cast("string"))
+    )
+    sharded = doc_tokens.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        (h % n_shards).alias("shard"),
+        h.alias("_order"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_order", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    shard_budget = budget / n_shards
+    return (
+        sharded.withColumn("cum_before", cum_before)
+        .where(F.col("cum_before") < shard_budget)
+        .select("doc_id", "n_tokens", "shard", "cum_before")
+    )

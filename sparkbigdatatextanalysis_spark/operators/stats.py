@@ -82,3 +82,39 @@ def heavy_hitters(
             F.round(F.col("n_rows") / F.col("_total"), 9).alias("share"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value: str,
+    group: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization (percentile clipping): values below the
+    group's ``lower`` quantile or above its ``upper`` quantile are
+    clamped to those bounds -- the robust-normalization step that stops
+    heavy-tailed metrics (prices, latencies, doc lengths) from dominating
+    downstream statistics.
+
+    Adds ``<value>_wins`` and ``was_clipped`` to the input columns. One
+    percentile aggregation per group (exact; swap in approx_percentile
+    for the t-digest mergeable path at extreme group sizes, same shape
+    as value_percentiles) + a broadcast join back -- the bounds table is
+    |groups| rows, the clipping itself map-only."""
+    if not 0 <= lower < upper <= 1:
+        raise ValueError(f"winsorize: need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    v = F.col(value)
+    bounds = df.groupBy(*group).agg(
+        F.percentile(v, F.lit(lower)).alias("_lo"),
+        F.percentile(v, F.lit(upper)).alias("_hi"),
+    )
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(bounds), group)
+        .select(
+            *df.columns,
+            clipped.alias(f"{value}_wins"),
+            ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("was_clipped"),
+        )
+    )

@@ -357,3 +357,68 @@ def test_gap_fill_properties_random(spark):
             if kk == k
         )
         assert {b: c for b, c in d.items() if c > 0} == dict(exp)
+
+
+# ---------------------------------------------------------------------------
+# winsorize
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_matches_numpy(spark):
+    rng = np.random.default_rng(17)
+    rows = [
+        (g, float(v))
+        for g in ("a", "b")
+        for v in rng.normal(0, 100, 200)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = st.winsorize(df, "v", ["g"], lower=0.05, upper=0.95).collect()
+    import numpy as _np
+
+    for g in ("a", "b"):
+        vals = _np.array([v for gg, v in rows if gg == g])
+        lo = _np.quantile(vals, 0.05)  # linear interpolation, same as SQL percentile
+        hi = _np.quantile(vals, 0.95)
+        got = [(r["v"], r["v_wins"], r["was_clipped"]) for r in out if r["g"] == g]
+        assert len(got) == 200
+        for v, w, clipped in got:
+            assert w == pytest.approx(min(max(v, lo), hi), rel=1e-12)
+            assert clipped == (v < lo or v > hi)
+    n_clipped = sum(r["was_clipped"] for r in out)
+    assert 0 < n_clipped <= 0.11 * len(rows)
+
+
+def test_winsorize_validates(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g STRING, v DOUBLE")
+    with pytest.raises(ValueError, match="lower < upper"):
+        st.winsorize(df, "v", ["g"], lower=0.9, upper=0.1)
+
+
+# ---------------------------------------------------------------------------
+# sample_to_token_budget
+# ---------------------------------------------------------------------------
+
+
+def test_sample_to_token_budget_properties(spark):
+    from sparkbigdatatextanalysis_spark.operators.pipeline import (
+        sample_to_token_budget,
+    )
+
+    rng = np.random.default_rng(23)
+    docs = [(i, int(rng.integers(50, 500))) for i in range(2000)]
+    total = sum(n for _, n in docs)
+    budget = total // 4
+    df = spark.createDataFrame(docs, "doc_id LONG, n_tokens LONG")
+    kept = sample_to_token_budget(df, budget, n_shards=8)
+    rows = kept.collect()
+    kept_tokens = sum(r["n_tokens"] for r in rows)
+    max_doc = max(n for _, n in docs)
+    # budget respected within the documented overshoot bound, and not
+    # wildly undershot (each shard fills to its share)
+    assert kept_tokens < budget + 8 * max_doc
+    assert kept_tokens > 0.8 * budget
+    # deterministic: same result under a different partitioning
+    rows2 = sample_to_token_budget(df.repartition(13), budget, n_shards=8).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in rows2)
+    with pytest.raises(ValueError, match="budget must be"):
+        sample_to_token_budget(df, 0)
