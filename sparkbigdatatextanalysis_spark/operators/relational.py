@@ -201,3 +201,50 @@ def merge_upsert(
         .drop("_in_target")
     )
     return kept.unionByName(upserts.select(*kept.columns))
+
+
+def scd2_history(
+    events: DataFrame,
+    key: str,
+    ts: str = "ts",
+    attrs: list[str] | None = None,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history build: turn a change
+    stream of (key, ts, attributes...) into validity intervals -- one
+    row per version with ``valid_from``, ``valid_to`` (NULL = current)
+    and ``is_current``. The warehouse-side companion of
+    :func:`keep_latest` (which keeps only the final version).
+
+    Consecutive events with IDENTICAL attribute values collapse into one
+    interval (a heartbeat re-stating the same attributes does not cut a
+    new version). One shuffle on the high-cardinality key for the two
+    stacked windows (change detection + lead), both sharing the same
+    (partition, sort) so Spark plans a single sort.
+    """
+    attrs = attrs or [c for c in events.columns if c not in (key, ts)]
+    for c in ("_chg", "_ver", "valid_from", "valid_to", "is_current"):
+        if c in events.columns:
+            raise ValueError(f"scd2_history: input already has column {c!r}")
+    order = [F.col(ts)] + ([F.col(tiebreaker)] if tiebreaker else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    same_as_prev = F.lit(True)
+    for a in attrs:
+        same_as_prev = same_as_prev & F.lag(F.col(a)).over(w).eqNullSafe(F.col(a))
+    # first row per key: lag is NULL -> eqNullSafe false unless attr is
+    # NULL too; force a version start explicitly
+    is_change = F.when(
+        F.row_number().over(w) == 1, F.lit(True)
+    ).otherwise(~same_as_prev)
+    versioned = (
+        events.withColumn("_chg", is_change.cast("int"))
+        .withColumn("_ver", F.sum("_chg").over(w))
+        .where(F.col("_chg") == 1)
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return versioned.select(
+        key,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(F.col(ts)).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -106,3 +106,62 @@ def test_interval_join_is_not_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_scd2_history_intervals_and_collapse(spark):
+    """Version intervals chain correctly, identical restatements
+    collapse, and exactly one current row per key remains."""
+    import datetime as dt
+
+    from sparkbigdatatextanalysis_spark.operators.relational import scd2_history
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        (1, t(1), "gold", "eu"),
+        (1, t(3), "gold", "eu"),     # restatement: no new version
+        (1, t(5), "plat", "eu"),     # attr change
+        (1, t(8), "plat", "us"),     # second change
+        (2, t(2), "gold", "us"),     # single-version key
+    ]
+    ev = spark.createDataFrame(rows, "uid INT, ts TIMESTAMP, tier STRING, region STRING")
+    hist = scd2_history(ev, key="uid", ts="ts").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["uid"], []).append(
+            (r["valid_from"], r["valid_to"], r["tier"], r["region"], r["is_current"])
+        )
+    u1 = sorted(by_key[1])
+    assert u1 == [
+        (t(1), t(5), "gold", "eu", False),
+        (t(5), t(8), "plat", "eu", False),
+        (t(8), None, "plat", "us", True),
+    ]
+    assert by_key[2] == [(t(2), None, "gold", "us", True)]
+    # intervals chain: each valid_to equals the next valid_from
+    for k, ivals in by_key.items():
+        ivals = sorted(ivals)
+        for (f1, to1, *_), (f2, *_rest) in zip(ivals, ivals[1:]):
+            assert to1 == f2
+
+
+def test_scd2_history_null_attrs_and_guards(spark):
+    import datetime as dt
+
+    from sparkbigdatatextanalysis_spark.operators.relational import scd2_history
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, t(1), None), (1, t(2), None), (1, t(3), "x")],
+        "uid INT, ts TIMESTAMP, v STRING",
+    )
+    hist = sorted(
+        (r["valid_from"], r["valid_to"], r["v"])
+        for r in scd2_history(ev, key="uid", ts="ts").collect()
+    )
+    # NULL == NULL restatement collapses (eqNullSafe), NULL -> x cuts
+    assert hist == [(t(1), t(3), None), (t(3), None, "x")]
+    bad = spark.createDataFrame([(1, t(1), 1)], "uid INT, ts TIMESTAMP, valid_from INT")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="valid_from"):
+        scd2_history(bad, key="uid", ts="ts", attrs=[])

@@ -167,3 +167,26 @@ def test_jsonl_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: r["text"] for r in src.collect()}
     b = {r["doc_id"]: r["text"] for r in back.collect()}
     assert a == b
+
+
+def test_prefix_blocking_pairs(spark):
+    from sparkbigdatatextanalysis_spark.operators.dedup import (
+        prefix_blocking_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Adobe Photoshop CS2"),
+            (2, "adobe-photoshop elements"),   # same normalized prefix
+            (3, "ADOBE  PHOTO shop 7"),        # punctuation/space variants
+            (4, "Microsoft Office"),
+            (5, ""),                           # empty: no block key
+        ],
+        "doc_id LONG, text STRING",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["block_key"]
+        for r in prefix_blocking_pairs(docs, prefix_len=10).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert set(pairs.values()) == {"adobephoto"}
