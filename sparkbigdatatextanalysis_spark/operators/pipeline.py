@@ -140,17 +140,10 @@ def pack_sequences(
     production so each shard's running-sum window stays executor-sized.
     One shuffle (the per-shard sort); everything else is map-only.
     """
-    sharded = doc_tokens.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(tokens_col).cast("long").alias("n_tokens"),
-        (string_hash31(F.col(id_col).cast("string")) % n_shards).alias("shard"),
+    sharded = _sharded_cumsum(
+        doc_tokens, id_col, tokens_col, n_shards, salt="", order_by_hash=False
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    cum_before = F.col("cum_before")
     return sharded.select(
         "doc_id",
         "shard",
@@ -158,6 +151,41 @@ def pack_sequences(
         (cum_before % budget).alias("pack_offset"),
         "n_tokens",
     )
+
+
+def _sharded_cumsum(
+    doc_tokens: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n_shards: int,
+    salt: str,
+    order_by_hash: bool,
+) -> DataFrame:
+    """Shared shard-projection + per-shard running-sum block for the
+    packing/sampling operators: (doc_id, n_tokens, shard, cum_before),
+    ``cum_before`` = tokens of this shard's rows strictly before this
+    row in (hash-)order. One definition so the shard math cannot
+    diverge between operators."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = string_hash31(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    )
+    sharded = doc_tokens.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        (h % n_shards).alias("shard"),
+        h.alias("_order"),
+    )
+    order = ["_order", "doc_id"] if order_by_hash else ["doc_id"]
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sharded.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).drop("_order")
 
 
 def unigram_logprob(tok_df: DataFrame, broadcast_uni: bool = True) -> DataFrame:
@@ -291,24 +319,11 @@ def sample_to_token_budget(
     """
     if budget < 1:
         raise ValueError(f"sample_to_token_budget: budget must be >= 1, got {budget}")
-    h = string_hash31(
-        F.concat(F.lit("budget:"), F.col(id_col).cast("string"))
+    sharded = _sharded_cumsum(
+        doc_tokens, id_col, tokens_col, n_shards, salt="budget:",
+        order_by_hash=True,
     )
-    sharded = doc_tokens.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(tokens_col).cast("long").alias("n_tokens"),
-        (h % n_shards).alias("shard"),
-        h.alias("_order"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("_order", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     shard_budget = budget / n_shards
-    return (
-        sharded.withColumn("cum_before", cum_before)
-        .where(F.col("cum_before") < shard_budget)
-        .select("doc_id", "n_tokens", "shard", "cum_before")
+    return sharded.where(F.col("cum_before") < shard_budget).select(
+        "doc_id", "n_tokens", "shard", "cum_before"
     )

@@ -223,7 +223,7 @@ def scd2_history(
     (partition, sort) so Spark plans a single sort.
     """
     attrs = attrs or [c for c in events.columns if c not in (key, ts)]
-    for c in ("_chg", "_ver", "valid_from", "valid_to", "is_current"):
+    for c in ("_chg", "valid_from", "valid_to", "is_current"):
         if c in events.columns:
             raise ValueError(f"scd2_history: input already has column {c!r}")
     order = [F.col(ts)] + ([F.col(tiebreaker)] if tiebreaker else [])
@@ -236,10 +236,8 @@ def scd2_history(
     is_change = F.when(
         F.row_number().over(w) == 1, F.lit(True)
     ).otherwise(~same_as_prev)
-    versioned = (
-        events.withColumn("_chg", is_change.cast("int"))
-        .withColumn("_ver", F.sum("_chg").over(w))
-        .where(F.col("_chg") == 1)
+    versioned = events.withColumn("_chg", is_change.cast("int")).where(
+        F.col("_chg") == 1
     )
     w2 = Window.partitionBy(key).orderBy(*order)
     return versioned.select(

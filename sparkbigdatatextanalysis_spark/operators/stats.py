@@ -97,24 +97,44 @@ def winsorize(
     heavy-tailed metrics (prices, latencies, doc lengths) from dominating
     downstream statistics.
 
-    Adds ``<value>_wins`` and ``was_clipped`` to the input columns. One
-    percentile aggregation per group (exact; swap in approx_percentile
-    for the t-digest mergeable path at extreme group sizes, same shape
-    as value_percentiles) + a broadcast join back -- the bounds table is
-    |groups| rows, the clipping itself map-only."""
+    Adds ``<value>_wins`` and ``was_clipped`` to the input columns
+    (NULL values stay NULL and count as not clipped; NULL group keys
+    form their own group via a null-safe join, so the row count is
+    preserved). One percentile aggregation per group (exact; swap in
+    approx_percentile for the t-digest mergeable path at extreme group
+    sizes, same shape as value_percentiles) + a broadcast join back --
+    the bounds table is |groups| rows, the clipping itself map-only."""
     if not 0 <= lower < upper <= 1:
         raise ValueError(f"winsorize: need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    reserved = {"_lo", "_hi", f"{value}_wins", "was_clipped"} | {
+        f"_g_{g}" for g in group
+    }
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"winsorize: input already has column(s) {clash}")
     v = F.col(value)
-    bounds = df.groupBy(*group).agg(
+    bounds = df.groupBy(
+        *[F.col(g).alias(f"_g_{g}") for g in group]
+    ).agg(
         F.percentile(v, F.lit(lower)).alias("_lo"),
         F.percentile(v, F.lit(upper)).alias("_hi"),
     )
+    # eqNullSafe: a plain equi-join would silently DROP rows whose group
+    # key is NULL (percentiles of the NULL group exist, the join just
+    # never matches them).
+    cond = F.lit(True)
+    for g in group:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_g_{g}"))
     clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
     return (
-        df.join(F.broadcast(bounds), group)
+        df.join(F.broadcast(bounds), cond)
         .select(
             *df.columns,
-            clipped.alias(f"{value}_wins"),
-            ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("was_clipped"),
+            # greatest/least SKIP null args, which would fabricate the
+            # lower bound for a missing value -- keep NULL as NULL
+            F.when(v.isNotNull(), clipped).alias(f"{value}_wins"),
+            F.coalesce(
+                (v < F.col("_lo")) | (v > F.col("_hi")), F.lit(False)
+            ).alias("was_clipped"),
         )
     )

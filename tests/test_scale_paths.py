@@ -190,3 +190,19 @@ def test_prefix_blocking_pairs(spark):
     }
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
     assert set(pairs.values()) == {"adobephoto"}
+
+
+def test_prefix_blocking_keeps_unicode_alphanumerics(spark):
+    from sparkbigdatatextanalysis_spark.operators.dedup import (
+        prefix_blocking_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Café Müller!"), (2, "café müller 2"), (3, "漢字 タイトル"), (4, "漢字・タイトル")],
+        "doc_id LONG, text STRING",
+    )
+    pairs = {(r["a_id"], r["b_id"]): r["block_key"]
+             for r in prefix_blocking_pairs(docs, prefix_len=6).collect()}
+    # accented and CJK text keeps its characters: variants block together
+    assert set(pairs) == {(1, 2), (3, 4)}
+    assert pairs[(1, 2)] == "cafémü"

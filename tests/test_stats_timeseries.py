@@ -422,3 +422,41 @@ def test_sample_to_token_budget_properties(spark):
     assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in rows2)
     with pytest.raises(ValueError, match="budget must be"):
         sample_to_token_budget(df, 0)
+
+
+def test_winsorize_null_value_and_null_group(spark):
+    """NULL values stay NULL (not fabricated into the lower bound) and
+    NULL group keys keep their rows (null-safe bounds join)."""
+    rows = [("a", float(v)) for v in range(100)] + [
+        ("a", None),
+        (None, 5.0),
+        (None, 500.0),
+        (None, None),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = st.winsorize(df, "v", ["g"], lower=0.1, upper=0.9).collect()
+    assert len(out) == len(rows)  # no row lost
+    null_v = [r for r in out if r["g"] == "a" and r["v"] is None]
+    assert null_v[0]["v_wins"] is None
+    assert null_v[0]["was_clipped"] is False
+    null_g = {r["v"]: r["v_wins"] for r in out if r["g"] is None}
+    # NULL group: bounds from {5.0, 500.0}; both endpoints unclipped
+    # (they ARE the percent bounds' interpolation range)
+    assert set(null_g) == {5.0, 500.0, None}
+
+
+def test_winsorize_reserved_columns(spark):
+    df = spark.createDataFrame([("a", 1.0, 2.0)], "g STRING, v DOUBLE, _lo DOUBLE")
+    with pytest.raises(ValueError, match="_lo"):
+        st.winsorize(df, "v", ["g"])
+
+
+def test_sample_to_token_budget_validates_shards(spark):
+    from sparkbigdatatextanalysis_spark.operators.pipeline import (
+        sample_to_token_budget,
+    )
+
+    df = spark.createDataFrame([(1, 10)], "doc_id LONG, n_tokens LONG")
+    for bad in (0, -8):
+        with pytest.raises(ValueError, match="n_shards"):
+            sample_to_token_budget(df, 100, n_shards=bad)
