@@ -30,21 +30,30 @@ def asof_join(
     right_ts: str = "ts",
     right_payload: list[str] | None = None,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the right row with the
-    greatest ``right_ts`` <= ``left_ts`` (< when ``strict``) for the same
-    ``key``. Unmatched left rows keep NULL payload (left-outer
-    semantics).
+    """As-of join: each left row picks the nearest right row for the
+    same ``key`` -- ``direction="backward"`` (default) takes the
+    greatest ``right_ts`` <= ``left_ts`` (< when ``strict``), the
+    point-in-time lookup; ``direction="forward"`` takes the SMALLEST
+    ``right_ts`` >= ``left_ts`` (> when ``strict``), the
+    next-event/next-quote lookup. Unmatched left rows keep NULL payload
+    (left-outer semantics).
 
     Implementation: union-tag both sides, one window sorted by
-    (ts, tag) per key, carry the latest right payload forward with
-    ``last(ignorenulls)``, keep left rows. Right rows sort before left
-    rows at equal timestamps (tag 0 < 1), which realizes the inclusive
-    bound; ``strict`` flips the tag order so simultaneous right rows are
-    not yet visible. Ties among right rows at the same (key, ts) resolve
-    to the row latest in the union sort -- pre-deduplicate the right side
-    if that matters.
+    (ts, tag) per key -- descending for forward, so "carry the last
+    seen right row" always means "nearest in the wanted direction" --
+    and carry the right payload with ``last(ignorenulls)``, keep left
+    rows. Right rows sort before left rows at equal timestamps
+    (tag order), which realizes the inclusive bound; ``strict`` flips
+    the tag order so simultaneous right rows are not visible. Ties among
+    right rows at the same (key, ts) resolve to the row latest in the
+    union sort -- pre-deduplicate the right side if that matters.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+        )
     right_payload = right_payload or [
         c for c in right.columns if c not in (key, right_ts)
     ]
@@ -73,9 +82,10 @@ def asof_join(
         payload_struct.alias("_rrow"),
     )
     u = lu.unionByName(ru)
+    ts_order = F.col("_t") if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_tag")
+        .orderBy(ts_order, "_tag")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.withColumn("_r", F.last("_rrow", ignorenulls=True).over(w))

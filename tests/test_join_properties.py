@@ -28,8 +28,13 @@ RIGHT = st.lists(st.tuples(KEYS, TS), min_size=0, max_size=12)
 
 
 @PROP
-@given(left=LEFT, right=RIGHT, strict=st.booleans())
-def test_asof_matches_naive(spark, left, right, strict):
+@given(
+    left=LEFT,
+    right=RIGHT,
+    strict=st.booleans(),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_matches_naive(spark, left, right, strict, direction):
     # de-dup right rows on (key, ts): the operator documents ties among
     # right rows at identical (key, ts) as caller-resolved
     seen = set()
@@ -40,15 +45,25 @@ def test_asof_matches_naive(spark, left, right, strict):
     rdf = spark.createDataFrame(
         [(j, k, t) for j, (k, t) in enumerate(right)], "rid INT, k INT, ts INT"
     )
-    out = rel.asof_join(ldf, rdf, key="k", right_payload=["rid"], strict=strict)
+    out = rel.asof_join(
+        ldf, rdf, key="k", right_payload=["rid"], strict=strict,
+        direction=direction,
+    )
     got = {r["lid"]: r["rid"] for r in out.collect()}
     want = {}
     for i, (k, t) in enumerate(left):
-        cands = [
-            (rt, j) for j, (rk, rt) in enumerate(right)
-            if rk == k and (rt < t if strict else rt <= t)
-        ]
-        want[i] = max(cands)[1] if cands else None
+        if direction == "backward":
+            cands = [
+                (rt, j) for j, (rk, rt) in enumerate(right)
+                if rk == k and (rt < t if strict else rt <= t)
+            ]
+            want[i] = max(cands)[1] if cands else None
+        else:
+            cands = [
+                (rt, j) for j, (rk, rt) in enumerate(right)
+                if rk == k and (rt > t if strict else rt >= t)
+            ]
+            want[i] = min(cands)[1] if cands else None
     assert got == want
 
 
