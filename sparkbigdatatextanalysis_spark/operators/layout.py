@@ -82,3 +82,26 @@ def zorder_key(
     return df.join(F.broadcast(stats)).select(
         *df.columns, interleave_bits(grids, bits).alias(out)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``:
+    range-partition on the key (so files own contiguous z-ranges), sort
+    within partitions (so row groups inside each file are contiguous
+    too), drop the key, write. After this, parquet min/max statistics
+    are narrow on EVERY ``cols`` member -- verified directly against the
+    written row-group metadata in tests/test_layout.py."""
+    keyed = zorder_key(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -82,3 +82,51 @@ def test_zorder_key_nulls_and_constant_columns(spark):
     got = {r["x"]: r["zkey"] for r in const}
     assert got[0] == 0
     assert got[15] == _ref_interleave([15, 0], 4)
+
+
+def test_write_zordered_row_group_stats_narrow(spark, tmp_path):
+    """End-to-end: the WRITTEN parquet's per-file min/max statistics are
+    narrow on both z-ordered columns (the metadata the reader's
+    skipping actually uses), while a linear-sorted write leaves the
+    trailing column at full width in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = [(x, y, float(x * y)) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x LONG, y LONG, payload DOUBLE")
+
+    zpath = str(tmp_path / "zordered")
+    layout.write_zordered(df, zpath, ["x", "y"], n_files=16, bits=6)
+
+    lpath = str(tmp_path / "linear")
+    df.repartitionByRange(16, "x", "y").sortWithinPartitions(
+        "x", "y"
+    ).write.parquet(lpath)
+
+    def file_spans(path):
+        spans = {"x": [], "y": []}
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for col in ("x", "y"):
+                lo = min(
+                    md.row_group(g).column(idx[col]).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                hi = max(
+                    md.row_group(g).column(idx[col]).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                spans[col].append(hi - lo)
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    z = file_spans(zpath)
+    lin = file_spans(lpath)
+    # linear: x files are thin, y files span the whole domain
+    assert lin["y"] > 55
+    # z-order: both columns stay far below full width in every file
+    assert z["x"] < 40 and z["y"] < 40
+    assert z["y"] < lin["y"] / 2
+    # and the data round-trips
+    assert spark.read.parquet(zpath).count() == len(rows)
