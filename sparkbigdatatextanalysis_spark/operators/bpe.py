@@ -186,3 +186,63 @@ def bpe_segment(
     return tok_df.select(
         "id", F.flatten(F.transform(clean, seg)).alias("pieces")
     )
+
+
+SEGMENT_SCHEMA = "id BIGINT, pieces ARRAY<STRING>"
+
+
+def bpe_segment_pandas(
+    tok_df: DataFrame, merges: list[tuple[str, str]], marker: str = "▁"
+) -> DataFrame:
+    """Production-scale twin of :func:`bpe_segment`: replays the merge
+    rules in Python inside an Arrow ``mapInPandas`` stage instead of
+    nested expressions, so rule lists of tokenizer size (30k+) don't
+    grow the plan at all -- the rules ride once per worker in the
+    closure. Per-word segmentations are memoized within each batch
+    (corpus word frequency is Zipfian, so the cache hit rate is high).
+
+    Still map-only and order-preserving; output is EXACTLY
+    ``bpe_segment``'s (property-tested), including marker escaping,
+    codepoint splitting, and NULL/empty-token skipping.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _segment_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = [marker] + list(word.replace(marker, MARKER_ESCAPE))
+        # apply rules in learned order, each greedily left-to-right --
+        # identical semantics to the expression fold
+        for left, right in merges:
+            if len(syms) < 2:
+                break
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    def _batches(it):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in it:
+            pieces = [
+                [
+                    p
+                    for w in (toks if toks is not None else [])
+                    if w is not None and w != ""
+                    for p in _segment_word(w, cache)
+                ]
+                for toks in pdf["tokens"]
+            ]
+            yield pd.DataFrame({"id": pdf["id"].astype("int64"), "pieces": pieces})
+
+    return tok_df.select("id", "tokens").mapInPandas(_batches, SEGMENT_SCHEMA)

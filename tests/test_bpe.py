@@ -147,3 +147,43 @@ def test_bpe_segment_skips_null_and_empty_tokens(spark):
     )
     rows = bpe.bpe_segment(df, merges=[]).collect()
     assert list(rows[0]["pieces"]) == [MARKER, "a", "b", MARKER, "c", "d"]
+
+
+def test_bpe_segment_pandas_equals_expression_path(spark, tok_df):
+    """The mapInPandas replay (the 30k-rule production path) must equal
+    the nested-expression path exactly, including unicode, marker
+    escaping, and NULL/empty skipping."""
+    merges, _ = bpe.bpe_learn(tok_df, n_merges=8)
+    docs = spark.createDataFrame(
+        [
+            (0, ["newest", "low", "newest"]),
+            (1, ["zzq", "a\U0001F600b"]),
+            (2, ["x▁y"]),
+            (3, ["ab", None, "", "cd"]),
+        ],
+        "id LONG, tokens ARRAY<STRING>",
+    )
+    expr = {r["id"]: list(r["pieces"]) for r in bpe.bpe_segment(docs, merges).collect()}
+    pnd = {r["id"]: list(r["pieces"])
+           for r in bpe.bpe_segment_pandas(docs, merges).collect()}
+    assert pnd == expr
+
+
+def test_bpe_segment_pandas_scales_rule_count(spark, tok_df):
+    """A rule list far past what nested expressions could hold plans and
+    runs fine on the pandas path (rules live in the closure, not the
+    plan)."""
+    merges, _ = bpe.bpe_learn(tok_df, n_merges=8)
+    # pad with rules that never match: plan size must not care
+    padded = merges + [(f"q{i}", f"r{i}") for i in range(3000)]
+    out = {r["id"]: list(r["pieces"])
+           for r in bpe.bpe_segment_pandas(
+               spark.createDataFrame([(0, ["newest"])], "id LONG, tokens ARRAY<STRING>"),
+               padded,
+           ).collect()}
+    expect = {r["id"]: list(r["pieces"])
+              for r in bpe.bpe_segment_pandas(
+                  spark.createDataFrame([(0, ["newest"])], "id LONG, tokens ARRAY<STRING>"),
+                  merges,
+              ).collect()}
+    assert out == expect
