@@ -212,11 +212,29 @@ def bpe_segment_pandas(
         if hit is not None:
             return hit
         syms = [marker] + list(word.replace(marker, MARKER_ESCAPE))
-        # apply rules in learned order, each greedily left-to-right --
-        # identical semantics to the expression fold
-        for left, right in merges:
-            if len(syms) < 2:
+        # Rank-priority iteration (the standard fast BPE apply):
+        # repeatedly merge the LOWEST-rank pair present, each
+        # application greedy left-to-right over all its occurrences.
+        # Cost is O(word_len^2) independent of rule-list size (vs one
+        # scan PER RULE for in-order replay -- ruinous at 30k rules).
+        # Equivalent to in-order replay because applying rule j can
+        # never create a match for an earlier rule i < j: rule j's
+        # merged symbol did not exist when rule i was learned, so it
+        # cannot be a component of rule i's pair.
+        while len(syms) >= 2:
+            best = min(
+                (
+                    r
+                    for r in (
+                        ranks.get((a, b)) for a, b in zip(syms, syms[1:])
+                    )
+                    if r is not None
+                ),
+                default=None,
+            )
+            if best is None:
                 break
+            left, right = merges[best]
             out, i = [], 0
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
@@ -235,9 +253,14 @@ def bpe_segment_pandas(
         cache: dict = {}
         for pdf in it:
             pieces = [
-                [
+                # a NULL tokens ARRAY stays NULL (parity with the
+                # expression path, where flatten propagates it); NULL
+                # and empty ELEMENTS are skipped
+                None
+                if toks is None
+                else [
                     p
-                    for w in (toks if toks is not None else [])
+                    for w in toks
                     if w is not None and w != ""
                     for p in _segment_word(w, cache)
                 ]

@@ -31,6 +31,8 @@ def interleave_bits(cols: list[Column], bits: int) -> Column:
     n = len(cols)
     if n < 2:
         raise ValueError("interleave_bits: need >= 2 columns")
+    if bits < 1:
+        raise ValueError(f"interleave_bits: bits must be >= 1, got {bits}")
     if bits * n > 62:
         raise ValueError(
             f"interleave_bits: {bits} bits x {n} cols exceeds a 64-bit key"

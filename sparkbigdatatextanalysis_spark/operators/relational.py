@@ -49,11 +49,19 @@ def asof_join(
     the tag order so simultaneous right rows are not visible. Ties among
     right rows at the same (key, ts) resolve to the row latest in the
     union sort -- pre-deduplicate the right side if that matters.
+
+    NULL timestamps: a NULL can never satisfy either bound, so NULL-ts
+    right rows are dropped and NULL-ts left rows come back with NULL
+    payload (realized by pinning them before every right row in the
+    scan order for both directions -- without the explicit NULLS FIRST,
+    the forward path's descending sort would place them last and
+    fabricate a match to the minimum-ts right row).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(
             f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
         )
+    right = right.where(F.col(right_ts).isNotNull())
     right_payload = right_payload or [
         c for c in right.columns if c not in (key, right_ts)
     ]
@@ -82,7 +90,11 @@ def asof_join(
         payload_struct.alias("_rrow"),
     )
     u = lu.unionByName(ru)
-    ts_order = F.col("_t") if direction == "backward" else F.col("_t").desc()
+    ts_order = (
+        F.col("_t").asc_nulls_first()
+        if direction == "backward"
+        else F.col("_t").desc_nulls_first()
+    )
     w = (
         Window.partitionBy("_k")
         .orderBy(ts_order, "_tag")

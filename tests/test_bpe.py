@@ -174,16 +174,26 @@ def test_bpe_segment_pandas_scales_rule_count(spark, tok_df):
     runs fine on the pandas path (rules live in the closure, not the
     plan)."""
     merges, _ = bpe.bpe_learn(tok_df, n_merges=8)
-    # pad with rules that never match: plan size must not care
+    # pad with rules that never match: output must equal the
+    # EXPRESSION-path oracle on the real rules (comparing the pandas
+    # path to itself would be vacuous)
     padded = merges + [(f"q{i}", f"r{i}") for i in range(3000)]
+    doc = spark.createDataFrame([(0, ["newest"])], "id LONG, tokens ARRAY<STRING>")
     out = {r["id"]: list(r["pieces"])
-           for r in bpe.bpe_segment_pandas(
-               spark.createDataFrame([(0, ["newest"])], "id LONG, tokens ARRAY<STRING>"),
-               padded,
-           ).collect()}
+           for r in bpe.bpe_segment_pandas(doc, padded).collect()}
     expect = {r["id"]: list(r["pieces"])
-              for r in bpe.bpe_segment_pandas(
-                  spark.createDataFrame([(0, ["newest"])], "id LONG, tokens ARRAY<STRING>"),
-                  merges,
-              ).collect()}
+              for r in bpe.bpe_segment(doc, merges).collect()}
     assert out == expect
+
+
+def test_bpe_segment_paths_agree_on_null_tokens_array(spark, tok_df):
+    """A NULL tokens ARRAY yields pieces=NULL on BOTH paths (regression:
+    the pandas path returned [])."""
+    merges, _ = bpe.bpe_learn(tok_df, n_merges=4)
+    doc = spark.createDataFrame(
+        [(0, None), (1, ["low"])], "id LONG, tokens ARRAY<STRING>"
+    )
+    for fn in (bpe.bpe_segment, bpe.bpe_segment_pandas):
+        rows = {r["id"]: r["pieces"] for r in fn(doc, merges).collect()}
+        assert rows[0] is None, fn.__name__
+        assert rows[1] is not None

@@ -165,3 +165,29 @@ def test_scd2_history_null_attrs_and_guards(spark):
 
     with _pytest.raises(ValueError, match="valid_from"):
         scd2_history(bad, key="uid", ts="ts", attrs=[])
+
+
+def test_asof_join_null_timestamps_both_directions(spark):
+    """NULL-ts left rows match nothing in EITHER direction, and NULL-ts
+    right rows are ignored (regression: the forward path's descending
+    sort placed NULLs last, fabricating a match to the min-ts right
+    row; a NULL-ts right row could be carried onto real left rows)."""
+    from sparkbigdatatextanalysis_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(0, 1, None), (1, 1, 10)], "lid INT, k INT, ts INT"
+    )
+    right = spark.createDataFrame(
+        [(100, 1, 5), (102, 1, 15), (101, 1, None)], "rid INT, k INT, ts INT"
+    )
+    expect = {"backward": 100, "forward": 102}
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                left, right, key="k", right_payload=["rid"],
+                direction=direction,
+            ).collect()
+        }
+        assert got[0] is None, direction  # NULL-ts left: no match
+        assert got[1] == expect[direction], direction
