@@ -387,18 +387,47 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rows_per_band: int | None = None,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to vectors sharing >=1 LSH
     band bucket with the query, then exact cosine rerank. Same output
     schema as the brute force; recall < 1 by design (that's the trade).
     Bucket width adapts to the corpus count (adaptive_rows_per_band)
-    unless pinned via ``rows_per_band``."""
+    unless pinned via ``rows_per_band``.
+
+    ``multi_probe`` (Lv et al.'s multi-probe LSH, restricted to
+    single-bit perturbations): additionally probe every bucket at
+    Hamming distance 1 from each QUERY band key -- a near-miss on one
+    hyperplane sign no longer loses the candidate. The expansion is
+    query-side only (queries are few and broadcast), so the corpus
+    signature table, its shuffle, and the rerank shape are unchanged;
+    candidates grow by at most (1 + rows_per_band)x. Recall is
+    monotonically >= the single-probe run at equal parameters
+    (recall-tested); the alternative recall lever -- fewer rows per
+    band -- grows EVERY bucket corpus-side instead.
+    """
+    if rows_per_band is None:
+        rows_per_band = adaptive_rows_per_band(emb.count())
     # persist: sigs feeds both the query side and the corpus side of the
     # bucket join; without the barrier the signature plan runs twice.
     sigs = lsh_signatures(emb, id_col, vec_col, rows_per_band=rows_per_band).persist()
     nv = _norm_vecs(emb, id_col, vec_col)
     q = query_ids.withColumnRenamed(query_ids.columns[0], "q_id")
     qsig = sigs.join(F.broadcast(q), sigs.id == F.col("q_id")).select("q_id", "band", "bucket")
+    if multi_probe:
+        flips = F.array(
+            F.lit(0), *[F.lit(1 << b) for b in range(rows_per_band)]
+        )
+        qsig = qsig.select(
+            "q_id",
+            "band",
+            F.explode(flips).alias("_flip"),
+            F.col("bucket").alias("_b0"),
+        ).select(
+            "q_id",
+            "band",
+            F.col("_b0").bitwiseXOR(F.col("_flip")).alias("bucket"),
+        )
     pairs = (
         qsig.join(sigs, ["band", "bucket"])
         .where(F.col("q_id") != F.col("id"))

@@ -147,3 +147,33 @@ def test_brp_lsh_neighbors_overlap(spark, emb):
     }
     overlap = len(exact & lib) / len(exact)
     assert overlap >= 0.6, (len(exact), len(lib), overlap)
+
+
+def test_multi_probe_lsh_recall_not_worse(spark, emb):
+    """Multi-probe (Hamming-1 query buckets) must recall AT LEAST every
+    single-probe result at identical parameters -- the candidate set is
+    a superset by construction -- and measurably improve recall on this
+    hard (near-background-cosine) corpus."""
+    queries = emb.select("vec_id").orderBy("vec_id").limit(5)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    single = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_lsh(
+            emb, queries, k=5, rows_per_band=8
+        ).collect()
+    }
+    multi = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_lsh(
+            emb, queries, k=5, rows_per_band=8, multi_probe=True
+        ).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, (r_single, r_multi)
+    # at 8-bit buckets on 500 vectors single-probe misses plenty;
+    # probing 9 buckets per band must claw some back
+    assert r_multi > r_single or r_single == 1.0, (r_single, r_multi)
