@@ -121,12 +121,26 @@ def dedup_clusters(
     src: str = "a_id",
     dst: str = "b_id",
     id_col: str = "doc_id",
+    algorithm: str = "label",
 ) -> DataFrame:
     """(doc_id, keep_id, is_kept): canonical-representative assignment
     for EVERY document -- cluster members map to the cluster's min id,
     singletons map to themselves. ``sum(is_kept)`` is the post-dedup
-    corpus size."""
-    comp = connected_components(pairs, src, dst)
+    corpus size.
+
+    ``algorithm``: "label" (min-label propagation, O(diameter) rounds --
+    right for near-dup graphs of tiny cliques) or "star"
+    (large-star/small-star, O(log n) rounds -- right when chains/hubs
+    push the diameter up). Labels are identical either way
+    (property-tested in tests/test_components.py)."""
+    if algorithm == "label":
+        comp = connected_components(pairs, src, dst)
+    elif algorithm == "star":
+        comp = connected_components_star(pairs, src, dst)
+    else:
+        raise ValueError(
+            f"dedup_clusters: algorithm must be 'label' or 'star', got {algorithm!r}"
+        )
     out = all_ids.select(F.col(id_col).alias("doc_id")).join(
         comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("keep_id")),
         "doc_id",
