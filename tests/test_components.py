@@ -115,19 +115,15 @@ def test_star_handles_self_loops_and_duplicates(spark):
 
 
 def test_dedup_clusters_algorithms_agree(spark):
-    from sparkbigdatatextanalysis_spark.operators.components import dedup_clusters
-
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "a_id INT, b_id INT"
     )
     ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id INT")
     label = {r["doc_id"]: (r["keep_id"], r["is_kept"])
-             for r in dedup_clusters(pairs, ids).collect()}
+             for r in cc.dedup_clusters(pairs, ids).collect()}
     star = {r["doc_id"]: (r["keep_id"], r["is_kept"])
-            for r in dedup_clusters(pairs, ids, algorithm="star").collect()}
+            for r in cc.dedup_clusters(pairs, ids, algorithm="star").collect()}
     assert label == star
     assert label[99] == (99, 1)  # singleton keeps itself
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="algorithm"):
-        dedup_clusters(pairs, ids, algorithm="bogus")
+    with pytest.raises(ValueError, match="algorithm"):
+        cc.dedup_clusters(pairs, ids, algorithm="bogus")

@@ -173,7 +173,7 @@ def test_multi_probe_lsh_recall_not_worse(spark, emb):
     }
     r_single = len(exact & single) / len(exact)
     r_multi = len(exact & multi) / len(exact)
+    # Only the superset property is guaranteed by construction; strict
+    # improvement depends on the fixture/plane seed and would couple the
+    # test to data regeneration.
     assert r_multi >= r_single, (r_single, r_multi)
-    # at 8-bit buckets on 500 vectors single-probe misses plenty;
-    # probing 9 buckets per band must claw some back
-    assert r_multi > r_single or r_single == 1.0, (r_single, r_multi)
