@@ -1610,64 +1610,94 @@ def q_docs_pii_scrub(spark, sf_dir):
     return ts.pii_scrub(_docs(spark, sf_dir))
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Batch twin of the streaming anomaly monitor
+    (streaming/monitor.py::anomaly_scan): each event scored against the
+    Welford running mean/std of its user's STRICTLY PRIOR values, flagged
+    when |z| > 3 once >= 5 prior observations exist. One shuffle on the
+    high-cardinality user key; the per-key scan is Arrow-batched
+    applyInPandas (inherently sequential per key -- the key is the
+    parallelism unit, state is 3 numbers). The oracle recomputes the same
+    prior-frame stats as a SQL window (ROWS UNBOUNDED PRECEDING..1
+    PRECEDING), proving the online Welford recurrence equals the textbook
+    two-pass definition. zscore rounded 6 on both sides (the two
+    algorithms differ in low-order float bits)."""
+    from sparkbigdatatextanalysis_spark.streaming.monitor import anomaly_scan
+
+    ev = _events(spark, sf_dir).where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    out = anomaly_scan(ev, threshold=3.0, min_n=5)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        F.round("zscore", 6).alias("zscore"),
+        "n_prior",
+    )
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension build (operators/relational.py::scd2_history)
+    over the events change stream: user_id's event_type as the tracked
+    attribute, consecutive re-statements collapsed, validity intervals
+    from change-row ts to the next change's ts (NULL = current). One
+    shuffle on user_id shared by both windows. Timestamps ship as
+    epoch-microseconds (driver hash convention)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    hist = rel.scd2_history(
+        ev, key="user_id", ts="ts", attrs=["event_type"], tiebreaker="event_id"
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+        F.col("is_current").cast("long").alias("is_current"),
+    )
+
+
+def q_winsorize_values(spark, sf_dir):
+    """Per-type winsorization (operators/stats.py::winsorize) of event
+    values at the [p05, p95] group quantiles -- the robust-normalization
+    pass that stops heavy tails from dominating training statistics.
+    One exact-percentile agg per group + a broadcast bounds join; the
+    clipping itself is map-only. Clamped values rounded 6 on both sides
+    (linear-interpolated quantiles differ in last bits across engines);
+    unclipped values pass through exact."""
+    from sparkbigdatatextanalysis_spark.operators.stats import winsorize
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = winsorize(ev, value="value", group=["event_type"], lower=0.05, upper=0.95)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("value_wins", 6).alias("value_wins"),
+        F.col("was_clipped").cast("long").alias("was_clipped"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
+    # checks the FIRST 50 declared keys. Slots 1-44 hold every key without
+    # a green driver row yet (39 never-checked + 2 checked only in r01 +
+    # 3 new this round); slots 45-50 are already-green sentinels, one per
+    # engine area, so regressions in the core stay visible. The remaining
+    # 44 keys all have green r02 rows (CORRECTNESS_r02.json) and are
+    # re-verified every run by tests/test_oracle_parity.py.
     return {
-        "scan_concat": q_scan_concat,
-        "scan_gold_pairs": q_scan_gold_pairs,
-        "dot_product": q_dot_product,
-        "cosine_similarity": q_cosine_similarity,
-        "str_strip_quotes": q_str_strip_quotes,
-        "tokenize": q_tokenize,
-        "tokenize_stopwords": q_tokenize_stopwords,
-        "term_frequencies": q_term_frequencies,
-        "idf_dict": q_idf_dict,
-        "tfidf_vectors": q_tfidf_vectors,
-        "l2_norm": q_l2_norm,
-        "inverted_index": q_inverted_index,
-        "common_token_pairs": q_common_token_pairs,
-        "fast_cosine_join": q_fast_cosine_join,
-        "cross_similarity": q_cross_similarity,
-        "filter_pair_lookup": q_filter_pair_lookup,
-        "doc_similarity": q_doc_similarity,
-        "count_tokens": q_count_tokens,
-        "top1_by_token_count": q_top1_by_token_count,
-        "union_corpus": q_union_corpus,
-        "gold_join_eval": q_gold_join_eval,
-        "threshold_sweep": q_threshold_sweep,
-        "idf_histogram": q_idf_histogram,
-        "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "ann_topk_bruteforce": q_ann_topk_bruteforce,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "media_decode": q_media_decode,
-        "media_frame_sample": q_media_frame_sample,
-        "events_windowed": q_events_windowed,
-        "events_sliding_users": q_events_sliding_users,
-        "events_sessionize": q_events_sessionize,
-        "pricing_rollup": q_pricing_rollup,
-        "top_parts_by_brand": q_top_parts_by_brand,
-        "asof_join_events": q_asof_join_events,
-        "range_join_events": q_range_join_events,
-        "sales_cube": q_sales_cube,
-        "value_percentiles": q_value_percentiles,
-        "customers_no_orders": q_customers_no_orders,
-        "skew_join_events": q_skew_join_events,
-        "user_running_stats": q_user_running_stats,
+        # --- never driver-checked (39) ---
         "approx_distinct_users": q_approx_distinct_users,
         "dedup_near_clusters": q_dedup_near_clusters,
+        "tpch_q2_like": q_tpch_q2_like,
         "tpch_q3_like": q_tpch_q3_like,
+        "tpch_q4_like": q_tpch_q4_like,
         "tpch_q5_like": q_tpch_q5_like,
+        "tpch_q7_like": q_tpch_q7_like,
+        "tpch_q16_like": q_tpch_q16_like,
+        "tpch_q18_like": q_tpch_q18_like,
         "events_json_props": q_events_json_props,
         "tokens_except": q_tokens_except,
         "user_type_pivot": q_user_type_pivot,
@@ -1683,16 +1713,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "events_latest_per_user": q_events_latest_per_user,
-        "tpch_q4_like": q_tpch_q4_like,
-        "tpch_q18_like": q_tpch_q18_like,
         "funnel_conversion": q_funnel_conversion,
         "table_profile": q_table_profile,
         "corpus_bigrams": q_corpus_bigrams,
         "events_rolling_1h": q_events_rolling_1h,
         "docs_stratified_sample": q_docs_stratified_sample,
-        "tpch_q2_like": q_tpch_q2_like,
-        "tpch_q7_like": q_tpch_q7_like,
-        "tpch_q16_like": q_tpch_q16_like,
         "merge_upsert_events": q_merge_upsert_events,
         "events_gapfill": q_events_gapfill,
         "orders_corr": q_orders_corr,
@@ -1703,6 +1728,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interarrival": q_events_interarrival,
         "orders_status_breakdown": q_orders_status_breakdown,
         "docs_pii_scrub": q_docs_pii_scrub,
+        # --- green in r01 only, re-gate (2) ---
+        "skew_join_events": q_skew_join_events,
+        "user_running_stats": q_user_running_stats,
+        # --- new this round: batch twins of tested-only surfaces (3) ---
+        "events_anomaly": q_events_anomaly,
+        "scd2_history": q_scd2_history,
+        "winsorize_values": q_winsorize_values,
+        # --- already-green sentinels (6) ---
+        "scan_concat": q_scan_concat,
+        "tfidf_vectors": q_tfidf_vectors,
+        "fast_cosine_join": q_fast_cosine_join,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "events_sessionize": q_events_sessionize,
+        # --- r02-green balance (44) ---
+        "scan_gold_pairs": q_scan_gold_pairs,
+        "dot_product": q_dot_product,
+        "cosine_similarity": q_cosine_similarity,
+        "str_strip_quotes": q_str_strip_quotes,
+        "tokenize": q_tokenize,
+        "tokenize_stopwords": q_tokenize_stopwords,
+        "term_frequencies": q_term_frequencies,
+        "idf_dict": q_idf_dict,
+        "l2_norm": q_l2_norm,
+        "inverted_index": q_inverted_index,
+        "common_token_pairs": q_common_token_pairs,
+        "cross_similarity": q_cross_similarity,
+        "filter_pair_lookup": q_filter_pair_lookup,
+        "doc_similarity": q_doc_similarity,
+        "count_tokens": q_count_tokens,
+        "top1_by_token_count": q_top1_by_token_count,
+        "union_corpus": q_union_corpus,
+        "gold_join_eval": q_gold_join_eval,
+        "threshold_sweep": q_threshold_sweep,
+        "idf_histogram": q_idf_histogram,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_decode": q_media_decode,
+        "media_frame_sample": q_media_frame_sample,
+        "events_windowed": q_events_windowed,
+        "events_sliding_users": q_events_sliding_users,
+        "pricing_rollup": q_pricing_rollup,
+        "top_parts_by_brand": q_top_parts_by_brand,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
+        "sales_cube": q_sales_cube,
+        "value_percentiles": q_value_percentiles,
+        "customers_no_orders": q_customers_no_orders,
     }
 
 
@@ -3051,5 +3135,67 @@ def oracle_sql() -> dict[str, str]:
                 - length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))::BIGINT
                  AS n_chars_saved
         FROM documents
+    """
+    # Textbook two-pass prior-frame stats vs the engine's online Welford
+    # recurrence: a hash match proves the streaming monitor's math.
+    sqls["events_anomaly"] = """
+        WITH ordered AS (
+          SELECT user_id, event_id, ts, value,
+                 count(value) OVER w AS n_prior,
+                 avg(value) OVER w AS mu,
+                 stddev_samp(value) OVER w AS sd
+          FROM events
+          WHERE value IS NOT NULL AND ts IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        scored AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, n_prior,
+                 CASE WHEN sd > 0 THEN (value - mu) / sd
+                      WHEN value > mu THEN CAST('infinity' AS DOUBLE)
+                      WHEN value < mu THEN CAST('-infinity' AS DOUBLE)
+                      ELSE 0.0 END AS z
+          FROM ordered
+        )
+        SELECT user_id, event_id, ts_us, value,
+               round(z, 6) AS zscore, n_prior
+        FROM scored
+        WHERE n_prior >= 5 AND abs(z) > 3.0
+    """
+    # Gaps-and-islands formulation of the SCD2 build: change rows are
+    # rn=1 or attr IS DISTINCT FROM its lag (= Spark's NOT eqNullSafe).
+    sqls["scd2_history"] = """
+        WITH ordered AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER w AS prev_type,
+                 row_number() OVER w AS rn
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+          SELECT user_id, event_type, ts, event_id FROM ordered
+          WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+        )
+        SELECT user_id, event_type,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(lead(ts) OVER w) AS valid_to_us,
+               (lead(ts) OVER w IS NULL)::BIGINT AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    sqls["winsorize_values"] = """
+        WITH bounds AS (
+          SELECT event_type AS g,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM events GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               CASE WHEN e.value IS NULL THEN NULL
+                    ELSE round(least(greatest(e.value, b.lo), b.hi), 6)
+               END AS value_wins,
+               COALESCE(e.value < b.lo OR e.value > b.hi, FALSE)::BIGINT
+                 AS was_clipped
+        FROM events e JOIN bounds b ON e.event_type IS NOT DISTINCT FROM b.g
     """
     return sqls

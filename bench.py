@@ -147,6 +147,11 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Cold (first-run) timings go on their OWN earlier line: the driver
+    # captures only the tail of stdout and parses the LAST line, so the
+    # final line must stay compact (summary + warm per-query map only).
+    print(json.dumps({"queries_cold": cold, "sf": sf_val}))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -154,7 +159,6 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "queries_cold": cold,
                 "sf": sf_val,
             }
         )

@@ -8,21 +8,22 @@ vocabulary-sized: a 100 TB corpus collapses to millions of rows at the
 first partial aggregation and every merge round runs on that small
 table.
 
-Per merge round:
+Two learners share one contract and one set of semantics (max count,
+ties lexicographic on (left, right); greedy left-to-right application):
 
-* adjacent symbol pairs form IN-ROW (``zip_with`` of the symbol array
-  with its shift -- same no-self-join shape as bigram mining), weighted
-  by word count;
-* one partial-agg ``groupBy(pair)`` shuffle over the vocab-sized table;
-* the single best pair comes to the driver (one row -- the legitimate
-  driver materialization, like the reference's metric tables), chosen
-  deterministically: max count, ties broken lexicographically;
-* the merge applies map-side via an ``aggregate`` higher-order fold
-  that rebuilds each symbol array left-to-right (standard greedy BPE
-  application), entirely in codegen-able expressions -- no Python in
-  the loop;
-* lineage is truncated per round with an eager ``localCheckpoint``
-  (same driver-OOM story as iterative connected components).
+* :func:`bpe_learn_local` -- the production shape: ONE corpus-counting
+  Spark pass, then the merge loop runs driver-side over the
+  vocabulary-sized word table with incremental pair-count maintenance.
+  30k merges ~= 1 Spark job.
+* :func:`bpe_learn` -- fully distributed rounds for the (pathological)
+  case where even the distinct-word table cannot sit on the driver.
+  Per round: adjacent symbol pairs form IN-ROW (``zip_with`` of the
+  symbol array with its shift), one partial-agg ``groupBy(pair)``
+  shuffle over the vocab-sized table, the top-ranked pair window comes
+  to the driver, and the longest provably-sequential-equivalent BATCH
+  of disjoint rules (:func:`_select_merge_batch`) applies in one Arrow
+  stage; lineage truncates per round with ``localCheckpoint`` and the
+  prior round's blocks are released as soon as the new ones exist.
 """
 
 from __future__ import annotations
@@ -117,11 +118,115 @@ def _apply_merge(symbols: Column, left: str, right: str) -> Column:
     )
 
 
+VOCAB_SCHEMA = "word STRING, n_occ BIGINT, symbols ARRAY<STRING>"
+
+
+def _apply_merges_pandas(
+    vocab: DataFrame, rules: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a batch of merge rules to the vocab table, in rule order,
+    each greedy left-to-right -- semantically the exact composition of
+    :func:`_apply_merge` folds, but executed as ONE Arrow
+    ``mapInPandas`` stage so plan depth stays O(1) regardless of batch
+    size (a 64-rule batch of nested ``aggregate`` folds would blow past
+    the codegen limits that single-rule folds stay under)."""
+
+    def _batches(it):
+        import pandas as pd
+
+        def apply_all(syms):
+            syms = list(syms)
+            for left, right in rules:
+                if len(syms) < 2 or left not in syms:
+                    continue
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_occ": pdf["n_occ"].astype("int64"),
+                    "symbols": [apply_all(s) for s in pdf["symbols"]],
+                }
+            )
+
+    return vocab.mapInPandas(_batches, VOCAB_SCHEMA)
+
+
+def _select_merge_batch(
+    rows, window: int, max_batch: int
+) -> list[tuple[str, str, int]]:
+    """Pick the longest RANK-CONSECUTIVE prefix of the fetched pair
+    ranking that provably equals sequential per-merge BPE.
+
+    An occurrence of candidate (x, y) at positions (i, i+1) is
+    destroyed by greedily merging (a, b) only when the two spans
+    OVERLAP: i+1 == j forces y == a, i == j+1 forces x == b, i == j
+    forces (x, y) == (a, b); and (x, y)'s count can be CREATED/boosted
+    only when x or y IS the merged symbol ab. So a candidate's count --
+    and hence its rank -- is exactly invariant under every selected
+    merge iff its y avoids all selected lefts, its x avoids all
+    selected rights, and both avoid all merged symbols. (Plain symbol
+    disjointness is far too strict: every (marker, c) pair shares the
+    marker, which would cap early-round batches at one rule.)
+
+    * selection STOPS at the first conflicting candidate; its count
+      (and the count of the last fetched row, bounding every unseen
+      pair) becomes the barrier. Every pair a batch merge can boost is
+      bounded by the old count of one of its source pairs -- e.g. new
+      (v, ab) by old (v, a), which conflicts via y == a -- and every
+      conflicting pair ranks at/after the stop point, so it sits at or
+      below the barrier. Batch members are kept only while their count
+      is STRICTLY above it: nothing the batch creates can outrank them
+      mid-batch, even on count ties;
+    * the global-max pair is always kept (one merge == plain
+      sequential), so flat-count rounds degrade to one rule, never to
+      an unsound batch.
+    """
+    if not rows:
+        return []
+    unseen = rows[-1]["n"] if len(rows) >= window else 0
+    lefts: set[str] = set()
+    rights: set[str] = set()
+    merged: set[str] = set()
+    selected: list[tuple[str, str, int]] = []
+    barrier = unseen
+    for r in rows:
+        left, right, n = r["left"], r["right"], r["n"]
+        if (
+            len(selected) >= max_batch
+            or right in lefts
+            or left in rights
+            or left in merged
+            or right in merged
+        ):
+            barrier = max(barrier, n)
+            break
+        selected.append((left, right, n))
+        lefts.add(left)
+        rights.add(right)
+        merged.add(left + right)
+    batch = [p for p in selected if p[2] > barrier]
+    if not batch:
+        batch = selected[:1]
+    return batch
+
+
 def bpe_learn(
     tok_df: DataFrame,
     n_merges: int,
     min_pair_count: int = 2,
     marker: str = "▁",
+    batch_window: int = 1024,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to ``n_merges`` BPE merge rules. Returns (merges, vocab)
     where ``merges`` is the ordered rule list [(left, right), ...] and
@@ -131,26 +236,122 @@ def bpe_learn(
     Determinism: best pair = max weighted count, ties broken by
     (left, right) lexicographic order -- reproducible on any engine or
     partitioning (counts are exact integers).
+
+    Scale shape: each driver round-trip fetches the top
+    ``batch_window`` ranked pairs (one TakeOrdered job over the
+    vocab-sized table) and applies the longest provably-safe batch of
+    them (:func:`_select_merge_batch`) in one Arrow stage -- so a
+    production 30k-merge vocabulary needs hundreds of Spark jobs, not
+    30k. Per round the new vocab is localCheckpoint'ed LAZILY (the next
+    round's TakeOrdered materializes it -- one job per round total, and
+    lineage still truncates) and the previous round's checkpoint blocks
+    are unpersisted as soon as the new ones exist, keeping executor
+    storage at one vocab copy instead of growing linearly with rounds.
     """
     vocab = words_to_symbols(tok_df, marker).localCheckpoint(eager=True)
+    prev: DataFrame | None = None
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        rows = (
             _pair_counts(vocab)
             .orderBy(F.col("n").desc(), "left", "right")
-            .limit(1)
+            .limit(batch_window)
             .collect()
         )
-        if not best or best[0]["n"] < min_pair_count:
+        if prev is not None:
+            # The collect above materialized this round's lazy
+            # checkpoint, so the previous round's blocks are now safe
+            # to drop (unpersisting any earlier would cut the lineage
+            # out from under the not-yet-computed child).
+            prev.unpersist()
+            prev = None
+        batch = _select_merge_batch(
+            rows, batch_window, n_merges - len(merges)
+        )
+        batch = [(l, r) for l, r, n in batch if n >= min_pair_count]
+        if not batch:
             break
-        left, right = best[0]["left"], best[0]["right"]
-        merges.append((left, right))
-        vocab = vocab.select(
-            "word",
-            "n_occ",
-            _apply_merge(F.col("symbols"), left, right).alias("symbols"),
-        ).localCheckpoint(eager=True)
+        merges.extend(batch)
+        prev = vocab
+        vocab = _apply_merges_pandas(vocab, batch).localCheckpoint(eager=False)
+    # On a merges-exhausted exit the returned vocab is still lazy and
+    # its parent stays persisted until the caller's first action -- one
+    # retained copy, not a per-round leak.
     return merges, vocab
+
+
+def bpe_learn_local(
+    tok_df: DataFrame,
+    n_merges: int,
+    min_pair_count: int = 2,
+    marker: str = "▁",
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn BPE merges with ONE distributed pass, then a driver-side
+    merge loop -- the shape production tokenizer trainers actually use.
+
+    The only corpus-sized work is the word-count aggregation
+    (:func:`words_to_symbols`); its output is VOCABULARY-sized (one row
+    per distinct word -- a few million rows for a 100 TB corpus, tens of
+    MB), so it is collected and the merge loop runs locally with
+    incremental pair-count maintenance: per merge, only the words
+    containing the merged pair are touched (inverted pair -> word index),
+    the classic subword-nmt optimization. 30k merges cost ~1 Spark job
+    total instead of one-plus per round; semantics are identical to
+    :func:`bpe_learn` and the textbook reference (same (count desc,
+    left, right) tie-break), property-tested. Use the distributed
+    :func:`bpe_learn` only when the DISTINCT-WORD table itself cannot
+    fit on the driver (pathological tokenization regimes).
+
+    Returns (merges, vocab) with vocab the same distributed
+    (word, n_occ, symbols) DataFrame contract as :func:`bpe_learn`,
+    rebuilt by replaying the merges in one Arrow stage.
+    """
+    from collections import Counter, defaultdict
+
+    base = words_to_symbols(tok_df, marker)
+    rows = base.select("word", "n_occ", "symbols").collect()
+    words = [list(r["symbols"]) for r in rows]
+    counts = [int(r["n_occ"]) for r in rows]
+
+    pair_counts: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for wi, (syms, c) in enumerate(zip(words, counts)):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+            index[p].add(wi)
+
+    # the >= floor also hides stale zero/negative entries left by the
+    # incremental updates, so no per-merge pruning pass is needed
+    floor = max(min_pair_count, 1)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = min(
+            ((p, n) for p, n in pair_counts.items() if n >= floor),
+            key=lambda kv: (-kv[1], kv[0]),
+            default=None,
+        )
+        if best is None:
+            break
+        (left, right), _ = best
+        merges.append((left, right))
+        for wi in list(index[(left, right)]):
+            syms, c = words[wi], counts[wi]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                index[p].discard(wi)
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] += c
+                index[p].add(wi)
+    return merges, _apply_merges_pandas(base, merges)
 
 
 def bpe_segment(

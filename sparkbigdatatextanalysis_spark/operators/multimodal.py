@@ -184,9 +184,13 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
 
         target = width * height
         if HAVE_PIL:  # pragma: no cover - codec not in this container
-            fn = lambda p: _resize_real(p, target)  # noqa: E731
+            base = lambda p: _resize_real(p, target)  # noqa: E731
         else:
-            fn = lambda p: bytes(p[:target]).ljust(target, b"\x00")  # noqa: E731
+            base = lambda p: bytes(p[:target]).ljust(target, b"\x00")  # noqa: E731
+        # NULL payload -> zero-filled thumbnail, keeping the per-row
+        # degrade-don't-fail policy (bytes(None) would throw away the
+        # whole Arrow batch) and the exactly-width*height contract.
+        fn = lambda p: base(p) if p is not None else b"\x00" * target  # noqa: E731
         for pdf in it:
             yield pd.DataFrame(
                 {
@@ -223,6 +227,8 @@ def sample_frames(
         for pdf in it:
             ids, idxs, hashes = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # NULL media -> zero frames, not a crash
+                    continue
                 n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
                 for fi in range(0, n_frames, every_n):
                     ids.append(int(mid))

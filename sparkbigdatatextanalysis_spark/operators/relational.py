@@ -167,6 +167,7 @@ def merge_upsert(
     source: DataFrame,
     keys: list[str],
     action_col: str = "action",
+    broadcast_changeset: bool = True,
 ) -> DataFrame:
     """MERGE INTO semantics (Delta/Iceberg-style upsert) as pure
     DataFrame ops: rows of ``source`` replace same-key rows of
@@ -188,8 +189,13 @@ def merge_upsert(
 
     Every broadcast is of the (deduplicated, key-only) changeset --
     never of the target -- so the big side is only ever scanned, not
-    shuffled. With a changeset too big to broadcast, AQE falls back to
-    shuffle hash joins on the same equi-key, one shuffle per join.
+    shuffled. NB an explicit ``F.broadcast`` hint is honored regardless
+    of size (Spark does NOT degrade it to a shuffle join), so with a
+    changeset too big for driver memory pass
+    ``broadcast_changeset=False``: the joins then carry no hint and
+    Catalyst/AQE picks broadcast vs shuffle-hash from its own size
+    estimates (autoBroadcastJoinThreshold), one shuffle per join on the
+    same equi-key in the worst case.
     """
     if set(target.columns) != set(source.columns):
         raise ValueError(
@@ -202,18 +208,19 @@ def merge_upsert(
         raise ValueError(
             "merge_upsert: input already has a column named '_in_target'"
         )
+    hint = F.broadcast if broadcast_changeset else (lambda df: df)
     src_keys = source.select(*keys).distinct()
-    kept = target.join(F.broadcast(src_keys), keys, "left_anti").withColumn(
+    kept = target.join(hint(src_keys), keys, "left_anti").withColumn(
         action_col, F.lit("keep")
     )
     matched = (
         target.select(*keys)
-        .join(F.broadcast(src_keys), keys, "left_semi")
+        .join(hint(src_keys), keys, "left_semi")
         .distinct()
         .withColumn("_in_target", F.lit(1))
     )
     upserts = (
-        source.join(F.broadcast(matched), keys, "left")
+        source.join(hint(matched), keys, "left")
         .withColumn(
             action_col,
             F.when(F.col("_in_target").isNotNull(), F.lit("update")).otherwise(

@@ -50,9 +50,17 @@ def salted_join(
     b = build.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
+    if key_probe == key_build:
+        # Same key name on both sides (the common equi-join case): the
+        # join-on-names form merges key and salt into single output
+        # columns -- a Column condition here would raise
+        # AMBIGUOUS_REFERENCE and leave duplicate names downstream.
+        return p.join(b, [key_probe, "_salt"], how).drop("_salt")
+    # Distinct names: frame-qualified refs (bare F.col(key) is ambiguous
+    # the moment other column names overlap between the inputs).
     out = p.join(
         b,
-        (F.col(key_probe) == F.col(key_build)) & (p["_salt"] == b["_salt"]),
+        (p[key_probe] == b[key_build]) & (p["_salt"] == b["_salt"]),
         how,
     )
     return out.drop(p["_salt"]).drop(b["_salt"])
@@ -100,9 +108,14 @@ def salted_join_auto(
     p_cold = probe.join(hot, probe[key_probe] == F.col("_hotkey"), "left_anti")
     b_hot = build.join(hot, build[key_build] == F.col("_hotkey"), "left_semi")
     b_cold = build.join(hot, build[key_build] == F.col("_hotkey"), "left_anti")
-    cold = p_cold.join(
-        b_cold, F.col(key_probe) == F.col(key_build), how
-    )
+    if key_probe == key_build:
+        # join-on-name merges the key column, mirroring salted_join's
+        # same-name branch so the hot/cold union columns line up.
+        cold = p_cold.join(b_cold, key_probe, how)
+    else:
+        cold = p_cold.join(
+            b_cold, p_cold[key_probe] == b_cold[key_build], how
+        )
     hot_joined = salted_join(
         p_hot, b_hot, key_probe, key_build,
         n_salts=n_salts, salt_from=salt_from, how=how,

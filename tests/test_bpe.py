@@ -197,3 +197,78 @@ def test_bpe_segment_paths_agree_on_null_tokens_array(spark, tok_df):
         rows = {r["id"]: r["pieces"] for r in fn(doc, merges).collect()}
         assert rows[0] is None, fn.__name__
         assert rows[1] is not None
+
+
+def test_bpe_learn_local_matches_reference(spark, tok_df):
+    """The driver-side incremental learner (one Spark job) must equal
+    the textbook reference exactly -- merges AND final vocab."""
+    merges, vocab = bpe.bpe_learn_local(tok_df, n_merges=8)
+    ref_merges, ref_vocab = _ref_bpe(Counter(WORDS), 8)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
+    assert got == ref_vocab
+
+
+def test_bpe_learn_local_stops_when_dry(spark):
+    df = spark.createDataFrame(
+        [(0, ["ab"]), (1, ["cd"])], "id LONG, tokens ARRAY<STRING>"
+    )
+    merges, _ = bpe.bpe_learn_local(df, n_merges=5)
+    assert merges == []
+
+
+def _diverse_corpus(spark, n_words=400, seed=11):
+    """Seeded synthetic vocabulary with enough symbol diversity that
+    batched rounds select multiple rules (the realistic-corpus regime;
+    the tiny-alphabet WORDS fixture is the degenerate chained regime)."""
+    import random
+
+    rng = random.Random(seed)
+    words = sorted(
+        {
+            "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randint(3, 9))
+            )
+            for _ in range(n_words)
+        }
+    )
+    counts = {w: rng.randint(1, 25) for w in words}
+    rows = [(i, [w] * counts[w]) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id LONG, tokens ARRAY<STRING>")
+    return df, counts
+
+
+def test_bpe_learn_batched_matches_reference_on_diverse_corpus(spark):
+    """Batched distributed rounds == textbook sequential BPE on a
+    diverse corpus where batches regularly exceed one rule, and the
+    round count is substantially sub-linear in the merge count."""
+    df, counts = _diverse_corpus(spark)
+    n_merges = 120
+    sizes = []
+    orig = bpe._select_merge_batch
+
+    def spy(rows, window, max_batch):
+        out = orig(rows, window, max_batch)
+        sizes.append(len(out))
+        return out
+
+    bpe._select_merge_batch = spy
+    try:
+        merges, vocab = bpe.bpe_learn(df, n_merges=n_merges)
+    finally:
+        bpe._select_merge_batch = orig
+    ref_merges, ref_vocab = _ref_bpe(counts, n_merges)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
+    assert got == ref_vocab
+    rounds = len([s for s in sizes if s > 0])
+    assert max(sizes) > 1, "batching never fired on the diverse corpus"
+    assert rounds <= (2 * len(merges)) // 3, (rounds, len(merges))
+
+
+def test_bpe_learn_local_matches_batched_on_diverse_corpus(spark):
+    df, counts = _diverse_corpus(spark, n_words=200, seed=23)
+    merges_local, _ = bpe.bpe_learn_local(df, n_merges=80)
+    ref_merges, _ = _ref_bpe(counts, 80)
+    assert merges_local == ref_merges
