@@ -601,10 +601,12 @@ def q_pricing_rollup(spark, sf_dir):
 
 def q_top_parts_by_brand(spark, sf_dir):
     """Top-3 revenue parts per brand: broadcast dim join (part is the
-    small side) + per-group window rank -- the canonical star-schema
-    top-k; at 100 TB the fact side never shuffles except on the agg key."""
-    from pyspark.sql import Window
-
+    small side) + two-phase grouped top-k (operators/relational.py::
+    grouped_topk) -- brand is ~25 values, so a single per-brand window
+    would funnel |parts|/25 rows through one task at scale; the local
+    (partition, brand) pre-rank caps the final window's input at
+    3 * n_partitions rows per brand. Fact side never shuffles except on
+    the agg key."""
     li = _scan(spark, sf_dir, "lineitem")
     part = _scan(spark, sf_dir, "part")
     rev = (
@@ -612,12 +614,9 @@ def q_top_parts_by_brand(spark, sf_dir):
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
     )
-    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("p_brand", F.col("p_partkey").alias("partkey"), "revenue", "rank")
-    )
+    return rel.grouped_topk(
+        rev, ["p_brand"], [F.col("revenue").desc(), F.col("p_partkey")], 3
+    ).select("p_brand", F.col("p_partkey").alias("partkey"), "revenue", "rank")
 
 
 def q_events_sessionize(spark, sf_dir):

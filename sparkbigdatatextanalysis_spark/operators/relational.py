@@ -162,6 +162,50 @@ def interval_join(
     )
 
 
+def grouped_topk(
+    df: DataFrame,
+    group: list[str],
+    order: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group with a BOUNDED final window: semantically
+    ``row_number() OVER (PARTITION BY group ORDER BY order) <= k``, but
+    a single per-group window funnels each group's ENTIRE row set
+    through one task -- with a low-cardinality group (brand, country,
+    status) that is the classic 100 TB straggler.
+
+    Two-phase TakeOrdered shape instead: phase 1 ranks within
+    (spark_partition_id, group) -- the exchange key includes the input
+    partition id, so every task handles at most one input partition's
+    rows per group -- and keeps k, shrinking each group to at most
+    k * n_input_partitions rows; phase 2 runs the real per-group window
+    on that pruned set. Pruning is exact (any global top-k row is a
+    local top-k row of its partition), so results are identical
+    (oracle-checked); ``order`` must be a total order (include a
+    tiebreaker) for determinism.
+
+    Cost: one extra |input|-row hash exchange -- for the aggregated
+    inputs this targets (per-entity rollups), noise next to the fact
+    scan; the win is that NO task ever sees more than
+    max(input-partition size, k * n_partitions) rows.
+    """
+    for c in ("_gtk_pid", "_gtk_rn", rank_col):
+        if c in df.columns:
+            raise ValueError(f"grouped_topk: input already has column {c!r}")
+    w_local = Window.partitionBy("_gtk_pid", *group).orderBy(*order)
+    w_global = Window.partitionBy(*group).orderBy(*order)
+    pruned = (
+        df.withColumn("_gtk_pid", F.spark_partition_id())
+        .withColumn("_gtk_rn", F.row_number().over(w_local))
+        .where(F.col("_gtk_rn") <= k)
+        .drop("_gtk_pid", "_gtk_rn")
+    )
+    return pruned.withColumn(rank_col, F.row_number().over(w_global)).where(
+        F.col(rank_col) <= k
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,

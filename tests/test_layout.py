@@ -130,3 +130,54 @@ def test_write_zordered_row_group_stats_narrow(spark, tmp_path):
     assert z["y"] < lin["y"] / 2
     # and the data round-trips
     assert spark.read.parquet(zpath).count() == len(rows)
+
+
+def test_write_zordered_reader_skips_files_on_second_column(spark, tmp_path):
+    """Reader-side: a range predicate on the SECOND z-key column must
+    let a min/max-pruning reader skip most FILES of the z-ordered
+    layout, while the linear (x, y) layout forces it to open every file
+    (y spans the full domain everywhere). Pruning is evaluated the way
+    real readers do it -- pyarrow dataset row-group statistics filtering
+    -- and cross-checked against Spark's pushed-down filtered read for
+    result correctness."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    rows = [(x, y, float(x * y)) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x LONG, y LONG, payload DOUBLE")
+    zpath = str(tmp_path / "zordered")
+    layout.write_zordered(df, zpath, ["x", "y"], n_files=16, bits=6)
+    lpath = str(tmp_path / "linear")
+    df.repartitionByRange(16, "x", "y").sortWithinPartitions(
+        "x", "y"
+    ).write.parquet(lpath)
+
+    pred = (pads.field("y") >= 10) & (pads.field("y") <= 13)
+
+    def files_read(path):
+        total, kept = 0, 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            if pq.ParquetFile(f).metadata.num_rows == 0:
+                continue
+            total += 1
+            frag = next(iter(pads.dataset(f, format="parquet").get_fragments()))
+            if list(frag.split_by_row_group(pred)):
+                kept += 1
+        return kept, total
+
+    z_kept, z_total = files_read(zpath)
+    l_kept, l_total = files_read(lpath)
+    # linear layout: y = 10..13 rows exist in EVERY file -> nothing skips
+    assert l_kept == l_total, (l_kept, l_total)
+    # z-order: the predicate's y-stripe lives in a minority of files
+    assert z_kept <= z_total // 2, (z_kept, z_total)
+    # the skipping is lossless: Spark's pushed-down read over the pruned
+    # layout returns exactly the predicate's rows
+    got = (
+        spark.read.parquet(zpath)
+        .where((F.col("y") >= 10) & (F.col("y") <= 13))
+        .count()
+    )
+    assert got == 64 * 4

@@ -177,3 +177,30 @@ def test_multi_probe_lsh_recall_not_worse(spark, emb):
     # improvement depends on the fixture/plane seed and would couple the
     # test to data regeneration.
     assert r_multi >= r_single, (r_single, r_multi)
+
+
+def test_ivf_recall_vs_exact_sf01(spark):
+    """IVF recall/probe trade at sf0.1 (2,000 x 64 vectors), seeded
+    queries: candidate sets are NESTED in n_probe (probes are the top-n
+    centroid ranking), so recall must be monotone, and the synthetic
+    corpus's cluster structure puts a query's true neighbors in its own
+    cluster -- n_probe=1 already recalls nearly everything, which is
+    exactly the property an IVF layout buys at 100 TB."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    queries = emb.select("vec_id").orderBy("vec_id").limit(8)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    recalls = {}
+    for n_probe in (1, 2, 4):
+        got = {
+            (r["q_id"], r["n_id"])
+            for r in ann_ops.cosine_topk_ivf(
+                emb, queries, k=5, n_probe=n_probe
+            ).collect()
+        }
+        recalls[n_probe] = len(exact & got) / len(exact)
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls
+    assert recalls[1] >= 0.8, recalls
+    assert recalls[4] >= 0.9, recalls

@@ -5,6 +5,7 @@ multiple right rows) plus oracle parity for the new relational queries.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparkbigdatatextanalysis_spark.operators import relational as rel
@@ -191,3 +192,49 @@ def test_asof_join_null_timestamps_both_directions(spark):
         }
         assert got[0] is None, direction  # NULL-ts left: no match
         assert got[1] == expect[direction], direction
+
+
+class TestGroupedTopk:
+    def _naive(self, df, group, order, k):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group).orderBy(*order)
+        return df.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+
+    def test_equals_single_window_topk(self, spark):
+        """Two-phase pruning is exact: identical rows AND ranks vs the
+        naive per-group window, on a skewed many-rows-few-groups input
+        (the regime the pre-prune exists for)."""
+        df = spark.range(0, 5000, 1, 16).select(
+            (F.col("id") % 5).alias("g"),
+            (F.hash(F.col("id").cast("string")) % 1000).alias("v"),
+            F.col("id"),
+        )
+        order = [F.col("v").desc(), F.col("id")]
+        got = rel.grouped_topk(df, ["g"], order, 7).orderBy("g", "rank")
+        want = self._naive(df, ["g"], order, 7).orderBy("g", "rank")
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+
+    def test_final_window_input_is_pruned(self, spark):
+        """The plan must show the local (partition-id, group) rank +
+        filter UPSTREAM of the per-group exchange, so the per-group
+        window's input is capped at k rows per (input partition, group)."""
+        df = spark.range(0, 1000, 1, 8).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+        )
+        out = rel.grouped_topk(df, ["g"], [F.col("v").desc()], 2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # two window operators: local (pid, g) then global (g)
+        assert plan.count("Window") >= 2, plan
+        assert "SPARK_PARTITION_ID" in plan.upper(), plan
+        # the local rank filter sits between them
+        assert "_gtk_rn" in plan, plan
+
+    def test_rejects_reserved_columns(self, spark):
+        df = spark.range(3).select(F.col("id").alias("g"), F.col("id").alias("rank"))
+        with pytest.raises(ValueError):
+            rel.grouped_topk(df, ["g"], [F.col("g")], 1)
