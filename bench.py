@@ -67,6 +67,9 @@ HEADLINE = [
     "merge_upsert_events",
     "events_gapfill",
     "embedding_centroids",
+    "events_anomaly",
+    "scd2_history",
+    "winsorize_values",
 ]
 
 

@@ -327,3 +327,105 @@ def sample_to_token_budget(
     return sharded.where(F.col("cum_before") < shard_budget).select(
         "doc_id", "n_tokens", "shard", "cum_before"
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    scale: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture construction: sample each domain at the rate that
+    makes the OUTPUT composition match ``weights`` -- the
+    "webtext 0.6 / code 0.2 / papers 0.2" recipe step of pretraining
+    corpus assembly.
+
+    The largest output honoring the recipe without upsampling is set by
+    the scarcest domain: N_out = min_d(n_d / w_d); each domain then
+    keeps rate r_d = w_d * N_out * scale / n_d (<= scale). Per-domain
+    counts come from ONE partial-agg groupBy; the rates ride back on a
+    broadcast join keyed null-safely on the domain; the keep decision is
+    a deterministic md5-derived hash of the id (salted 'mix:', so it is
+    independent of the split/budget hashes) -- reproducible across
+    engines, partitionings and reruns, no rand(), map-only after the
+    count. Composition is exact in expectation with binomial noise
+    O(1/sqrt(n_kept_d)); domains absent from ``weights`` are dropped.
+
+    Returns the kept rows plus (mix_rate DOUBLE). One count shuffle;
+    the sample itself never shuffles.
+    """
+    if not weights:
+        raise ValueError("mixture_sample: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture_sample: weights must be positive")
+    if not 0 < scale <= 1:
+        raise ValueError(f"mixture_sample: scale must be in (0, 1], got {scale}")
+    total = float(sum(weights.values()))
+    wanted = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], kv[1] / total)]
+    )
+    counts = (
+        df.where(F.col(domain_col).isin(list(weights)))
+        .groupBy(F.col(domain_col).alias("_mix_domain"))
+        .agg(F.count(F.lit(1)).alias("_mix_n"))
+        .withColumn("_mix_w", wanted[F.col("_mix_domain")])
+    )
+    # N_out = min over PRESENT domains of n_d / w_d (a recipe domain
+    # with zero rows simply cannot contribute -- the others still mix
+    # correctly relative to each other)
+    n_out = counts.agg(
+        F.min(F.col("_mix_n") / F.col("_mix_w")).alias("_mix_nout")
+    )
+    rates = counts.join(F.broadcast(n_out)).select(
+        "_mix_domain",
+        F.least(
+            F.lit(1.0),
+            F.col("_mix_w") * F.col("_mix_nout") * scale / F.col("_mix_n"),
+        ).alias("mix_rate"),
+    )
+    u = (
+        string_hash31(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+        % 1_000_000
+    ) / 1_000_000.0
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(domain_col).eqNullSafe(F.col("_mix_domain")),
+        )
+        .where(u < F.col("mix_rate"))
+        .drop("_mix_domain")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    salt: str = "shuffle:",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets a
+    pseudo-random 31-bit key from an md5-derived hash of its id, a shard
+    from the key, and a dense position within the shard -- the
+    "shuffle the corpus before sharding to trainers" step, reproducible
+    across engines, partitionings and reruns (hash order, not rand()).
+
+    Reading shards in index order and rows in position order yields one
+    fixed permutation decorrelated from ingest order. One shuffle (the
+    per-shard rank window); the shard is the parallelism unit exactly as
+    in :func:`pack_sequences`, so ``n_shards`` is the scale knob (size
+    it so one shard's rows fit an executor's sort spill comfortably --
+    shards stream through sort, nothing is collected).
+    """
+    if n_shards < 1:
+        raise ValueError(f"shuffle_shards: n_shards must be >= 1, got {n_shards}")
+    for c in ("shuffle_key", "shard", "pos"):
+        if c in df.columns:
+            raise ValueError(f"shuffle_shards: input already has column {c!r}")
+    key = string_hash31(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn("shard", (F.col("shuffle_key") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w) - 1)
+    )

@@ -162,3 +162,79 @@ def pii_scrub(
         scrubbed.alias("scrubbed_text"),
         n_red.cast("long").alias("n_redactions"),
     )
+
+
+def curation_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Composite rule-based document filter in the style of the
+    published web-curation rule sets (Gopher/C4-family): each rule is an
+    independent boolean column so pipelines can audit WHICH rule fired
+    (the operational requirement rule filters have and a single score
+    does not), plus the conjunction as ``keep``.
+
+    Rules (all map-only expressions over one tokenization -- the whole
+    operator is a scan-speed narrow projection, no shuffle):
+
+    * ``r_n_tokens``        -- 5 <= token count <= 100_000
+    * ``r_mean_word_len``   -- mean alphabetic-word length in [2, 12]
+    * ``r_symbol_ratio``    -- '#'/'...' occurrences per token <= 0.1
+    * ``r_bullet_ratio``    -- <= 90% of lines start with a bullet
+    * ``r_alpha_ratio``     -- >= 70% of tokens contain a letter
+    * ``r_stopword_hits``   -- >= 2 distinct English stopwords appear
+
+    Thresholds are the published defaults, exposed as columns rather
+    than baked into a WHERE so downstream can re-threshold without a
+    second corpus pass.
+    """
+    toks = tokenize(F.col(text_col))
+    n_tokens = F.size(toks)
+    alpha = F.filter(toks, lambda t: t.rlike("[a-z]"))
+    n_alpha = F.size(alpha)
+    mean_len = F.when(
+        n_alpha > 0,
+        F.aggregate(
+            alpha, F.lit(0.0), lambda acc, t: acc + F.length(t)
+        )
+        / n_alpha,
+    )
+    n_symbols = (
+        F.size(F.split(F.col(text_col), "#", -1))
+        - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1))
+        - 1
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), "\n", -1), lambda x: F.trim(x) != ""
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^[\-\*•]"))
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS]),
+        )
+    )
+    rules = {
+        "r_n_tokens": (n_tokens >= 5) & (n_tokens <= 100_000),
+        "r_mean_word_len": F.coalesce(
+            (mean_len >= 2.0) & (mean_len <= 12.0), F.lit(False)
+        ),
+        "r_symbol_ratio": F.when(n_tokens > 0, n_symbols / n_tokens <= 0.1)
+        .otherwise(F.lit(False)),
+        "r_bullet_ratio": F.when(n_lines > 0, n_bullet / n_lines <= 0.9)
+        .otherwise(F.lit(True)),
+        "r_alpha_ratio": F.when(n_tokens > 0, n_alpha / n_tokens >= 0.7)
+        .otherwise(F.lit(False)),
+        "r_stopword_hits": stop_hits >= 2,
+    }
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    return docs.select(
+        F.col(id_col),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )

@@ -176,3 +176,54 @@ def anomaly_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def anomaly_scan_sql(
+    events: DataFrame,
+    threshold: float = 3.0,
+    min_n: int = 5,
+) -> DataFrame:
+    """JVM-side batch scoring: the same strictly-prior z-score as
+    :func:`anomaly_scan`, expressed as window functions over the
+    (UNBOUNDED PRECEDING .. 1 PRECEDING) frame -- textbook two-pass
+    stats instead of the online Welford recurrence, mathematically the
+    same quantity (equality pinned at round-6 in
+    tests/test_streaming_monitor.py).
+
+    This is the plan to run for BATCH backfills at 100 TB: one shuffle
+    on the high-cardinality user key, whole-stage-codegen'd frame
+    aggregates, no Python workers. The Arrow ``anomaly_scan`` twin
+    exists because the STREAMING operator must carry O(1) state per key
+    (n, mean, M2) -- a window frame cannot -- and sharing one scan
+    routine is what makes the stream/batch equality proof exact.
+    """
+    import math as _math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n_prior = F.count("value").over(w)
+    z = (
+        F.when(sd > 0, (F.col("value") - mu) / sd)
+        .when(F.col("value") > mu, F.lit(_math.inf))
+        .when(F.col("value") < mu, F.lit(-_math.inf))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            z.alias("zscore"),
+            n_prior.alias("n_prior"),
+        )
+        .where((F.col("n_prior") >= min_n) & (F.abs(F.col("zscore")) > threshold))
+    )

@@ -321,3 +321,76 @@ def test_chunk_tokens_edge_cases(spark):
         chunk_tokens(df, size=0)
     with _pytest.raises(ValueError, match="stride must be"):
         chunk_tokens(df, size=4, stride=5)
+
+
+class TestCurationRules:
+    def _ref(self, text: str) -> dict:
+        import re
+
+        toks = [t for t in re.split(r"\W+", text.lower()) if t]
+        alpha = [t for t in toks if re.search(r"[a-z]", t)]
+        mean_len = sum(len(t) for t in alpha) / len(alpha) if alpha else None
+        n_symbols = text.count("#") + text.count("...")
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        bullets = [ln for ln in lines if re.match(r"^[\-\*•]", ln.strip())]
+        from sparkbigdatatextanalysis_spark.functions.text import (
+            ENGLISH_STOPWORDS,
+        )
+
+        stop_hits = len(set(toks) & set(ENGLISH_STOPWORDS))
+        rules = {
+            "r_n_tokens": 5 <= len(toks) <= 100_000,
+            "r_mean_word_len": (
+                mean_len is not None and 2.0 <= mean_len <= 12.0
+            ),
+            "r_symbol_ratio": (
+                len(toks) > 0 and n_symbols / len(toks) <= 0.1
+            ),
+            "r_bullet_ratio": (
+                len(bullets) / len(lines) <= 0.9 if lines else True
+            ),
+            "r_alpha_ratio": (
+                len(toks) > 0 and len(alpha) / len(toks) >= 0.7
+            ),
+            "r_stopword_hits": stop_hits >= 2,
+        }
+        rules["keep"] = all(rules.values())
+        return rules
+
+    CASES = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away"),
+        (1, "short"),
+        (2, "### ### ### the and of to in is that it ### ### ###"),
+        (3, "- the first point is here\n- and the second\n- and a third"),
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14"),
+        (5, "the " + "supercalifragilisticexpialidocious " * 20 + "and it is"),
+        (6, ""),
+        (7, "a list that keeps prose\nplain line with the and of it\n- one bullet"),
+    ]
+
+    def test_matches_python_reference(self, spark):
+        from sparkbigdatatextanalysis_spark.operators.textstats import (
+            curation_rules,
+        )
+
+        df = spark.createDataFrame(self.CASES, "doc_id LONG, text STRING")
+        got = {r["doc_id"]: r.asDict() for r in curation_rules(df).collect()}
+        for doc_id, text in self.CASES:
+            want = self._ref(text)
+            have = {k: got[doc_id][k] for k in want}
+            assert have == want, (doc_id, have, want)
+
+    def test_runs_on_corpus_and_is_mostly_permissive(self, spark):
+        """The synthetic word-soup corpus is clean prose-like text; the
+        rule filter must not mass-reject it (sanity that thresholds are
+        calibrated, not degenerate)."""
+        from sparkbigdatatextanalysis_spark.operators.textstats import (
+            curation_rules,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = curation_rules(docs)
+        n = out.count()
+        kept = out.where("keep").count()
+        assert n == 500
+        assert kept >= n * 0.5, kept

@@ -87,8 +87,12 @@ def test_no_row_python_udf_anywhere(spark):
     }
     # dedup_embedding's exact blocked-GEMM path is deliberately
     # Arrow-grouped (one BLAS matmul per block pair beats any number of
-    # interpreted JVM zip_with folds for dense all-pairs math)
-    allowed_grouped = {"dedup_embedding"}
+    # interpreted JVM zip_with folds for dense all-pairs math);
+    # events_anomaly is the batch twin of the streaming Welford monitor
+    # -- the per-key scan is inherently sequential (each z-score depends
+    # on the running state of all PRIOR rows), so the key group is the
+    # parallelism unit by construction
+    allowed_grouped = {"dedup_embedding", "events_anomaly"}
     for name, fn in entry_mod.queries().items():
         df = fn(spark, SF)
         plan = plan_str(df)

@@ -153,3 +153,29 @@ def test_streaming_monitor_checkpoint_restart(spark, tmp_path):
     )
     assert len(exp) > 0
     assert got == exp
+
+
+def test_anomaly_scan_sql_equals_pandas_scan(spark):
+    """The JVM window formulation (the 100 TB batch plan) must flag the
+    same events as the Welford scan, with z-scores equal at round-6
+    (two-pass vs online recurrence differ only in low-order bits)."""
+    import pyspark.sql.functions as F
+
+    from sparkbigdatatextanalysis_spark.streaming.monitor import (
+        anomaly_scan,
+        anomaly_scan_sql,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    def canon(df):
+        return {
+            (r["user_id"], r["event_id"]): (round(r["zscore"], 6), r["n_prior"])
+            for r in df.collect()
+        }
+
+    a = canon(anomaly_scan(ev))
+    b = canon(anomaly_scan_sql(ev))
+    assert a == b
+    assert len(a) > 0
