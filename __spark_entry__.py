@@ -1643,8 +1643,15 @@ def q_scd2_history(spark, sf_dir):
     attribute, consecutive re-statements collapsed, validity intervals
     from change-row ts to the next change's ts (NULL = current). One
     shuffle on user_id shared by both windows. Timestamps ship as
-    epoch-microseconds (driver hash convention)."""
-    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    epoch-microseconds (driver hash convention). NULL-ts rows are
+    excluded on BOTH sides: the engines disagree on default NULL
+    ordering (Spark NULLS FIRST vs DuckDB NULLS LAST), which would
+    desynchronize the change-detection windows."""
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
     hist = rel.scd2_history(
         ev, key="user_id", ts="ts", attrs=["event_type"], tiebreaker="event_id"
     )
@@ -3169,6 +3176,7 @@ def oracle_sql() -> dict[str, str]:
                  lag(event_type) OVER w AS prev_type,
                  row_number() OVER w AS rn
           FROM events
+          WHERE ts IS NOT NULL
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         changes AS (

@@ -1,0 +1,36 @@
+"""Storage release for iterative-loop DataFrames.
+
+``DataFrame.unpersist()`` only removes entries the SQL cacheManager
+registered (i.e. ``persist()`` results). A ``localCheckpoint`` stores
+its data as RDD-level blocks that the cacheManager never sees, so
+``unpersist()`` on a checkpointed DataFrame is a silent no-op and every
+iterative loop that checkpoints per round (connected components, BPE)
+would accumulate one table copy per round until driver GC happens to
+trigger the ContextCleaner (verified live: ``getPersistentRDDs`` size
+is unchanged by ``unpersist`` after ``localCheckpoint``).
+
+:func:`release` frees BOTH kinds: when the plan is the bare checkpoint
+result (a ``LogicalRDD`` leaf), it unpersists the backing RDD directly;
+otherwise it falls back to the ordinary ``unpersist``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def release(df: DataFrame) -> None:
+    """Free the storage behind a ``persist()`` or ``localCheckpoint()``
+    result. Best-effort: any internal-API mismatch degrades to the
+    plain ``unpersist`` (never raises)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+            return
+    except Exception:
+        pass
+    try:
+        df.unpersist()
+    except Exception:
+        pass

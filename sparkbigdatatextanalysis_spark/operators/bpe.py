@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.arrays import adjacent_pairs
+from ..functions.lineage import release
 
 # SentencePiece-style escape for marker characters that occur INSIDE
 # corpus words: without it an interior U+2581 is indistinguishable from
@@ -121,6 +122,22 @@ def _apply_merge(symbols: Column, left: str, right: str) -> Column:
 VOCAB_SCHEMA = "word STRING, n_occ BIGINT, symbols ARRAY<STRING>"
 
 
+def _merge_word(syms: list, left: str, right: str) -> list:
+    """One greedy left-to-right application of merge rule (left, right)
+    to a symbol list -- the single Python definition of the merge step,
+    shared by the batch apply, the driver-side learner and the
+    segmentation replay so their semantics cannot diverge."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _apply_merges_pandas(
     vocab: DataFrame, rules: list[tuple[str, str]]
 ) -> DataFrame:
@@ -139,15 +156,7 @@ def _apply_merges_pandas(
             for left, right in rules:
                 if len(syms) < 2 or left not in syms:
                     continue
-                out, i, n = [], 0, len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
+                syms = _merge_word(syms, left, right)
             return syms
 
         for pdf in it:
@@ -261,9 +270,11 @@ def bpe_learn(
         if prev is not None:
             # The collect above materialized this round's lazy
             # checkpoint, so the previous round's blocks are now safe
-            # to drop (unpersisting any earlier would cut the lineage
-            # out from under the not-yet-computed child).
-            prev.unpersist()
+            # to drop (releasing any earlier would cut the lineage out
+            # from under the not-yet-computed child). NB release(), not
+            # unpersist(): checkpoint blocks are RDD-level, invisible
+            # to the cacheManager that unpersist talks to.
+            release(prev)
             prev = None
         batch = _select_merge_batch(
             rows, batch_window, n_merges - len(merges)
@@ -304,7 +315,8 @@ def bpe_learn_local(
 
     Returns (merges, vocab) with vocab the same distributed
     (word, n_occ, symbols) DataFrame contract as :func:`bpe_learn`,
-    rebuilt by replaying the merges in one Arrow stage.
+    parallelized straight from the driver-side result (vocabulary-sized;
+    no second corpus pass).
     """
     from collections import Counter, defaultdict
 
@@ -339,19 +351,25 @@ def bpe_learn_local(
             for p in zip(syms, syms[1:]):
                 pair_counts[p] -= c
                 index[p].discard(wi)
-            out, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
+            out = _merge_word(syms, left, right)
             words[wi] = out
             for p in zip(out, out[1:]):
                 pair_counts[p] += c
                 index[p].add(wi)
-    return merges, _apply_merges_pandas(base, merges)
+    # The final vocab was just computed driver-side -- ship it back as a
+    # DataFrame directly instead of replaying the merges over a second
+    # full corpus aggregation (the un-persisted `base` lineage would
+    # re-run the explode+groupBy on first action, doubling the
+    # one-corpus-pass cost this function exists to avoid).
+    spark = tok_df.sparkSession
+    vocab = spark.createDataFrame(
+        [
+            (r["word"], c, syms)
+            for r, c, syms in zip(rows, counts, words)
+        ],
+        VOCAB_SCHEMA,
+    )
+    return merges, vocab
 
 
 def bpe_segment(
@@ -436,15 +454,7 @@ def bpe_segment_pandas(
             if best is None:
                 break
             left, right = merges[best]
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
+            syms = _merge_word(syms, left, right)
         cache[word] = syms
         return syms
 

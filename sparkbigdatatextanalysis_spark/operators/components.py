@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.lineage import release
+
 
 def connected_components(
     edges: DataFrame,
@@ -96,7 +98,9 @@ def connected_components(
         else:
             new_labels = new_labels.persist()
         new_sum = label_sum(new_labels)
-        labels.unpersist()
+        # release(), not unpersist(): the checkpoint-cadence rounds
+        # store RDD-level blocks the cacheManager cannot drop
+        release(labels)
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
@@ -107,7 +111,7 @@ def connected_components(
     if not converged:
         # Unconverged labels are WRONG (some nodes still carry a
         # non-minimal reachable id); never return them silently.
-        labels.unpersist()
+        release(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "the graph diameter exceeds max_iter -- raise max_iter"
@@ -227,6 +231,11 @@ def connected_components_star(
     for _ in range(max_iter):
         new_e = small_star(large_star(e)).localCheckpoint(eager=True)
         fp = fingerprint(new_e)
+        # new_e's blocks exist (fingerprint ran) -> the prior round's
+        # checkpoint can go; unpersist alone would silently leak it.
+        # base stays: the post-loop node derivation reads it.
+        if e is not base:
+            release(e)
         e = new_e
         if fp == prev:
             converged = True

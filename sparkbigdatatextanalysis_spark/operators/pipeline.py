@@ -361,6 +361,9 @@ def mixture_sample(
         raise ValueError("mixture_sample: weights must be positive")
     if not 0 < scale <= 1:
         raise ValueError(f"mixture_sample: scale must be in (0, 1], got {scale}")
+    clash = sorted({"mix_rate", "_mix_domain"} & set(df.columns))
+    if clash:
+        raise ValueError(f"mixture_sample: input already has column(s) {clash}")
     total = float(sum(weights.values()))
     wanted = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in (kv[0], kv[1] / total)]

@@ -272,3 +272,20 @@ def test_bpe_learn_local_matches_batched_on_diverse_corpus(spark):
     merges_local, _ = bpe.bpe_learn_local(df, n_merges=80)
     ref_merges, _ = _ref_bpe(counts, 80)
     assert merges_local == ref_merges
+
+
+def test_bpe_learn_releases_prior_round_blocks(spark):
+    """Each round's localCheckpoint blocks must be freed when the next
+    round materializes -- DataFrame.unpersist alone is a silent no-op on
+    checkpoint blocks (they are RDD-level, invisible to the SQL
+    cacheManager), which previously leaked one vocab copy per round."""
+    df, _ = _diverse_corpus(spark, n_words=300, seed=5)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    merges, vocab = bpe.bpe_learn(df, n_merges=40)
+    vocab.count()
+    after = jsc.getPersistentRDDs().size()
+    assert len(merges) == 40
+    # tolerated residue: the returned vocab's checkpoint + its still-
+    # referenced parent -- NOT one block set per round
+    assert after - before <= 3, (before, after)

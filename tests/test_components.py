@@ -127,3 +127,19 @@ def test_dedup_clusters_algorithms_agree(spark):
     assert label[99] == (99, 1)  # singleton keeps itself
     with pytest.raises(ValueError, match="algorithm"):
         cc.dedup_clusters(pairs, ids, algorithm="bogus")
+
+
+def test_star_loop_releases_prior_round_blocks(spark):
+    """The large-star/small-star loop checkpoints every round; prior
+    rounds' RDD-level blocks must be released as rounds advance (plain
+    unpersist cannot free them), or a deep graph accumulates one edge
+    table per round."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "a LONG, b LONG"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = cc.connected_components_star(edges, "a", "b")
+    assert out.where(F.col("comp") != 0).count() == 0
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 2, (before, after)

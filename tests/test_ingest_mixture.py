@@ -176,3 +176,9 @@ class TestShuffleShards:
             pl.shuffle_shards(df, n_shards=0)
         with pytest.raises(ValueError):
             pl.shuffle_shards(df.withColumn("pos", F.lit(1)))
+
+
+def test_mixture_sample_rejects_reserved_columns(spark):
+    df = _domain_df(spark).withColumn("mix_rate", F.lit(0.5))
+    with pytest.raises(ValueError, match="mix_rate"):
+        pl.mixture_sample(df, "domain", {"web": 1.0})
