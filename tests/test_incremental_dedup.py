@@ -1,0 +1,109 @@
+"""Incremental dedup against corpus history (operators/dedup.py::
+incremental_dedup): the daily-batch production composition of exact +
+MinHash-LSH dedup with bucketable history probes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkbigdatatextanalysis_spark.operators import dedup as dd
+
+LONG2 = (
+    "machine learning systems process large text corpora with distributed "
+    "engines across many executor nodes while tracking lineage metadata "
+    "for every transformation stage in the daily ingestion pipeline"
+)
+
+DAY1 = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, LONG2),
+    (3, "a completely different document about cooking pasta with fresh tomatoes"),
+]
+
+DAY2 = [
+    # exact copy of history doc 1
+    (10, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    # near copy of history doc 2 (two words appended -> shingle set is a
+    # high-Jaccard superset, so an LSH band collision is near-certain)
+    (11, LONG2 + " every morning"),
+    # internal exact pair
+    (12, "brand new content that appears twice in the same daily batch exactly"),
+    (13, "brand new content that appears twice in the same daily batch exactly"),
+    # genuinely fresh
+    (14, "completely novel subject matter involving astronomy telescopes and comets"),
+]
+
+
+@pytest.fixture(scope="module")
+def history(spark):
+    docs = spark.createDataFrame(DAY1, "doc_id LONG, text STRING")
+    hashes = docs.select(F.sha2("text", 256).alias("content_hash"))
+    bands = dd.lsh_band_keys_flat(
+        dd.minhash_signatures_flat(dd.shingle_hashes(docs, "doc_id", "text"))
+    ).select("band", "key")
+    return hashes, bands
+
+
+def _flags(out):
+    return {
+        r["doc_id"]: (
+            r["exact_dup_history"],
+            r["exact_dup_batch"],
+            r["near_dup_history"],
+            r["near_dup_batch"],
+            r["keep"],
+        )
+        for r in out.collect()
+    }
+
+
+def test_classifies_each_dup_kind(spark, history):
+    hashes, bands = history
+    batch = spark.createDataFrame(DAY2, "doc_id LONG, text STRING")
+    out, delta_hashes, delta_bands = dd.incremental_dedup(batch, hashes, bands)
+    f = _flags(out)
+    assert f[10][0] and not f[10][4]  # exact vs history
+    assert f[11][2] and not f[11][4]  # near vs history
+    assert not f[12][1] and f[13][1]  # min-id of the internal pair survives
+    assert not f[13][4]
+    assert f[14] == (False, False, False, False, True)  # fresh doc kept
+    # doc 12 also near-collides with its exact twin 13 -- but as the
+    # LOWER id it is the representative on both the exact and near axes
+    assert not f[12][3] and f[13][3]
+    kept = {d for d, v in f.items() if v[4]}
+    assert kept == {12, 14}
+    # deltas describe exactly the kept docs
+    assert delta_hashes.count() == 2
+    assert {r["id"] for r in delta_bands.collect()} == kept
+
+
+def test_second_run_against_updated_history_drops_everything(spark, history):
+    hashes, bands = history
+    batch = spark.createDataFrame(DAY2, "doc_id LONG, text STRING")
+    out, dh, db = dd.incremental_dedup(batch, hashes, bands)
+    new_hashes = hashes.unionByName(dh)
+    new_bands = bands.unionByName(db.select("band", "key"))
+    again, dh2, _ = dd.incremental_dedup(batch, new_hashes, new_bands)
+    assert again.where("keep").count() == 0  # idempotent: day-2 rerun all dups
+    assert dh2.count() == 0
+
+
+def test_no_history_degrades_to_batch_only(spark):
+    batch = spark.createDataFrame(DAY2, "doc_id LONG, text STRING")
+    out, dh, db = dd.incremental_dedup(batch, None, None)
+    f = _flags(out)
+    assert all(not v[0] and not v[2] for v in f.values())
+    kept = {d for d, v in f.items() if v[4]}
+    assert kept == {10, 11, 12, 14}
+
+
+def test_history_probe_is_equi_join(spark, history):
+    """Both history probes must be hash equi-joins (the shape a bucketed
+    history elides its exchange for) -- no cartesian, no row-Python."""
+    hashes, bands = history
+    batch = spark.createDataFrame(DAY2, "doc_id LONG, text STRING")
+    out, _, _ = dd.incremental_dedup(batch, hashes, bands)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
