@@ -51,3 +51,93 @@ def group_centroids(
             "n_vectors",
         )
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_vec: str = "qvec",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: each embedding becomes
+    (scale DOUBLE, qvec ARRAY<TINYINT>) with
+    ``original[i] ~= scale * qvec[i]`` and qvec in [-127, 127] — the
+    4x (vs float32; 8x vs double) storage/shuffle reduction that makes
+    a 100 TB embedding column shippable, at the cost of a bounded
+    relative error (<= 1/254 of the vector's max-abs per element).
+
+    Per-vector max-abs scaling is map-only (no corpus statistics pass,
+    no shuffle, no calibration job) and keeps COSINE geometry well:
+    cosine is scale-invariant per vector, so quantization error enters
+    only through the rounding, not through the scale. Zero and NULL
+    vectors round-trip unchanged (scale 0 / NULL passthrough).
+
+    All expression-level (transform + round) — codegen, no Python.
+    """
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
+    q = F.when(F.col(vec_col).isNull(), F.lit(None).cast("array<tinyint>")).when(
+        mx > 0,
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") * F.lit(127.0) / mx).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return emb.select(
+        F.col(id_col),
+        F.when(v.isNull(), F.lit(None).cast("double")).otherwise(scale).alias("scale"),
+        q.alias(out_vec),
+    )
+
+
+def dequantize_embeddings(
+    qemb: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+    out_vec: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`:
+    (id, embedding ARRAY<DOUBLE>) with embedding[i] = scale * qvec[i].
+    Map-only."""
+    return qemb.select(
+        F.col(id_col),
+        F.when(
+            F.col(qvec_col).isNull(), F.lit(None).cast("array<double>")
+        )
+        .otherwise(
+            F.transform(
+                F.col(qvec_col),
+                lambda x: x.cast("double") * F.col(scale_col),
+            )
+        )
+        .alias(out_vec),
+    )
+
+
+def quantized_cosine(
+    a_scale, a_q, b_scale, b_q, round_to: int = 6
+):
+    """Cosine similarity directly on two int8-quantized vectors: the
+    integer dot products stay in LONG (exact — |sum| <= dim * 127^2,
+    far inside int64), the scales cancel out of the ratio entirely, so
+    this equals the cosine of the DEQUANTIZED vectors bit-for-bit while
+    shuffling only tinyint arrays. Column-level helper for rerank
+    stages over quantized corpora."""
+    dot = F.aggregate(
+        F.zip_with(a_q, b_q, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nsq = lambda q: F.aggregate(  # noqa: E731
+        F.transform(q, lambda x: x.cast("long") * x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.round(
+        dot.cast("double")
+        / F.sqrt(nsq(a_q).cast("double"))
+        / F.sqrt(nsq(b_q).cast("double")),
+        round_to,
+    )

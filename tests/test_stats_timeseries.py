@@ -460,3 +460,107 @@ def test_sample_to_token_budget_validates_shards(spark):
     for bad in (0, -8):
         with pytest.raises(ValueError, match="n_shards"):
             sample_to_token_budget(df, 100, n_shards=bad)
+
+
+class TestQuantizeEmbeddings:
+    def _emb(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(200)
+
+    def test_roundtrip_error_bounded(self, spark):
+        from sparkbigdatatextanalysis_spark.operators.vectors import (
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+
+        emb = self._emb(spark)
+        deq = dequantize_embeddings(quantize_embeddings(emb))
+        joined = emb.select(
+            "vec_id", F.col("embedding").alias("orig")
+        ).join(deq, "vec_id")
+        rows = joined.collect()
+        assert len(rows) == 200
+        for r in rows:
+            orig = [float(x) for x in r["orig"]]
+            back = list(r["embedding"])
+            scale = max(abs(x) for x in orig) / 127.0
+            for o, b in zip(orig, back):
+                # symmetric rounding: error <= scale/2 per element
+                assert abs(o - b) <= scale / 2 + 1e-12, (o, b, scale)
+
+    def test_cosine_geometry_preserved_and_integer_path_exact(self, spark):
+        import math
+
+        from sparkbigdatatextanalysis_spark.operators.vectors import (
+            quantize_embeddings,
+            quantized_cosine,
+        )
+
+        emb = self._emb(spark)
+        q = quantize_embeddings(emb)
+        a = q.limit(20).select(
+            F.col("vec_id").alias("a_id"),
+            F.col("scale").alias("a_scale"),
+            F.col("qvec").alias("a_q"),
+        )
+        b = q.limit(20).select(
+            F.col("vec_id").alias("b_id"),
+            F.col("scale").alias("b_scale"),
+            F.col("qvec").alias("b_q"),
+        )
+        pairs = a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
+        got = pairs.select(
+            "a_id",
+            "b_id",
+            quantized_cosine(
+                F.col("a_scale"), F.col("a_q"), F.col("b_scale"), F.col("b_q")
+            ).alias("qcos"),
+        )
+        raw = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.limit(20).collect()}
+
+        def cos(u, v):
+            d = sum(x * y for x, y in zip(u, v))
+            return d / math.sqrt(sum(x * x for x in u)) / math.sqrt(
+                sum(y * y for y in v)
+            )
+
+        for r in got.collect():
+            exact = cos(raw[r["a_id"]], raw[r["b_id"]])
+            assert abs(r["qcos"] - exact) < 0.02, (r["a_id"], r["b_id"])
+
+    def test_null_and_zero_vectors_roundtrip(self, spark):
+        from sparkbigdatatextanalysis_spark.operators.vectors import (
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, None), (3, [1.5, -3.0])],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+        q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        assert q[1]["scale"] == 0.0 and list(q[1]["qvec"]) == [0, 0]
+        assert q[2]["scale"] is None and q[2]["qvec"] is None
+        assert q[3]["qvec"][1] in (-127, 127)
+        back = {
+            r["vec_id"]: r["embedding"]
+            for r in dequantize_embeddings(quantize_embeddings(df)).collect()
+        }
+        assert back[1] == [0.0, 0.0]
+        assert back[2] is None
+        assert abs(back[3][0] - 1.5) <= (3.0 / 127) / 2
+
+    def test_stays_jvm_side(self, spark):
+        from sparkbigdatatextanalysis_spark.operators.vectors import (
+            quantize_embeddings,
+        )
+
+        plan = (
+            quantize_embeddings(self._emb(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
