@@ -452,3 +452,56 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )
+
+
+def cosine_topk_quantized(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors scored entirely over the int8-QUANTIZED
+    corpus (vectors.quantize_embeddings): same API and output schema as
+    :func:`cosine_topk_bruteforce`, but the scan side carries
+    (scale, ARRAY<TINYINT>) — 4-8x less data moved — and every score is
+    an exact int64 integer-dot ratio (the per-vector scales cancel out
+    of cosine, so the ONLY approximation is the one-time int8 rounding
+    of the coordinates; typical rank displacement is confined to
+    near-ties, asserted in tests).
+
+    The right default for repeated query batches over a big frozen
+    corpus: quantize once, store the tinyint table, run every
+    subsequent batch against it.
+    """
+    from .vectors import quantize_embeddings, quantized_cosine
+
+    qt = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    q = query_ids.withColumnRenamed(query_ids.columns[0], "q_id")
+    qv = qt.join(F.broadcast(q), qt[id_col] == F.col("q_id")).select(
+        "q_id", F.col("scale").alias("a_scale"), F.col("qvec").alias("a_q")
+    )
+    cand = qt.select(
+        F.col(id_col).alias("n_id"),
+        F.col("scale").alias("b_scale"),
+        F.col("qvec").alias("b_q"),
+    )
+    scored = (
+        F.broadcast(qv)
+        .crossJoin(cand)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            quantized_cosine(
+                F.col("a_scale"), F.col("a_q"), F.col("b_scale"), F.col("b_q"),
+                round_to=9,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )

@@ -138,3 +138,61 @@ def winsorize(
             ).alias("was_clipped"),
         )
     )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    value: str,
+    n_bins: int = 10,
+    group: list[str] | None = None,
+    relative_error: float = 0.0,
+) -> DataFrame:
+    """Equi-depth (quantile) discretization: adds ``<value>_bin`` in
+    [0, n_bins) such that each bin holds ~1/n_bins of the rows -- the
+    feature-binning / calibration-bucket step that equi-WIDTH binning
+    (width_bucket) gets wrong on heavy-tailed metrics.
+
+    One percentile aggregation for the n_bins-1 interior cut points
+    (per group when ``group`` is given; set ``relative_error`` > 0 to
+    swap the exact sort-based percentile for the mergeable
+    approx_percentile sketch at extreme scale -- same operator shape),
+    then a broadcast join back and a map-only fold that counts cut
+    points <= value. NULL values get a NULL bin; rows keep their
+    columns. Ties at a cut point go to the higher bin (cut points are
+    INCLUSIVE lower bounds), matching numpy.digitize(right=False) on
+    the same cuts -- pinned in tests.
+    """
+    if n_bins < 2:
+        raise ValueError(f"equi_depth_bins: n_bins must be >= 2, got {n_bins}")
+    out_col = f"{value}_bin"
+    reserved = {out_col, "_edb_cuts"} | {f"_g_{g}" for g in (group or [])}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"equi_depth_bins: input already has column(s) {clash}")
+    fracs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    v = F.col(value)
+    if relative_error > 0:
+        cuts_expr = F.percentile_approx(
+            v, fracs, F.lit(int(1.0 / relative_error))
+        )
+    else:
+        cuts_expr = F.percentile(v, fracs)
+    keys = group or []
+    bounds = df.groupBy(
+        *[F.col(g).alias(f"_g_{g}") for g in keys]
+    ).agg(cuts_expr.alias("_edb_cuts"))
+    cond = F.lit(True)
+    for g in keys:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_g_{g}"))
+    binned = F.when(
+        v.isNotNull(),
+        F.aggregate(
+            F.col("_edb_cuts"),
+            F.lit(0),
+            lambda acc, c: acc + (v >= c).cast("int"),
+        ),
+    )
+    return (
+        df.join(F.broadcast(bounds), cond)
+        .select(*df.columns, binned.alias(out_col))
+    )

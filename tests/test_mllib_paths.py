@@ -204,3 +204,21 @@ def test_ivf_recall_vs_exact_sf01(spark):
     assert recalls[1] <= recalls[2] <= recalls[4], recalls
     assert recalls[1] >= 0.8, recalls
     assert recalls[4] >= 0.9, recalls
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8-quantized brute force must recover (nearly) the exact top-k
+    — rank displacement confined to near-ties; on the clustered
+    synthetic embeddings recall stays high."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.select("vec_id").orderBy("vec_id").limit(8)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    quant = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_quantized(emb, queries, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.85, recall

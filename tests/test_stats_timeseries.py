@@ -564,3 +564,73 @@ class TestQuantizeEmbeddings:
         )
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestEquiDepthBins:
+    def test_matches_numpy_digitize(self, spark):
+        import numpy as np
+
+        from sparkbigdatatextanalysis_spark.operators.stats import (
+            equi_depth_bins,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+            F.col("value").isNotNull()
+        )
+        out = {
+            r["event_id"]: r["value_bin"]
+            for r in equi_depth_bins(ev, "value", n_bins=8).collect()
+        }
+        vals = {r["event_id"]: r["value"] for r in ev.collect()}
+        arr = np.array(list(vals.values()))
+        # numpy linear-interpolated quantiles == Spark percentile
+        cuts = np.quantile(arr, [i / 8 for i in range(1, 8)])
+        for eid, v in vals.items():
+            assert out[eid] == int(np.digitize(v, cuts, right=False)), eid
+
+    def test_bins_are_balanced(self, spark):
+        from sparkbigdatatextanalysis_spark.operators.stats import (
+            equi_depth_bins,
+        )
+
+        df = spark.range(0, 10000).select(
+            F.col("id").alias("event_id"),
+            (F.hash(F.col("id").cast("string")) % 100000).cast("double").alias("value"),
+        )
+        out = equi_depth_bins(df, "value", n_bins=10)
+        counts = [
+            r["n"]
+            for r in out.groupBy("value_bin").agg(F.count("*").alias("n")).collect()
+        ]
+        assert len(counts) == 10
+        assert max(counts) - min(counts) <= 10000 * 0.02
+
+    def test_grouped_and_null_safe(self, spark):
+        from sparkbigdatatextanalysis_spark.operators.stats import (
+            equi_depth_bins,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+             (None, 10.0), (None, 20.0), ("a", None)],
+            "g STRING, value DOUBLE",
+        )
+        out = equi_depth_bins(df, "value", n_bins=2, group=["g"])
+        rows = out.collect()
+        assert len(rows) == 7  # NULL group and NULL value rows survive
+        null_bin = [r["value_bin"] for r in rows if r["value"] is None]
+        assert null_bin == [None]
+        for r in rows:
+            if r["g"] is None and r["value"] == 20.0:
+                assert r["value_bin"] == 1
+
+    def test_validates(self, spark):
+        from sparkbigdatatextanalysis_spark.operators.stats import (
+            equi_depth_bins,
+        )
+
+        df = spark.createDataFrame([("a", 1.0)], "g STRING, value DOUBLE")
+        with pytest.raises(ValueError):
+            equi_depth_bins(df, "value", n_bins=1)
+        with pytest.raises(ValueError):
+            equi_depth_bins(df.withColumn("value_bin", F.lit(1)), "value")
