@@ -132,3 +132,72 @@ def test_unigram_logprob_uniform_corpus(spark):
     out = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
            for r in pl.unigram_logprob(tok).collect()}
     assert out == {0: (2, round(math.log(0.25), 6)), 1: (2, round(math.log(0.25), 6))}
+
+
+def test_corpus_construction_end_to_end(spark):
+    """Full corpus-construction composition over the real documents
+    table: rule filter -> domain mixture -> incremental dedup vs an
+    empty then non-empty history -> token budget -> global shuffle.
+    Pins that the stages COMPOSE (schemas line up, flags independent)
+    and that the whole chain is deterministic across partitionings."""
+    from sparkbigdatatextanalysis_spark.operators import dedup as dd
+    from sparkbigdatatextanalysis_spark.operators import textstats as ts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    # 1. rule-based curation
+    keep_ids = ts.curation_rules(docs).where("keep").select("doc_id")
+    curated = docs.join(keep_ids, "doc_id")
+    n_curated = curated.count()
+    assert 0 < n_curated <= 500
+
+    # 2. domain mixture (synthesize a domain from the id hash)
+    from sparkbigdatatextanalysis_spark.functions.hashing import string_hash31
+
+    tagged = curated.withColumn(
+        "domain",
+        F.when(string_hash31(F.col("doc_id").cast("string")) % 3 == 0, "web")
+        .when(string_hash31(F.col("doc_id").cast("string")) % 3 == 1, "code")
+        .otherwise("papers"),
+    )
+    mixed = pl.mixture_sample(
+        tagged, "domain", {"web": 0.5, "code": 0.3, "papers": 0.2}
+    )
+    n_mixed = mixed.count()
+    assert 0 < n_mixed <= n_curated
+
+    # 3. incremental dedup (no history -> batch-only)
+    result, delta_hashes, delta_bands = dd.incremental_dedup(
+        mixed.select("doc_id", "text"), None, None
+    )
+    deduped = mixed.join(result.where("keep").select("doc_id"), "doc_id")
+    n_dedup = deduped.count()
+    assert 0 < n_dedup <= n_mixed
+
+    # 4. token budget
+    counted = deduped.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    budget = pl.sample_to_token_budget(counted, budget=2000, n_shards=4)
+    kept = budget.count()
+    assert kept > 0
+    total_tokens = budget.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_tokens < 2000 + 4 * 200  # overshoot bound: shards x max doc
+
+    # 5. deterministic global shuffle of the final corpus
+    final = pl.shuffle_shards(budget.select("doc_id"), n_shards=4)
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in final.collect()}
+    again = pl.shuffle_shards(
+        budget.select("doc_id").repartition(7), n_shards=4
+    )
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again.collect()} == a
+
+    # rerun with the produced deltas as history: everything previously
+    # kept is now a dup -> the daily pipeline is idempotent
+    rerun, dh2, _ = dd.incremental_dedup(
+        mixed.select("doc_id", "text"),
+        delta_hashes,
+        delta_bands.select("band", "key"),
+    )
+    assert rerun.where("keep").count() == 0
