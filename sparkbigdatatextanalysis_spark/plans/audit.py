@@ -47,10 +47,11 @@ def plan_string(df: DataFrame) -> str:
 def audit_plan(df: DataFrame) -> PlanAudit:
     plan = plan_string(df)
     broadcast = len(re.findall(r"\bBroadcastExchange\b", plan))
-    # every Exchange that is not a BroadcastExchange moves data
-    # proportional to its input: hashpartitioning, rangepartitioning,
-    # SinglePartition, round-robin
-    shuffle = len(re.findall(r"\bExchange\b", plan)) - broadcast
+    # a bare "Exchange" node moves data proportional to its input
+    # (hashpartitioning, rangepartitioning, SinglePartition,
+    # round-robin); \b keeps it from matching inside
+    # BroadcastExchange/ReusedExchange, so NO subtraction
+    shuffle = len(re.findall(r"\bExchange\b", plan))
     pushed = len(
         [
             m

@@ -16,35 +16,65 @@ from sparkbigdatatextanalysis_spark.plans import audit_plan
 SF = "/root/testdata/sf0.001"
 
 # query -> (max shuffle exchanges, min broadcast exchanges)
-# Shuffle budgets include the local-mode scan fan-out repartition
-# (\_scan wide=True), which a real cluster's natural splits make moot.
+# Shuffle budgets are the MEASURED plan-time exchange counts at the
+# time of pinning (ceilings, since AQE only removes exchanges at
+# runtime). They include (a) the local-mode scan fan-out repartition
+# (_scan wide=True), moot on a cluster's natural splits, and
+# (b) small-side exchanges feeding broadcasts (changeset/stats aggs) —
+# data-proportional to the SMALL input, counted all the same so a
+# regression can't hide in them.
 BUDGETS = {
     # map-only projections: NO data-proportional exchange at all
     "docs_split_sample": (0, 0),
     "text_normalize": (0, 0),
     "docs_pii_scrub": (0, 0),
-    # one-shuffle aggregations (plus fan-out where text-bound)
+    # broadcast-only joins: big side never shuffles
+    "customers_no_orders": (0, 1),
+    "skew_join_events": (0, 1),
+    # one-shuffle aggregations / windows (plus fan-out where text-bound)
     "dedup_exact": (1, 0),
     "pricing_rollup": (1, 0),
     "events_latest_per_user": (1, 0),
     "text_quality": (1, 0),
-    "minhash_signatures": (2, 0),
+    "dedup_simhash": (1, 0),
+    "events_sessionize": (1, 0),
+    "user_running_stats": (1, 0),
+    "scd2_history": (1, 0),
+    "sales_cube": (1, 0),
+    "orders_grouping_sets": (1, 0),
+    "orders_status_breakdown": (1, 0),
+    "value_percentiles": (1, 0),
+    "embedding_centroids": (1, 0),
+    # as-of: union + carry-forward window, ONE key shuffle, join-free
+    "asof_join_events": (1, 0),
+    # equi-key join with range condition: one fact shuffle, dim broadcast
+    "range_join_events": (1, 1),
     # groupBy stats + broadcast join back (NOT a global window)
     "events_value_zscore": (1, 1),
     "winsorize_values": (1, 1),
+    "orders_corr": (1, 1),
+    "tpch_q18_like": (1, 2),
+    "minhash_signatures": (2, 0),
+    "events_interarrival": (2, 0),
+    "events_hourly_from_minutely": (2, 0),
+    "events_gapfill": (2, 1),
+    "tpch_q4_like": (2, 1),
     # shared-scan count + broadcast totals (ReuseExchange eligible)
-    "heavy_hitter_users": (2, 1),
-    # copy-on-write MERGE: the target is scanned, never shuffled —
-    # every broadcast is of the (key-only) changeset
-    "merge_upsert_events": (2, 3),
+    "heavy_hitter_users": (3, 1),
     # two-phase grouped top-k: agg + local-rank + global-rank exchanges,
     # dim rides a broadcast
     "top_parts_by_brand": (3, 1),
-    # LSH candidate pipeline: fan-out + signature agg + band self-join
-    "dedup_minhash_lsh": (4, 0),
-    # TF-IDF weights: fan-out + tf agg + idf aggs; IDF joins broadcast
-    "tfidf_vectors": (4, 1),
     "vocab_top_tokens": (3, 0),
+    # copy-on-write MERGE: the 100 TB TARGET is scanned, never
+    # shuffled; the counted exchanges are all changeset-sized
+    # (distinct/agg feeds of the three broadcasts)
+    "merge_upsert_events": (5, 3),
+    # LSH candidate pipeline: fan-out + signature agg + band self-join
+    "dedup_minhash_lsh": (5, 1),
+    # TF-IDF weights: fan-out + tf/idf/df aggs; IDF joins broadcast
+    "tfidf_vectors": (6, 2),
+    # n_steps user-keyed joins with monotonically shrinking inputs
+    "funnel_conversion": (9, 3),
 }
 
 
