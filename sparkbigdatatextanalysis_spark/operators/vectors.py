@@ -141,3 +141,56 @@ def quantized_cosine(
         / F.sqrt(nsq(b_q).cast("double")),
         round_to,
     )
+
+
+def hashed_doc_embeddings(
+    tok_df: DataFrame,
+    dim: int = 64,
+    id_col: str = "id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Model-free document embeddings by signed feature hashing
+    (the hashing trick): every token hashes to a dimension in
+    [0, dim) with a ±1 sign from an independent hash bit, per-dim
+    contributions sum, and the vector is L2-normalized. Returns
+    (id, embedding ARRAY<DOUBLE>) — the bridge from the text tables to
+    every vector operator (ANN top-k, embedding near-dup, centroids,
+    quantization) when no learned encoder is in the loop.
+
+    Signed hashing keeps E[<u,v>] equal to the true token-count inner
+    product (collisions cancel in expectation), which is what makes
+    the trick usable for similarity rather than just bucketing.
+
+    Scale shape: explode → ONE partial-agg groupBy(id, dim) → ONE
+    groupBy(id) map assembly (dim-bounded rows after the first
+    combiner), all built-ins; the md5-derived hash keeps vectors
+    identical across engines, partitionings and reruns.
+    """
+    if dim < 2:
+        raise ValueError(f"hashed_doc_embeddings: dim must be >= 2, got {dim}")
+    from ..functions.hashing import string_hash31
+
+    h = string_hash31(F.concat(F.lit("emb:"), F.col("_tok")))
+    sign = F.when((h % (2 * dim)) < dim, F.lit(1.0)).otherwise(F.lit(-1.0))
+    ex = (
+        tok_df.select(F.col(id_col).alias("_id"), F.explode(tokens_col).alias("_tok"))
+        .where(F.col("_tok").isNotNull() & (F.col("_tok") != ""))
+        .select("_id", (h % dim).cast("int").alias("_dim"), sign.alias("_s"))
+    )
+    per_dim = ex.groupBy("_id", "_dim").agg(F.sum("_s").alias("_v"))
+    assembled = per_dim.groupBy("_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("_dim", "_v"))).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(F.col("_m")[d.cast("int")], F.lit(0.0)),
+    )
+    norm = F.sqrt(
+        F.aggregate(dense, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return assembled.select(
+        F.col("_id").alias(id_col),
+        F.when(
+            norm > 0, F.transform(dense, lambda x: x / norm)
+        ).otherwise(dense).alias("embedding"),
+    )

@@ -634,3 +634,70 @@ class TestEquiDepthBins:
             equi_depth_bins(df, "value", n_bins=1)
         with pytest.raises(ValueError):
             equi_depth_bins(df.withColumn("value_bin", F.lit(1)), "value")
+
+
+class TestHashedDocEmbeddings:
+    def _tok(self, spark):
+        import __spark_entry__ as em
+
+        return em._tok(spark, "/root/testdata/sf0.001")
+
+    def test_shape_norm_and_determinism(self, spark):
+        from sparkbigdatatextanalysis_spark.operators.vectors import (
+            hashed_doc_embeddings,
+        )
+
+        tok = self._tok(spark)
+        emb = hashed_doc_embeddings(tok, dim=32)
+        rows = {r["id"]: list(r["embedding"]) for r in emb.collect()}
+        assert len(rows) == 500
+        for v in rows.values():
+            assert len(v) == 32
+            assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+        again = {
+            r["id"]: list(r["embedding"])
+            for r in hashed_doc_embeddings(tok.repartition(7), dim=32).collect()
+        }
+        assert again == rows
+
+    def test_identical_docs_identical_vectors_and_similarity_orders(self, spark):
+        import math
+
+        from sparkbigdatatextanalysis_spark.operators.vectors import (
+            hashed_doc_embeddings,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, ["apple", "banana", "cherry", "date", "elderberry"]),
+                (2, ["apple", "banana", "cherry", "date", "elderberry"]),
+                (3, ["apple", "banana", "cherry", "date", "fig"]),
+                (4, ["x1", "x2", "x3", "x4", "x5"]),
+            ],
+            "id LONG, tokens ARRAY<STRING>",
+        )
+        vecs = {
+            r["id"]: list(r["embedding"])
+            for r in hashed_doc_embeddings(docs, dim=64).collect()
+        }
+        assert vecs[1] == vecs[2]
+
+        def cos(u, v):
+            return sum(a * b for a, b in zip(u, v))  # unit vectors
+
+        assert math.isclose(cos(vecs[1], vecs[2]), 1.0, abs_tol=1e-9)
+        # 4/6-token overlap beats disjoint vocab
+        assert cos(vecs[1], vecs[3]) > cos(vecs[1], vecs[4]) + 0.3
+
+    def test_feeds_ann_topk(self, spark):
+        from sparkbigdatatextanalysis_spark.operators import ann as ann_ops
+        from sparkbigdatatextanalysis_spark.operators.vectors import (
+            hashed_doc_embeddings,
+        )
+
+        emb = hashed_doc_embeddings(self._tok(spark), dim=32).withColumnRenamed(
+            "id", "vec_id"
+        )
+        queries = emb.select("vec_id").orderBy("vec_id").limit(3)
+        out = ann_ops.cosine_topk_bruteforce(emb, queries, k=4)
+        assert out.count() == 12
