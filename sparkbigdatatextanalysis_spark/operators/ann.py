@@ -163,6 +163,25 @@ def _norm_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return emb.select(F.col(id_col).alias("id"), v.alias("v"), F.sqrt(_dot(v, v)).alias("norm"))
 
 
+def _broadcast_topk(qv: DataFrame, cand: DataFrame, score, k: int) -> DataFrame:
+    """Shared harness of the brute-force variants: broadcast queries ×
+    streamed corpus, self-pair exclusion, deterministic (cos desc, n_id)
+    rank — ONE definition so the float and quantized paths cannot drift
+    on tie-breaks or self-exclusion."""
+    scored = (
+        F.broadcast(qv)
+        .crossJoin(cand)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", score.alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
 def cosine_topk_bruteforce(
     emb: DataFrame,
     query_ids: DataFrame,
@@ -180,22 +199,10 @@ def cosine_topk_bruteforce(
         "q_id", F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
     cand = nv.select(F.col("id").alias("n_id"), F.col("v").alias("nv"), F.col("norm").alias("nn"))
-    scored = (
-        F.broadcast(qv)
-        .crossJoin(cand)
-        .where(F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 9).alias("cos"),
-        )
+    score = F.round(
+        _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 9
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "rank", "cos")
-    )
+    return _broadcast_topk(qv, cand, score, k)
 
 
 N_CENTROIDS = 16
@@ -486,22 +493,8 @@ def cosine_topk_quantized(
         F.col("scale").alias("b_scale"),
         F.col("qvec").alias("b_q"),
     )
-    scored = (
-        F.broadcast(qv)
-        .crossJoin(cand)
-        .where(F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            quantized_cosine(
-                F.col("a_scale"), F.col("a_q"), F.col("b_scale"), F.col("b_q"),
-                round_to=9,
-            ).alias("cos"),
-        )
+    score = quantized_cosine(
+        F.col("a_scale"), F.col("a_q"), F.col("b_scale"), F.col("b_q"),
+        round_to=9,
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "rank", "cos")
-    )
+    return _broadcast_topk(qv, cand, score, k)

@@ -164,6 +164,11 @@ def equi_depth_bins(
     """
     if n_bins < 2:
         raise ValueError(f"equi_depth_bins: n_bins must be >= 2, got {n_bins}")
+    if not 0 <= relative_error < 1:
+        raise ValueError(
+            "equi_depth_bins: relative_error must be in [0, 1) "
+            f"(0 = exact percentile), got {relative_error}"
+        )
     out_col = f"{value}_bin"
     reserved = {out_col, "_edb_cuts"} | {f"_g_{g}" for g in (group or [])}
     clash = sorted(reserved & set(df.columns))

@@ -76,8 +76,14 @@ def quantize_embeddings(
     """
     v = F.col(vec_col)
     mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    # a non-finite element makes mx NaN/Inf (both order as the largest
+    # double), and NaN > 0 is TRUE in Spark -- without this guard the
+    # tinyint cast of round(x*127/NaN) throws CAST_OVERFLOW under ANSI
+    # mode and one bad row kills the whole job. Unquantizable vectors
+    # degrade to (NULL, NULL) like NULL inputs.
+    bad = v.isNull() | F.isnan(mx) | (mx == F.lit(float("inf")))
     scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
-    q = F.when(F.col(vec_col).isNull(), F.lit(None).cast("array<tinyint>")).when(
+    q = F.when(bad, F.lit(None).cast("array<tinyint>")).when(
         mx > 0,
         F.transform(
             v,
@@ -86,7 +92,7 @@ def quantize_embeddings(
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
     return emb.select(
         F.col(id_col),
-        F.when(v.isNull(), F.lit(None).cast("double")).otherwise(scale).alias("scale"),
+        F.when(bad, F.lit(None).cast("double")).otherwise(scale).alias("scale"),
         q.alias(out_vec),
     )
 
@@ -124,7 +130,10 @@ def quantized_cosine(
     far inside int64), the scales cancel out of the ratio entirely, so
     this equals the cosine of the DEQUANTIZED vectors bit-for-bit while
     shuffling only tinyint arrays. Column-level helper for rerank
-    stages over quantized corpora."""
+    stages over quantized corpora. Cosine is undefined for a zero
+    vector: those score NULL (ranking last under DESC ordering) rather
+    than raising DIVIDE_BY_ZERO under ANSI mode, so one degenerate
+    document cannot kill a top-k batch."""
     dot = F.aggregate(
         F.zip_with(a_q, b_q, lambda x, y: x.cast("long") * y.cast("long")),
         F.lit(0).cast("long"),
@@ -135,11 +144,13 @@ def quantized_cosine(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return F.round(
-        dot.cast("double")
-        / F.sqrt(nsq(a_q).cast("double"))
-        / F.sqrt(nsq(b_q).cast("double")),
-        round_to,
+    na, nb = nsq(a_q), nsq(b_q)
+    return F.when(
+        (na > 0) & (nb > 0),
+        F.round(
+            dot.cast("double") / F.sqrt(na.cast("double")) / F.sqrt(nb.cast("double")),
+            round_to,
+        ),
     )
 
 
@@ -181,6 +192,12 @@ def hashed_doc_embeddings(
     assembled = per_dim.groupBy("_id").agg(
         F.map_from_entries(F.collect_list(F.struct("_dim", "_v"))).alias("_m")
     )
+    # explode drops docs with no valid tokens entirely; join back over
+    # ALL input ids so they come out as zero vectors instead of silently
+    # vanishing from the corpus (a NULL map makes every lookup NULL ->
+    # coalesce 0.0 -> the zero-norm branch below returns the raw zeros)
+    ids = tok_df.select(F.col(id_col).alias("_id")).distinct()
+    assembled = ids.join(assembled, "_id", "left")
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: F.coalesce(F.col("_m")[d.cast("int")], F.lit(0.0)),

@@ -46,34 +46,45 @@ def plan_string(df: DataFrame) -> str:
 
 def audit_plan(df: DataFrame) -> PlanAudit:
     plan = plan_string(df)
-    broadcast = len(re.findall(r"\bBroadcastExchange\b", plan))
+    # After execution AdaptiveSparkPlan prints "== Final Plan ==" AND an
+    # "== Initial Plan ==" section duplicating every node -- count only
+    # the first section or every number doubles.
+    plan = plan.split("== Initial Plan ==")[0]
+    # A ReusedExchange line REPRINTS its target inline
+    # ("ReusedExchange [...], Exchange hashpartitioning(...)"): the
+    # physical exchange already counted at its definition site, so lines
+    # carrying ReusedExchange are excluded from node counting.
+    counted = "\n".join(
+        ln for ln in plan.splitlines() if "ReusedExchange" not in ln
+    )
+    broadcast = len(re.findall(r"\bBroadcastExchange\b", counted))
     # a bare "Exchange" node moves data proportional to its input
     # (hashpartitioning, rangepartitioning, SinglePartition,
     # round-robin); \b keeps it from matching inside
-    # BroadcastExchange/ReusedExchange, so NO subtraction
-    shuffle = len(re.findall(r"\bExchange\b", plan))
+    # BroadcastExchange/ReusedExchange
+    shuffle = len(re.findall(r"\bExchange\b", counted))
     pushed = len(
         [
             m
-            for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+            for m in re.findall(r"PushedFilters: \[([^\]]*)\]", counted)
             if m.strip()
         ]
     )
     return PlanAudit(
         shuffle_exchanges=shuffle,
         broadcast_exchanges=broadcast,
-        sorts=len(re.findall(r"\bSort\b(?! merge)", plan)),
-        cartesian_products=len(re.findall(r"\bCartesianProduct\b", plan)),
-        row_python_stages=len(re.findall(r"\bBatchEvalPython\b", plan)),
+        sorts=len(re.findall(r"\bSort\b(?! merge)", counted)),
+        cartesian_products=len(re.findall(r"\bCartesianProduct\b", counted)),
+        row_python_stages=len(re.findall(r"\bBatchEvalPython\b", counted)),
         arrow_python_stages=len(
             re.findall(
                 r"\bArrowEvalPython\b|\bMapInPandas\b|\bFlatMapGroupsInPandas\b",
-                plan,
+                counted,
             )
         ),
         # codegen stages print as "*(n)" operator prefixes in the string
         # plan (one id per WholeStageCodegen subtree)
-        codegen_spans=len(set(re.findall(r"\*\((\d+)\)", plan))),
-        scans=len(re.findall(r"\bFileScan\b|\bScan parquet\b", plan)),
+        codegen_spans=len(set(re.findall(r"\*\((\d+)\)", counted))),
+        scans=len(re.findall(r"\bFileScan\b|\bScan parquet\b", counted)),
         pushed_filter_scans=pushed,
     )

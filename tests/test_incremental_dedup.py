@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from sparkbigdatatextanalysis_spark.functions.lineage import release
 from sparkbigdatatextanalysis_spark.operators import dedup as dd
 
 LONG2 = (
@@ -61,7 +62,8 @@ def _flags(out):
 def test_classifies_each_dup_kind(spark, history):
     hashes, bands = history
     batch = spark.createDataFrame(DAY2, "doc_id LONG, text STRING")
-    out, delta_hashes, delta_bands = dd.incremental_dedup(batch, hashes, bands)
+    r = dd.incremental_dedup(batch, hashes, bands)
+    out, delta_hashes, delta_bands = r.result, r.delta_hashes, r.delta_bands
     f = _flags(out)
     assert f[10][0] and not f[10][4]  # exact vs history
     assert f[11][2] and not f[11][4]  # near vs history
@@ -75,24 +77,33 @@ def test_classifies_each_dup_kind(spark, history):
     assert kept == {12, 14}
     # deltas describe exactly the kept docs
     assert delta_hashes.count() == 2
-    assert {r["id"] for r in delta_bands.collect()} == kept
+    assert {row["id"] for row in delta_bands.collect()} == kept
+    release(r.bands)
 
 
 def test_second_run_against_updated_history_drops_everything(spark, history):
     hashes, bands = history
     batch = spark.createDataFrame(DAY2, "doc_id LONG, text STRING")
-    out, dh, db = dd.incremental_dedup(batch, hashes, bands)
-    new_hashes = hashes.unionByName(dh)
-    new_bands = bands.unionByName(db.select("band", "key"))
-    again, dh2, _ = dd.incremental_dedup(batch, new_hashes, new_bands)
-    assert again.where("keep").count() == 0  # idempotent: day-2 rerun all dups
-    assert dh2.count() == 0
+    r1 = dd.incremental_dedup(batch, hashes, bands)
+    new_hashes = hashes.unionByName(r1.delta_hashes)
+    new_bands = bands.unionByName(r1.delta_bands.select("band", "key"))
+    r2 = dd.incremental_dedup(batch, new_hashes, new_bands)
+    assert r2.result.where("keep").count() == 0  # idempotent rerun: all dups
+    assert r2.delta_hashes.count() == 0
+    # releasing the persisted band tables frees their blocks -- the
+    # per-daily-run leak regression
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    release(r1.bands)
+    release(r2.bands)
+    assert jsc.getPersistentRDDs().size() <= max(before - 2, 0) + 1
 
 
 def test_no_history_degrades_to_batch_only(spark):
     batch = spark.createDataFrame(DAY2, "doc_id LONG, text STRING")
-    out, dh, db = dd.incremental_dedup(batch, None, None)
-    f = _flags(out)
+    r = dd.incremental_dedup(batch, None, None)
+    f = _flags(r.result)
+    release(r.bands)
     assert all(not v[0] and not v[2] for v in f.values())
     kept = {d for d, v in f.items() if v[4]}
     assert kept == {10, 11, 12, 14}
@@ -103,7 +114,7 @@ def test_history_probe_is_equi_join(spark, history):
     history elides its exchange for) -- no cartesian, no row-Python."""
     hashes, bands = history
     batch = spark.createDataFrame(DAY2, "doc_id LONG, text STRING")
-    out, _, _ = dd.incremental_dedup(batch, hashes, bands)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    r = dd.incremental_dedup(batch, hashes, bands)
+    plan = r.result._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan

@@ -15,6 +15,22 @@ from sparkbigdatatextanalysis_spark.plans import audit_plan
 
 SF = "/root/testdata/sf0.001"
 
+
+@pytest.fixture(autouse=True)
+def _fresh_cache_state(spark):
+    """Budgets are pinned against CACHE-FREE plans: Spark's cacheManager
+    substitutes InMemoryTableScan into any rebuilt plan that matches a
+    previously persisted one, collapsing whole join subtrees and making
+    exchange counts depend on which tests ran earlier in the session.
+    Clearing both the SQL cache and the entry module's pipeline-point
+    cache before each audit makes the counts deterministic; later
+    consumers simply re-persist lazily."""
+    import __spark_entry__ as em
+
+    spark.catalog.clearCache()
+    em._DF_CACHE.clear()
+    yield
+
 # query -> (max shuffle exchanges, min broadcast exchanges)
 # Shuffle budgets are the MEASURED plan-time exchange counts at the
 # time of pinning (ceilings, since AQE only removes exchanges at

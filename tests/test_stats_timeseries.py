@@ -701,3 +701,64 @@ class TestHashedDocEmbeddings:
         queries = emb.select("vec_id").orderBy("vec_id").limit(3)
         out = ann_ops.cosine_topk_bruteforce(emb, queries, k=4)
         assert out.count() == 12
+
+
+class TestQuantizeEdgeCases:
+    def test_nonfinite_vectors_degrade_to_null(self, spark):
+        """NaN/Inf elements must NOT throw CAST_OVERFLOW under ANSI mode
+        -- the row degrades to (NULL, NULL) like a NULL input."""
+        from sparkbigdatatextanalysis_spark.operators.vectors import (
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, float("nan")]),
+                (2, [float("inf"), 2.0]),
+                (3, [-float("inf"), 2.0]),
+                (4, [1.0, 2.0]),
+            ],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+        q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        for vid in (1, 2, 3):
+            assert q[vid]["scale"] is None and q[vid]["qvec"] is None, vid
+        assert q[4]["qvec"] is not None
+
+    def test_zero_vector_in_corpus_does_not_kill_topk(self, spark):
+        """A degenerate all-zero embedding must not DIVIDE_BY_ZERO the
+        whole quantized top-k batch; it scores NULL and ranks last."""
+        from sparkbigdatatextanalysis_spark.operators import ann as ann_ops
+
+        rows = [(i, [float(i), 1.0, 2.0]) for i in range(1, 8)] + [
+            (99, [0.0, 0.0, 0.0])
+        ]
+        emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        queries = emb.select("vec_id").where("vec_id <= 2")
+        out = ann_ops.cosine_topk_quantized(emb, queries, k=3).collect()
+        assert len(out) == 6
+        assert all(r["n_id"] != 99 for r in out)
+
+
+def test_hashed_embeddings_keep_tokenless_docs_as_zero_vectors(spark):
+    from sparkbigdatatextanalysis_spark.operators.vectors import (
+        hashed_doc_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ["alpha", "beta"]), (2, []), (3, None), (4, [None, ""])],
+        "id LONG, tokens ARRAY<STRING>",
+    )
+    rows = {r["id"]: list(r["embedding"]) for r in hashed_doc_embeddings(docs, dim=8).collect()}
+    assert set(rows) == {1, 2, 3, 4}  # nobody silently vanishes
+    for vid in (2, 3, 4):
+        assert rows[vid] == [0.0] * 8, vid
+    assert any(x != 0 for x in rows[1])
+
+
+def test_equi_depth_bins_validates_relative_error(spark):
+    from sparkbigdatatextanalysis_spark.operators.stats import equi_depth_bins
+
+    df = spark.createDataFrame([("a", 1.0)], "g STRING, value DOUBLE")
+    with pytest.raises(ValueError, match="relative_error"):
+        equi_depth_bins(df, "value", relative_error=2.0)

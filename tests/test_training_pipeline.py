@@ -167,10 +167,8 @@ def test_corpus_construction_end_to_end(spark):
     assert 0 < n_mixed <= n_curated
 
     # 3. incremental dedup (no history -> batch-only)
-    result, delta_hashes, delta_bands = dd.incremental_dedup(
-        mixed.select("doc_id", "text"), None, None
-    )
-    deduped = mixed.join(result.where("keep").select("doc_id"), "doc_id")
+    r1 = dd.incremental_dedup(mixed.select("doc_id", "text"), None, None)
+    deduped = mixed.join(r1.result.where("keep").select("doc_id"), "doc_id")
     n_dedup = deduped.count()
     assert 0 < n_dedup <= n_mixed
 
@@ -195,9 +193,13 @@ def test_corpus_construction_end_to_end(spark):
 
     # rerun with the produced deltas as history: everything previously
     # kept is now a dup -> the daily pipeline is idempotent
-    rerun, dh2, _ = dd.incremental_dedup(
+    from sparkbigdatatextanalysis_spark.functions.lineage import release
+
+    r2 = dd.incremental_dedup(
         mixed.select("doc_id", "text"),
-        delta_hashes,
-        delta_bands.select("band", "key"),
+        r1.delta_hashes,
+        r1.delta_bands.select("band", "key"),
     )
-    assert rerun.where("keep").count() == 0
+    assert r2.result.where("keep").count() == 0
+    release(r1.bands)
+    release(r2.bands)
