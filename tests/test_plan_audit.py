@@ -91,6 +91,38 @@ BUDGETS = {
     "tfidf_vectors": (6, 2),
     # n_steps user-keyed joins with monotonically shrinking inputs
     "funnel_conversion": (9, 3),
+    # --- second batch (measured cache-free; pipelines that normally
+    # share persist barriers show their FULL lineage here, so these
+    # ceilings are the worst case, not the warm-pipeline cost) ---
+    "text_lang_id": (0, 0),
+    "token_counts": (0, 0),
+    "text_repetition": (0, 0),
+    "docs_stratified_sample": (0, 0),
+    "pair_edit_distance": (0, 2),
+    "events_windowed": (1, 0),
+    "events_sliding_users": (1, 0),
+    "events_json_props": (1, 0),
+    "orders_by_month": (1, 0),
+    "events_rolling_1h": (1, 0),
+    "docs_pack_sequences": (1, 0),
+    # star-schema shapes: ONE fact shuffle, every dim broadcast
+    "tpch_q3_like": (1, 2),
+    "tpch_q5_like": (1, 5),
+    "tpch_q7_like": (1, 5),
+    "tpch_q16_like": (2, 2),
+    "tpch_q2_like": (2, 5),
+    "tokens_except": (2, 0),
+    "user_type_pivot": (2, 0),
+    "corpus_bigrams": (2, 0),
+    "doc_fingerprint": (3, 0),
+    "idf_dict": (4, 1),
+    "gold_join_eval": (4, 0),
+    "l2_norm": (7, 2),
+    "threshold_sweep": (17, 6),
+    "docs_unigram_logprob": (7, 2),
+    "idf_histogram": (10, 3),
+    "dedup_ngram_jaccard": (11, 3),
+    "train_test_ngram_overlap": (12, 1),
 }
 
 
