@@ -289,3 +289,29 @@ def test_bpe_learn_releases_prior_round_blocks(spark):
     # tolerated residue: the returned vocab's checkpoint + its still-
     # referenced parent -- NOT one block set per round
     assert after - before <= 3, (before, after)
+
+
+def test_bpe_batched_matches_reference_property(spark):
+    """Adversarial property check of the batch-selection soundness
+    proof: tiny alphabets maximize rule conflicts and count ties (the
+    regime where an unsound batch would diverge from sequential BPE).
+    Seeded random corpora, exact merge-list equality."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(6):
+        n_words = rng.randint(3, 40)
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+            for _ in range(n_words)
+        ]
+        n_merges = rng.randint(1, 40)
+        df = spark.createDataFrame(
+            [(i, [w]) for i, w in enumerate(words)],
+            "id LONG, tokens ARRAY<STRING>",
+        )
+        merges, _ = bpe.bpe_learn(df, n_merges=n_merges)
+        ref_merges, _ = _ref_bpe(Counter(words), n_merges)
+        assert merges == ref_merges, (trial, words, n_merges)
+        merges_local, _ = bpe.bpe_learn_local(df, n_merges=n_merges)
+        assert merges_local == ref_merges, (trial, "local", words, n_merges)
