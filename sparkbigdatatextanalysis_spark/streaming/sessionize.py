@@ -124,3 +124,35 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_native(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Spark's BUILT-IN session operator (``F.session_window``) driving
+    the same gap-based sessionization: one groupBy(user, session_window)
+    — no lag/running-sum windows at all — with the engine's native
+    session merging (usable unchanged in Structured Streaming with a
+    watermark, where merging sessions is state the custom
+    applyInPandasWithState path manages by hand).
+
+    Same output contract as :func:`sessionize_batch` minus the
+    session_idx ordinal (the native operator identifies sessions by
+    window, not by per-user sequence). Boundary semantics differ at
+    EXACTLY gap distance: the expression path keeps ``diff == gap`` in
+    one session, session_window splits it — irrelevant off the knife's
+    edge (microsecond timestamps), asserted equal on the synthetic
+    events in tests.
+    """
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("_w")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .drop("_w")
+    )

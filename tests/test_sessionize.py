@@ -95,3 +95,26 @@ def test_streaming_matches_batch_closed_sessions(spark, events, tmp_path):
         if r["session_idx"] != last_idx[r["user_id"]]
     }
     assert got == expected
+
+
+def test_native_session_window_matches_expression_path(spark):
+    """F.session_window (the built-in session operator) must produce
+    the same sessions as the lag/running-sum expression path on the
+    real events table — same starts, ends, counts and sums."""
+    from sparkbigdatatextanalysis_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_native,
+    )
+
+    from sparkbigdatatextanalysis_spark.sources.parquet_io import (
+        normalize_event_ts,
+    )
+
+    ev = normalize_event_ts(
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ).where(F.col("ts").isNotNull())
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    a = {tuple(r) for r in sessionize_batch(ev).select(*cols).collect()}
+    b = {tuple(r) for r in sessionize_native(ev).select(*cols).collect()}
+    assert a == b
+    assert len(a) > 0
