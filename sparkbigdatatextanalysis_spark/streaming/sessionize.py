@@ -138,11 +138,15 @@ def sessionize_native(
 
     Same output contract as :func:`sessionize_batch` minus the
     session_idx ordinal (the native operator identifies sessions by
-    window, not by per-user sequence). Boundary semantics differ at
-    EXACTLY gap distance: the expression path keeps ``diff == gap`` in
-    one session, session_window splits it — irrelevant off the knife's
-    edge (microsecond timestamps), asserted equal on the synthetic
-    events in tests.
+    window, not by per-user sequence), with two documented semantic
+    edges: (a) EXACTLY gap distance — the expression path keeps
+    ``diff == gap`` in one session, session_window splits it,
+    irrelevant off the knife's edge of microsecond timestamps; and
+    (b) NULL timestamps — Spark filters NULL session windows so the
+    native path DROPS those rows, while the expression path emits one
+    degenerate NULL-start session each. Filter NULL ts upstream (the
+    entry pipeline's normalize step does) before swapping one for the
+    other; equality on the real events is asserted in tests.
     """
     return (
         events.groupBy(

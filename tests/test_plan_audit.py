@@ -168,6 +168,13 @@ BUDGETS = {
 }
 
 
+def test_budget_covers_every_query():
+    """The net's full-surface claim is itself pinned: a new queries()
+    key without a budget entry (or a stale entry for a removed key)
+    fails here instead of silently decaying the coverage."""
+    assert set(BUDGETS) == set(entry_mod.queries().keys())
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(spark, name):
     max_shuffle, min_broadcast = BUDGETS[name]
