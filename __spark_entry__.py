@@ -1081,13 +1081,29 @@ def q_user_running_stats(spark, sf_dir):
 def q_approx_distinct_users(spark, sf_dir):
     """Sketch aggregation: HyperLogLog++ distinct-user estimate next to
     the exact count. Mergeable sketch partials are the 100 TB path for
-    distinct counts (exact needs a full shuffle of the key space). No
-    SQL oracle -- DuckDB's HLL implementation yields different estimates;
-    the driver records the weaker rows-only check."""
+    distinct counts (exact needs a full shuffle of the key space).
+
+    DuckDB's HLL yields different estimates, so the raw estimate itself
+    is not oracle-expressible -- but its ACCURACY is: the driver-hashed
+    columns are the exact count plus the boolean "estimate within 5% of
+    exact" (2.5x the configured rsd=0.02, so a correct sketch passes
+    with wide margin), which the oracle pins to 1. A broken HLL (or a
+    silently-degraded rsd) flips the boolean and fails the hash -- a
+    real check where r03 recorded none at all (`err: no_oracle`)."""
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
         F.count_distinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        )
+        .cast("long")
+        .alias("approx_within_5pct"),
     )
 
 
@@ -2591,8 +2607,16 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS quartile
             FROM events
         """,
-        # approx_distinct_users intentionally has NO oracle: HLL estimates
-        # are implementation-specific (driver records rows-only check).
+        # approx_distinct_users: the HLL estimate is implementation-
+        # specific, but its accuracy bound is not -- the oracle checks the
+        # exact count and asserts the estimate landed within 5% (the query
+        # emits that boolean; a broken sketch fails the value hash).
+        "approx_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS exact_users,
+                   1::BIGINT AS approx_within_5pct
+            FROM events GROUP BY event_type
+        """,
         "tpch_q3_like": """
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                    o_orderpriority,
@@ -2619,7 +2643,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_props": """
             SELECT event_type, count(*) AS n_events,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   -- ::BIGINT: DuckDB sum(BIGINT) widens to HUGEINT
+                   -- (int128); Spark emits int64 and the driver hash
+                   -- distinguishes the types (r03 red row)
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
                    round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
             FROM events GROUP BY event_type
         """,
@@ -2774,8 +2801,12 @@ def oracle_sql() -> dict[str, str]:
           FROM nt
         )
         SELECT doc_id, shard,
-               shard * (1::BIGINT << 40) + (cum_before // 512) AS pack_id,
-               cum_before % 512 AS pack_offset,
+               -- ::BIGINT x2: the window sum(n_tokens) is HUGEINT in
+               -- DuckDB and infects both derived columns; Spark emits
+               -- int64 and the driver hash distinguishes the types
+               -- (r03 red row)
+               (shard * (1::BIGINT << 40) + (cum_before // 512))::BIGINT AS pack_id,
+               (cum_before % 512)::BIGINT AS pack_offset,
                n_tokens
         FROM c
     """
