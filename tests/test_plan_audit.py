@@ -162,7 +162,12 @@ BUDGETS = {
     "ann_topk_lsh": (8, 5),
     "dot_product": (15, 0),
     "cross_similarity": (15, 0),
-    "ann_topk_ivf": (27, 11),
+    # r4: the Lloyd/assignment argmax is now an in-row literal reduction
+    # (centroids collected driver-side and embedded in the plan), so the
+    # 3x |corpus|-x-k window exchanges of the r3 plan are gone and the
+    # ceiling drops 27 -> 7 (remaining: rerank joins + final rank
+    # window + the eager k-x-dim mean aggs)
+    "ann_topk_ivf": (7, 2),
     "common_token_pairs": (31, 0),
     "cosine_similarity": (31, 0),
 }
