@@ -1661,6 +1661,32 @@ def q_events_anomaly(spark, sf_dir):
     )
 
 
+def q_events_anomaly_sql(spark, sf_dir):
+    """The JVM window-function twin of q_events_anomaly
+    (streaming/monitor.py::anomaly_scan_sql): identical strictly-prior
+    z-score semantics, but expressed as (UNBOUNDED PRECEDING..1
+    PRECEDING) frame aggregates -- one shuffle on user_id, whole-stage
+    codegen, no Python workers. THIS is the plan to run for a 100 TB
+    batch backfill; the Arrow `events_anomaly` twin exists because the
+    streaming operator must carry O(1) state per key, and keeping both
+    driver-gated pins the two algorithms (online Welford vs two-pass
+    frame stats) equal on real data, not just in pytest."""
+    from sparkbigdatatextanalysis_spark.streaming.monitor import anomaly_scan_sql
+
+    ev = _events(spark, sf_dir).where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    out = anomaly_scan_sql(ev, threshold=3.0, min_n=5)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        F.round("zscore", 6).alias("zscore"),
+        "n_prior",
+    )
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD Type-2 dimension build (operators/relational.py::scd2_history)
     over the events change stream: user_id's event_type as the tracked
@@ -1709,75 +1735,139 @@ def q_winsorize_values(spark, sf_dir):
     )
 
 
+MIXTURE_WEIGHTS = {"web": 0.5, "code": 0.25, "papers": 0.25}
+# 0.5/0.25/0.25: exactly representable doubles summing to exactly 1.0,
+# so the normalized weights (w/total) are bit-identical in both engines.
+
+
+def _doc_domains(spark, sf_dir):
+    """documents + a synthetic domain label (the corpus tables carry no
+    source column): doc_id % 3 -> web/code/papers."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "web")
+        .when(F.col("doc_id") % 3 == 1, "code")
+        .otherwise("papers")
+        .alias("domain"),
+    )
+
+
+def q_docs_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling (operators/pipeline.py::mixture_sample):
+    output composition pinned to the 0.5/0.25/0.25 recipe, rate set by
+    the scarcest domain, keep decision a deterministic salted md5 hash
+    of doc_id -- one count shuffle, the sample itself map-only. mix_rate
+    ships unrounded: it is pure scalar arithmetic ((w*nout)*scale/n) on
+    identical inputs, bit-identical across engines."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    out = pl.mixture_sample(
+        _doc_domains(spark, sf_dir), "domain", MIXTURE_WEIGHTS, scale=1.0
+    )
+    return out.select("doc_id", "domain", "mix_rate")
+
+
+def q_docs_shuffle_shards(spark, sf_dir):
+    """Deterministic global training-order shuffle
+    (operators/pipeline.py::shuffle_shards): md5-derived 31-bit key,
+    shard = key % 32, dense per-shard position. One shuffle (the
+    per-shard rank window); reproducible across engines/partitionings,
+    which is exactly what the oracle verifies."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    out = pl.shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"), id_col="doc_id", n_shards=32
+    )
+    return out.select(
+        "doc_id",
+        "shuffle_key",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+def q_events_value_bins(spark, sf_dir):
+    """Equi-depth binning (operators/stats.py::equi_depth_bins) of event
+    values into per-type deciles: one exact-percentile agg + broadcast
+    cuts join + map-only fold. Bin assignment is robust to last-ulp
+    interpolation differences between engines: any cut variant stays
+    strictly between the two neighboring data values, so `value >= cut`
+    classifies identically (NULL values -> NULL bin on both sides)."""
+    from sparkbigdatatextanalysis_spark.operators.stats import equi_depth_bins
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = equi_depth_bins(ev, value="value", n_bins=10, group=["event_type"])
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("value_bin").cast("long").alias("value_bin"),
+    )
+
+
+def q_docs_curation_rules(spark, sf_dir):
+    """Gopher/C4-style rule-based curation filter
+    (operators/textstats.py::curation_rules): six independent audit
+    booleans + their conjunction, all map-only expressions over one
+    tokenization -- scan-speed, no shuffle. Booleans ship as BIGINT
+    (driver hash convention)."""
+    out = ts.curation_rules(_docs(spark, sf_dir, wide=True))
+    rule_cols = [
+        "r_n_tokens", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_ratio", "r_alpha_ratio", "r_stopword_hits",
+    ]
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in rule_cols],
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
+def q_docs_hashed_embeddings(spark, sf_dir):
+    """Model-free hashed document embeddings
+    (operators/vectors.py::hashed_doc_embeddings): signed feature
+    hashing of the stopword-filtered tokens into 64 dims, L2-normalized.
+    Output exploded to (doc_id, pos, component) so the driver hashes
+    every coordinate. Components are bit-identical across engines: the
+    pre-norm vector is integer-valued (sums of +-1), the squared-norm
+    sum is exact integer arithmetic, and x/sqrt(s) is one correctly-
+    rounded division."""
+    from sparkbigdatatextanalysis_spark.operators import vectors as vec
+
+    out = vec.hashed_doc_embeddings(_tok(spark, sf_dir), dim=64)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("embedding").alias("pos", "component"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "component")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
-    # checks the FIRST 50 declared keys. Slots 1-44 hold every key without
-    # a green driver row yet (39 never-checked + 2 checked only in r01 +
-    # 3 new this round); slots 45-50 are already-green sentinels, one per
-    # engine area, so regressions in the core stay visible. The remaining
-    # 44 keys all have green r02 rows (CORRECTNESS_r02.json) and are
-    # re-verified every run by tests/test_oracle_parity.py.
+    # checks the FIRST 50 declared keys. Round-4 window: slots 1-3 are
+    # the r03 red/unchecked keys (oracle casts fixed + the new HLL
+    # accuracy-bound check), slots 4-9 the six keys new this round,
+    # slot 10 re-gates ann_topk_ivf (its plan changed: in-row literal
+    # argmax), and slots 11-50 rotate back 40 of the 44 keys whose
+    # latest driver row is r02 -- so no key's most recent row goes more
+    # than 2 rounds stale. The 4 r02 keys that didn't fit (noted below)
+    # rotate in next round; every key is re-verified on every suite run
+    # by tests/test_oracle_parity.py regardless.
     return {
-        # --- never driver-checked (39) ---
-        "approx_distinct_users": q_approx_distinct_users,
-        "dedup_near_clusters": q_dedup_near_clusters,
-        "tpch_q2_like": q_tpch_q2_like,
-        "tpch_q3_like": q_tpch_q3_like,
-        "tpch_q4_like": q_tpch_q4_like,
-        "tpch_q5_like": q_tpch_q5_like,
-        "tpch_q7_like": q_tpch_q7_like,
-        "tpch_q16_like": q_tpch_q16_like,
-        "tpch_q18_like": q_tpch_q18_like,
+        # --- r03 red rows, fixed this round (3) ---
         "events_json_props": q_events_json_props,
-        "tokens_except": q_tokens_except,
-        "user_type_pivot": q_user_type_pivot,
-        "pair_edit_distance": q_pair_edit_distance,
-        "orders_by_month": q_orders_by_month,
-        "curation_pipeline": q_curation_pipeline,
-        "events_hourly_from_minutely": q_events_hourly_from_minutely,
-        "docs_split_sample": q_docs_split_sample,
-        "text_repetition": q_text_repetition,
-        "events_value_zscore": q_events_value_zscore,
-        "vocab_top_tokens": q_vocab_top_tokens,
-        "train_test_ngram_overlap": q_train_test_ngram_overlap,
         "docs_pack_sequences": q_docs_pack_sequences,
-        "docs_unigram_logprob": q_docs_unigram_logprob,
-        "events_latest_per_user": q_events_latest_per_user,
-        "funnel_conversion": q_funnel_conversion,
-        "table_profile": q_table_profile,
-        "corpus_bigrams": q_corpus_bigrams,
-        "events_rolling_1h": q_events_rolling_1h,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "merge_upsert_events": q_merge_upsert_events,
-        "events_gapfill": q_events_gapfill,
-        "orders_corr": q_orders_corr,
-        "embedding_centroids": q_embedding_centroids,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        "text_normalize": q_text_normalize,
-        "orders_grouping_sets": q_orders_grouping_sets,
-        "events_interarrival": q_events_interarrival,
-        "orders_status_breakdown": q_orders_status_breakdown,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        # --- green in r01 only, re-gate (2) ---
-        "skew_join_events": q_skew_join_events,
-        "user_running_stats": q_user_running_stats,
-        # --- new this round: batch twins of tested-only surfaces (3) ---
-        "events_anomaly": q_events_anomaly,
-        "scd2_history": q_scd2_history,
-        "winsorize_values": q_winsorize_values,
-        # --- already-green sentinels (6) ---
-        "scan_concat": q_scan_concat,
-        "tfidf_vectors": q_tfidf_vectors,
-        "fast_cosine_join": q_fast_cosine_join,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "approx_distinct_users": q_approx_distinct_users,
+        # --- new keys this round (6) ---
+        "events_anomaly_sql": q_events_anomaly_sql,
+        "docs_mixture_sample": q_docs_mixture_sample,
+        "docs_shuffle_shards": q_docs_shuffle_shards,
+        "events_value_bins": q_events_value_bins,
+        "docs_curation_rules": q_docs_curation_rules,
+        "docs_hashed_embeddings": q_docs_hashed_embeddings,
+        # --- plan changed this round, re-gate (1) ---
         "ann_topk_ivf": q_ann_topk_ivf,
-        "events_sessionize": q_events_sessionize,
-        # --- r02-green balance (44) ---
-        "scan_gold_pairs": q_scan_gold_pairs,
-        "dot_product": q_dot_product,
+        # --- r02-green rotation (40 of 44) ---
         "cosine_similarity": q_cosine_similarity,
-        "str_strip_quotes": q_str_strip_quotes,
-        "tokenize": q_tokenize,
         "tokenize_stopwords": q_tokenize_stopwords,
         "term_frequencies": q_term_frequencies,
         "idf_dict": q_idf_dict,
@@ -1817,6 +1907,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": q_sales_cube,
         "value_percentiles": q_value_percentiles,
         "customers_no_orders": q_customers_no_orders,
+        # ---- end of the 50-key gate window ----
+        # --- r02-green leftovers, rotate in r05 (4) ---
+        "scan_gold_pairs": q_scan_gold_pairs,
+        "dot_product": q_dot_product,
+        "str_strip_quotes": q_str_strip_quotes,
+        "tokenize": q_tokenize,
+        # --- r03-green balance (47) ---
+        "dedup_near_clusters": q_dedup_near_clusters,
+        "tpch_q2_like": q_tpch_q2_like,
+        "tpch_q3_like": q_tpch_q3_like,
+        "tpch_q4_like": q_tpch_q4_like,
+        "tpch_q5_like": q_tpch_q5_like,
+        "tpch_q7_like": q_tpch_q7_like,
+        "tpch_q16_like": q_tpch_q16_like,
+        "tpch_q18_like": q_tpch_q18_like,
+        "tokens_except": q_tokens_except,
+        "user_type_pivot": q_user_type_pivot,
+        "pair_edit_distance": q_pair_edit_distance,
+        "orders_by_month": q_orders_by_month,
+        "curation_pipeline": q_curation_pipeline,
+        "events_hourly_from_minutely": q_events_hourly_from_minutely,
+        "docs_split_sample": q_docs_split_sample,
+        "text_repetition": q_text_repetition,
+        "events_value_zscore": q_events_value_zscore,
+        "vocab_top_tokens": q_vocab_top_tokens,
+        "train_test_ngram_overlap": q_train_test_ngram_overlap,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
+        "events_latest_per_user": q_events_latest_per_user,
+        "funnel_conversion": q_funnel_conversion,
+        "table_profile": q_table_profile,
+        "corpus_bigrams": q_corpus_bigrams,
+        "events_rolling_1h": q_events_rolling_1h,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "merge_upsert_events": q_merge_upsert_events,
+        "events_gapfill": q_events_gapfill,
+        "orders_corr": q_orders_corr,
+        "embedding_centroids": q_embedding_centroids,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "text_normalize": q_text_normalize,
+        "orders_grouping_sets": q_orders_grouping_sets,
+        "events_interarrival": q_events_interarrival,
+        "orders_status_breakdown": q_orders_status_breakdown,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "skew_join_events": q_skew_join_events,
+        "user_running_stats": q_user_running_stats,
+        "events_anomaly": q_events_anomaly,
+        "scd2_history": q_scd2_history,
+        "winsorize_values": q_winsorize_values,
+        "scan_concat": q_scan_concat,
+        "tfidf_vectors": q_tfidf_vectors,
+        "fast_cosine_join": q_fast_cosine_join,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -3183,7 +3326,10 @@ def oracle_sql() -> dict[str, str]:
     """
     # Textbook two-pass prior-frame stats vs the engine's online Welford
     # recurrence: a hash match proves the streaming monitor's math.
-    sqls["events_anomaly"] = """
+    # The Arrow Welford scan and the JVM window plan are the same
+    # mathematical quantity -- ONE oracle text serves both keys (the
+    # gate then proves Spark-Arrow == DuckDB == Spark-JVM on real data).
+    sqls["events_anomaly_sql"] = sqls["events_anomaly"] = """
         WITH ordered AS (
           SELECT user_id, event_id, ts, value,
                  count(value) OVER w AS n_prior,
@@ -3243,5 +3389,148 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(e.value < b.lo OR e.value > b.hi, FALSE)::BIGINT
                  AS was_clipped
         FROM events e JOIN bounds b ON e.event_type IS NOT DISTINCT FROM b.g
+    """
+    # Mixture weights written as exact binary fractions (0.5/0.25/0.25)
+    # so every rate is pure scalar arithmetic on identical inputs --
+    # bit-identical across engines, no rounding needed.
+    sqls["docs_mixture_sample"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'code'
+                      ELSE 'papers' END AS domain
+          FROM documents
+        ),
+        counts AS (SELECT domain, count(*) AS n FROM d GROUP BY domain),
+        wt AS (
+          SELECT domain, n,
+                 CASE domain WHEN 'web' THEN 0.5 WHEN 'code' THEN 0.25
+                      ELSE 0.25 END AS w
+          FROM counts
+        ),
+        nout AS (SELECT min(n / w) AS nout FROM wt),
+        rates AS (
+          SELECT domain, least(1.0, ((w * nout) * 1.0) / n) AS mix_rate
+          FROM wt, nout
+        )
+        SELECT d.doc_id, d.domain, r.mix_rate
+        FROM d JOIN rates r USING (domain)
+        WHERE ({string_hash31_sql("'mix:' || doc_id::VARCHAR")} % 1000000)
+              / 1000000.0 < r.mix_rate
+    """
+    sqls["docs_shuffle_shards"] = f"""
+        WITH k AS (
+          SELECT doc_id,
+                 {string_hash31_sql("'shuffle:' || doc_id::VARCHAR")} AS shuffle_key
+          FROM documents
+        )
+        SELECT doc_id, shuffle_key,
+               (shuffle_key % 32)::BIGINT AS shard,
+               (row_number() OVER (
+                  PARTITION BY shuffle_key % 32
+                  ORDER BY shuffle_key, doc_id) - 1)::BIGINT AS pos
+        FROM k
+    """
+    # Bin assignment is robust to last-ulp quantile-interpolation
+    # differences: any cut variant stays strictly between the two
+    # neighboring sorted data values, so `value >= cut` classifies every
+    # actual data value identically (winsorize must round its output
+    # because the quantile VALUE itself is emitted; here only the
+    # comparison outcome is).
+    sqls["events_value_bins"] = """
+        WITH cuts AS (
+          SELECT event_type,
+                 quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                       0.6, 0.7, 0.8, 0.9]) AS qs
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               CASE WHEN e.value IS NOT NULL
+                    THEN len(list_filter(c.qs, q -> e.value >= q))
+               END AS value_bin
+        FROM events e JOIN cuts c ON e.event_type IS NOT DISTINCT FROM c.event_type
+    """
+    sqls["docs_curation_rules"] = f"""
+        WITH tok0 AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        feat AS (
+          SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 list_filter(toks, t -> regexp_matches(t, '[a-z]')) AS alpha,
+                 len(regexp_split_to_array(text, '#')) - 1
+                   + len(regexp_split_to_array(text, '\\.\\.\\.')) - 1 AS n_symbols,
+                 list_filter(regexp_split_to_array(text, '\\n'),
+                             x -> trim(x) <> '') AS lines,
+                 len(list_intersect(list_distinct(toks), {_STOP_SQL})) AS stop_hits
+          FROM tok0
+        ),
+        r AS (
+          SELECT doc_id, n_tokens, n_symbols, stop_hits,
+                 len(alpha) AS n_alpha,
+                 CASE WHEN len(alpha) > 0
+                      THEN list_sum(list_transform(alpha, t -> len(t)))::DOUBLE
+                           / len(alpha)
+                 END AS mean_len,
+                 len(lines) AS n_lines,
+                 len(list_filter(lines,
+                     x -> regexp_matches(trim(x), '^[\\-\\*•]'))) AS n_bullet
+          FROM feat
+        ),
+        rules AS (
+          SELECT doc_id,
+                 n_tokens >= 5 AND n_tokens <= 100000 AS b_n_tokens,
+                 coalesce(mean_len >= 2.0 AND mean_len <= 12.0, FALSE)
+                   AS b_mean_word_len,
+                 coalesce(CASE WHEN n_tokens > 0
+                               THEN n_symbols::DOUBLE / n_tokens <= 0.1 END,
+                          FALSE) AS b_symbol_ratio,
+                 coalesce(CASE WHEN n_lines > 0
+                               THEN n_bullet::DOUBLE / n_lines <= 0.9 END,
+                          TRUE) AS b_bullet_ratio,
+                 coalesce(CASE WHEN n_tokens > 0
+                               THEN n_alpha::DOUBLE / n_tokens >= 0.7 END,
+                          FALSE) AS b_alpha_ratio,
+                 stop_hits >= 2 AS b_stopword_hits
+          FROM r
+        )
+        SELECT doc_id,
+               b_n_tokens::BIGINT AS r_n_tokens,
+               b_mean_word_len::BIGINT AS r_mean_word_len,
+               b_symbol_ratio::BIGINT AS r_symbol_ratio,
+               b_bullet_ratio::BIGINT AS r_bullet_ratio,
+               b_alpha_ratio::BIGINT AS r_alpha_ratio,
+               b_stopword_hits::BIGINT AS r_stopword_hits,
+               (b_n_tokens AND b_mean_word_len AND b_symbol_ratio
+                AND b_bullet_ratio AND b_alpha_ratio
+                AND b_stopword_hits)::BIGINT AS keep
+        FROM rules
+    """
+    # Components are bit-identical: pre-norm vectors are integer-valued
+    # (sums of +-1), the squared-norm sum is exact integer arithmetic in
+    # doubles, and x/sqrt(s) is one correctly-rounded op per engine.
+    sqls["docs_hashed_embeddings"] = f"""
+        WITH {_BASE},
+        hv AS (
+          SELECT doc_id,
+                 ({string_hash31_sql("'emb:' || token")} % 64)::INT AS d,
+                 CASE WHEN {string_hash31_sql("'emb:' || token")} % 128 < 64
+                      THEN 1.0 ELSE -1.0 END AS s
+          FROM ex
+        ),
+        per_dim AS (SELECT doc_id, d, sum(s) AS v FROM hv GROUP BY doc_id, d),
+        dims AS (SELECT range::INT AS pos FROM range(0, 64)),
+        ids AS (SELECT doc_id FROM tok),
+        dense AS (
+          SELECT i.doc_id, dm.pos, coalesce(p.v, 0.0) AS v
+          FROM ids i CROSS JOIN dims dm
+          LEFT JOIN per_dim p ON p.doc_id = i.doc_id AND p.d = dm.pos
+        ),
+        nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM dense GROUP BY doc_id)
+        SELECT d.doc_id, d.pos::BIGINT AS pos,
+               CASE WHEN n.nn > 0 THEN d.v / n.nn ELSE d.v END AS component
+        FROM dense d JOIN nrm n USING (doc_id)
     """
     return sqls

@@ -68,9 +68,146 @@ HEADLINE = [
     "events_gapfill",
     "embedding_centroids",
     "events_anomaly",
+    # the JVM window twin -- the 100 TB backfill plan; the Arrow
+    # events_anomaly stays listed as the cross-algorithm reference
+    "events_anomaly_sql",
     "scd2_history",
     "winsorize_values",
+    # bench-only entries (not driver-gated queries): the bucketed-layout
+    # and incremental-dedup scale paths -- see EXTRA below
+    "join_unbucketed_shuffle",
+    "join_bucketed_colocated",
+    "incremental_dedup_batch",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Bench-only workloads: the two strongest 100 TB layout stories, which
+# are write-surface shapes rather than oracle-checkable queries.
+# ---------------------------------------------------------------------------
+
+_SETUP_CACHE: dict = {}
+
+
+def _bucketed_tables(spark, sf_dir):
+    """One-time layout build (untimed relative to the join pair: both
+    bucketed tables are written before either join variant is timed):
+    lineitem + orders bucketed 32 ways on the join key."""
+    key = ("bucketed", sf_dir)
+    if key not in _SETUP_CACHE:
+        from sparkbigdatatextanalysis_spark.sources.bucketed import write_bucketed
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        write_bucketed(li, "bench_lineitem_b", ["l_orderkey"], n_buckets=32)
+        write_bucketed(o, "bench_orders_b", ["o_orderkey"], n_buckets=32)
+        _SETUP_CACHE[key] = True
+
+
+def _fact_join(li, o):
+    from pyspark.sql import functions as FF
+
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            FF.count(FF.lit(1)).alias("n_items"),
+            FF.round(
+                FF.sum(
+                    (FF.col("l_extendedprice") * (1 - FF.col("l_discount"))).cast(
+                        "decimal(28,10)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def bench_join_unbucketed(spark, sf_dir):
+    """Fact-to-fact equi-join straight off parquet: BOTH sides shuffle
+    on the key (the cost bucketing exists to delete)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return _fact_join(li, o)
+
+
+def bench_join_bucketed(spark, sf_dir):
+    """Same join over the 32-bucket tables: the scans expose
+    HashPartitioning(key, 32), so the join plans with ZERO exchanges on
+    either side (asserted in tests/test_bucketed.py). The write-time
+    shuffle is paid once per layout, not once per query."""
+    _bucketed_tables(spark, sf_dir)
+    from sparkbigdatatextanalysis_spark.sources.bucketed import read_table
+
+    return _fact_join(
+        read_table(spark, "bench_lineitem_b"), read_table(spark, "bench_orders_b")
+    )
+
+
+def _dedup_history(spark, sf_dir):
+    """One-time accumulated-corpus state (hash + band tables over the
+    even-doc_id half), persisted and materialized -- what a daily
+    incremental run starts from."""
+    from pyspark.sql import functions as FF
+
+    from sparkbigdatatextanalysis_spark.operators import dedup as dd
+
+    key = ("dedup_history", sf_dir)
+    if key not in _SETUP_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hist = docs.where(FF.col("doc_id") % 2 == 0)
+        hh = dd.exact_dedup(hist).select("content_hash").distinct().persist()
+        hb = (
+            dd.lsh_band_keys_flat(
+                dd.minhash_signatures_flat(dd.shingle_hashes(hist))
+            )
+            .select("band", "key")
+            .persist()
+        )
+        hh.count()
+        hb.count()
+        _SETUP_CACHE[key] = (hh, hb)
+    return _SETUP_CACHE[key]
+
+
+def bench_incremental_dedup(spark, sf_dir):
+    """Daily-batch dedup vs corpus history (operators/dedup.py::
+    incremental_dedup): history = even doc_ids (hash + band tables
+    prebuilt and persisted once -- the accumulated state a daily run
+    starts from), batch = odd doc_ids. Timed path = the incremental
+    batch only, the thing that runs every day."""
+    from pyspark.sql import functions as FF
+
+    from sparkbigdatatextanalysis_spark.functions.lineage import release
+    from sparkbigdatatextanalysis_spark.operators import dedup as dd
+
+    hh, hb = _dedup_history(spark, sf_dir)
+    prev = _SETUP_CACHE.pop(("dedup_bands_prev", sf_dir), None)
+    if prev is not None:
+        release(prev)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.where(FF.col("doc_id") % 2 == 1)
+    res = dd.incremental_dedup(batch, hh, hb)
+    _SETUP_CACHE[("dedup_bands_prev", sf_dir)] = res.bands
+    return res.result
+
+
+EXTRA = {
+    "join_unbucketed_shuffle": bench_join_unbucketed,
+    "join_bucketed_colocated": bench_join_bucketed,
+    "incremental_dedup_batch": bench_incremental_dedup,
+}
 
 
 def main() -> None:
@@ -107,6 +244,12 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Pre-build the bench-only layouts (bucketed tables, dedup history
+    # state) so even the cold first-run timings measure the queries, not
+    # the one-time layout writes they start from.
+    _bucketed_tables(spark, SF_DIR)
+    _dedup_history(spark, SF_DIR)
+
     # Quiesce before timing: flush dirty pages left by whatever ran
     # before (test suites, data generation) and let writeback drain --
     # background I/O was measured to add seconds to Python-worker and
@@ -128,7 +271,8 @@ def main() -> None:
     # first-run (cold, incl. cache build) timings are reported alongside
     # as "queries_cold" so both views stay visible.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    qs.update(EXTRA)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:

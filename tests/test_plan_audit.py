@@ -162,6 +162,16 @@ BUDGETS = {
     "ann_topk_lsh": (8, 5),
     "dot_product": (15, 0),
     "cross_similarity": (15, 0),
+    # --- r4 additions: the five promoted operators + the JVM anomaly
+    # twin. All map-only-or-one-shuffle shapes except the hashed
+    # embeddings (explode + two partial aggs + zero-vector re-join) and
+    # mixture (count agg + two tiny stat feeds of its broadcasts) ---
+    "events_anomaly_sql": (1, 0),
+    "docs_mixture_sample": (3, 2),
+    "docs_shuffle_shards": (1, 0),
+    "events_value_bins": (1, 1),
+    "docs_curation_rules": (1, 0),
+    "docs_hashed_embeddings": (5, 1),
     # r4: the Lloyd/assignment argmax is now an in-row literal reduction
     # (centroids collected driver-side and embedded in the plan), so the
     # 3x |corpus|-x-k window exchanges of the r3 plan are gone and the
