@@ -95,7 +95,19 @@ def _bucketed_tables(spark, sf_dir):
     lineitem + orders bucketed 32 ways on the join key."""
     key = ("bucketed", sf_dir)
     if key not in _SETUP_CACHE:
+        import shutil
+
         from sparkbigdatatextanalysis_spark.sources.bucketed import write_bucketed
+
+        # A previous bench process may have left the managed locations
+        # behind without this session's catalog knowing the tables --
+        # saveAsTable then refuses even with mode=overwrite. Start clean.
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in ("bench_lineitem_b", "bench_orders_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
 
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
             "l_orderkey", "l_extendedprice", "l_discount"

@@ -128,8 +128,13 @@ def quantized_cosine(
     """Cosine similarity directly on two int8-quantized vectors: the
     integer dot products stay in LONG (exact — |sum| <= dim * 127^2,
     far inside int64), the scales cancel out of the ratio entirely, so
-    this equals the cosine of the DEQUANTIZED vectors bit-for-bit while
-    shuffling only tinyint arrays. Column-level helper for rerank
+    this equals the cosine of the DEQUANTIZED vectors after rounding to
+    ``round_to`` digits (the two computations differ in low-order float
+    bits — integer-ratio vs dequantized-double associativity — so
+    bit-for-bit equality holds only post-round, and a value sitting
+    exactly on a rounding-tie boundary could still flip; the tests pin
+    the rounded equality) while shuffling only tinyint arrays.
+    Column-level helper for rerank
     stages over quantized corpora. Cosine is undefined for a zero
     vector: those score NULL (ranking last under DESC ordering) rather
     than raising DIVIDE_BY_ZERO under ANSI mode, so one degenerate

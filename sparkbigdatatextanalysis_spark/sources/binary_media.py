@@ -67,10 +67,14 @@ def read_media_dir(
     df = reader.load(path)
     if max_bytes is not None:
         df = df.where(F.col("length") <= max_bytes)
+    # Extension from the BASENAME only: splitting the full path on '.'
+    # would let a dotted directory (/data.v2/clip) leak 'v2/clip' as the
+    # extension of an extensionless file.
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
     ext = F.lower(
         F.when(
-            F.col("path").contains("."),
-            F.element_at(F.split(F.col("path"), r"\."), -1),
+            base.contains("."),
+            F.element_at(F.split(base, r"\."), -1),
         ).otherwise(F.lit(""))
     )
     return df.select(

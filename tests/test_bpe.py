@@ -315,3 +315,103 @@ def test_bpe_batched_matches_reference_property(spark):
         assert merges == ref_merges, (trial, words, n_merges)
         merges_local, _ = bpe.bpe_learn_local(df, n_merges=n_merges)
         assert merges_local == ref_merges, (trial, "local", words, n_merges)
+
+
+# ---------------------------------------------------------------------------
+# Scale pins: job-count independence and the sf0.1 corpus shape
+# ---------------------------------------------------------------------------
+
+
+def _job_count(spark) -> int:
+    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+
+def test_learn_local_job_count_independent_of_merges(spark):
+    """The '30k merges ~ 1 Spark job' claim, pinned: bpe_learn_local's
+    distributed work is the ONE word-count pass + the vocab-sized
+    collect -- the merge loop is driver-side, so asking for 8x more
+    merges must launch exactly the same number of jobs. (Job count is
+    scale-independent, so the pin runs on a tiny corpus every suite
+    run; the sf0.1 timing lives in the BPE_SCALE-gated test below.)"""
+    import os
+
+    from sparkbigdatatextanalysis_spark.sources.parquet_io import normalize_event_ts  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not available")
+    from pyspark.sql import functions as F
+
+    from sparkbigdatatextanalysis_spark.functions import text as text_fns
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").alias("id"), text_fns.tokenize("text").alias("tokens")
+    )
+    docs = docs.persist()
+    docs.count()  # materialize outside the measured window
+
+    before = _job_count(spark)
+    m_small, _ = bpe.bpe_learn_local(docs, n_merges=50)
+    jobs_small = _job_count(spark) - before
+
+    before = _job_count(spark)
+    m_large, _ = bpe.bpe_learn_local(docs, n_merges=400)
+    jobs_large = _job_count(spark) - before
+    docs.unpersist()
+
+    assert m_large[: len(m_small)] == m_small  # prefix-stable merges
+    assert jobs_large == jobs_small, (jobs_small, jobs_large)
+    # the whole learn is a handful of jobs (count agg + collect), not
+    # one-per-merge
+    assert jobs_large <= 4, jobs_large
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("BPE_SCALE"),
+    reason="sf0.1 BPE scale timing: set BPE_SCALE=1",
+)
+def test_bpe_sf01_scale_point(spark):
+    """sf0.1 scale point (run with BPE_SCALE=1): bpe_learn_local trains
+    up to 1,000 merges over the full sf0.1 documents vocabulary (the
+    synthetic word-soup has ~31 distinct tokens, so the learnable merge
+    space EXHAUSTS around 110 -- both paths must stop identically), and
+    the batched distributed loop reproduces the same merge sequence --
+    the two implementations agree on a generated corpus shape, not just
+    the toy/property corpora."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sparkbigdatatextanalysis_spark.functions import text as text_fns
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.1 testdata not available")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").alias("id"), text_fns.tokenize("text").alias("tokens")
+    ).persist()
+    n_vocab = (
+        docs.select(F.explode("tokens").alias("w")).where(F.col("w") != "")
+        .distinct().count()
+    )
+
+    t0 = time.time()
+    local_merges, _ = bpe.bpe_learn_local(docs, n_merges=1000)
+    t_local = time.time() - t0
+
+    t0 = time.time()
+    dist_merges, _ = bpe.bpe_learn(docs, n_merges=64)
+    t_dist = time.time() - t0
+    docs.unpersist()
+
+    n = min(len(local_merges), len(dist_merges))
+    assert n > 0
+    assert local_merges[:n] == dist_merges[:n]
+    print(
+        f"\nBPE sf0.1: vocab={n_vocab}, local {len(local_merges)} merges "
+        f"{t_local:.1f}s, distributed {len(dist_merges)} merges {t_dist:.1f}s"
+    )
+    # local may stop early only by exhausting the learnable pair space,
+    # never before the (smaller-ask) distributed run does
+    assert len(local_merges) >= len(dist_merges)

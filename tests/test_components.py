@@ -143,3 +143,20 @@ def test_star_loop_releases_prior_round_blocks(spark):
     assert out.where(F.col("comp") != 0).count() == 0
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 2, (before, after)
+
+
+def test_propagation_loop_releases_checkpoint_blocks(spark):
+    """The min-label loop localCheckpoints every 5th round; those rounds
+    store RDD-level blocks that plain unpersist cannot drop, so a long
+    chain (many rounds) must still end with at most the returned labels
+    + symmetrized-edge tables pinned (functions/lineage.py::release on
+    the prior round's frame). Regression for the ADVICE note that only
+    the star loop had a block-count assertion."""
+    edges = _edges(spark, [(i, i + 1) for i in range(14)])
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = cc.connected_components(edges, max_iter=20)
+    assert set(_comp_map(out).values()) == {0}
+    after = jsc.getPersistentRDDs().size()
+    # allowance: the returned labels table + the persisted sym edges
+    assert after - before <= 2, (before, after)
