@@ -1823,6 +1823,19 @@ def q_docs_curation_rules(spark, sf_dir):
     )
 
 
+def q_docs_line_dedup(spark, sf_dir):
+    """Line-level (CCNet-style) dedup (operators/pipeline.py::
+    dedup_lines): corpus-wide counted lines, boilerplate (count > 1)
+    removed, blank lines kept, docs rebuilt in order. The synthetic
+    word-soup corpus has single-line docs, so the operator degenerates
+    to exact-doc-text dedup here -- the multi-line/blank/within-doc
+    semantics are pinned by tests/test_pipeline_ops.py; the oracle
+    still verifies the full count-join-reassemble chain on real data."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    return pl.dedup_lines(_docs(spark, sf_dir))
+
+
 def q_docs_hashed_embeddings(spark, sf_dir):
     """Model-free hashed document embeddings
     (operators/vectors.py::hashed_doc_embeddings): signed feature
@@ -1908,11 +1921,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "customers_no_orders": q_customers_no_orders,
         # ---- end of the 50-key gate window ----
-        # --- r02-green leftovers, rotate in r05 (4) ---
+        # --- rotate into the r05 window: r02-green leftovers (4) plus
+        #     the one key added after this round's window was frozen ---
         "scan_gold_pairs": q_scan_gold_pairs,
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
         "tokenize": q_tokenize,
+        "docs_line_dedup": q_docs_line_dedup,
         # --- r03-green balance (47) ---
         "dedup_near_clusters": q_dedup_near_clusters,
         "tpch_q2_like": q_tpch_q2_like,
@@ -3507,6 +3522,34 @@ def oracle_sql() -> dict[str, str]:
                 AND b_bullet_ratio AND b_alpha_ratio
                 AND b_stopword_hits)::BIGINT AS keep
         FROM rules
+    """
+    sqls["docs_line_dedup"] = """
+        WITH l AS (
+          SELECT doc_id, regexp_split_to_array(text, '\\n') AS lines
+          FROM documents
+        ),
+        ex AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(lines) + 1),
+                                       i -> {'i': i, 'line': lines[i]})) AS s
+          FROM l
+        ),
+        idx AS (SELECT doc_id, s.i::INT AS i, s.line AS line FROM ex),
+        dup AS (
+          SELECT line FROM idx WHERE trim(line) <> ''
+          GROUP BY line HAVING count(*) > 1
+        ),
+        marked AS (
+          SELECT i.doc_id, i.i, i.line,
+                 (trim(i.line) = '' OR d.line IS NULL) AS keep
+          FROM idx i LEFT JOIN dup d ON i.line = d.line
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN keep THEN line END,
+                                   chr(10) ORDER BY i), '') AS text_dedup,
+               count(*)::BIGINT AS n_lines,
+               sum((NOT keep)::INT)::BIGINT AS n_removed
+        FROM marked GROUP BY doc_id
     """
     # Components are bit-identical: pre-norm vectors are integer-valued
     # (sums of +-1), the squared-norm sum is exact integer arithmetic in

@@ -432,3 +432,72 @@ def shuffle_shards(
         .withColumn("shard", (F.col("shuffle_key") % n_shards).cast("int"))
         .withColumn("pos", F.row_number().over(w) - 1)
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Sub-document (line-level) deduplication, the CCNet-family web
+    curation step the document-level dedups (X1-X6) cannot express:
+    boilerplate lines (nav bars, cookie banners, license headers) repeat
+    across MILLIONS of documents that are themselves unique, and
+    removing them is done per LINE, not per doc.
+
+    Every non-blank line is counted corpus-wide (within-doc repeats
+    count too); a line survives iff it is blank (structure is kept
+    verbatim) or its total count is <= ``max_occurrences``. Documents
+    are rebuilt in original line order. Returns
+    (id, text_dedup, n_lines BIGINT, n_removed BIGINT).
+
+    Scale shape: posexplode (map-only) -> ONE partial-agg count on the
+    line key -> the count table is FILTERED to the offending lines
+    before joining back, so the join's build side is the duplicate set
+    (boilerplate vocabulary), not the corpus -- typically orders of
+    magnitude smaller, and AQE can still broadcast it when it fits.
+    Reassembly is one groupBy(id) with an in-row
+    array_sort/transform/array_join -- no window, no second pass over
+    the text. Joining on the raw line keeps the operator exact (a
+    64-bit line-hash join would start colliding around 2^32 distinct
+    lines and silently delete unique text).
+    """
+    if max_occurrences < 1:
+        raise ValueError(
+            f"dedup_lines: max_occurrences must be >= 1, got {max_occurrences}"
+        )
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_i", "_line"),
+    )
+    dup = (
+        lines.where(F.trim("_line") != "")
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_occurrences)
+        .select("_line", F.lit(True).alias("_dup"))
+    )
+    keep = (F.trim("_line") == "") | F.col("_dup").isNull()
+    marked = lines.join(dup, "_line", "left")
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((~keep).cast("long")).alias("n_removed"),
+            # collect_list drops the NULLs the when() leaves for removed
+            # lines; array_sort on (idx, line) structs restores order
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("_i", "_line")))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("text_dedup"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "text_dedup", "n_lines", "n_removed"
+        )
+    )

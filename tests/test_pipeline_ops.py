@@ -394,3 +394,67 @@ class TestCurationRules:
         kept = out.where("keep").count()
         assert n == 500
         assert kept >= n * 0.5, kept
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (pipeline.dedup_lines)
+# ---------------------------------------------------------------------------
+
+
+def _line_map(df):
+    return {
+        r["doc_id"]: (r["text_dedup"], r["n_lines"], r["n_removed"])
+        for r in df.collect()
+    }
+
+
+def test_dedup_lines_removes_corpus_boilerplate(spark):
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    docs = _docs(
+        spark,
+        [
+            "a\nboiler\nb",
+            "boiler\nc",
+            "unique only",
+            "x\n\nboiler",
+        ],
+    )
+    got = _line_map(pl.dedup_lines(docs))
+    assert got == {
+        0: ("a\nb", 3, 1),
+        1: ("c", 2, 1),
+        2: ("unique only", 1, 0),
+        # blank line survives verbatim; trailing boilerplate removed
+        3: ("x\n", 3, 1),
+    }
+
+
+def test_dedup_lines_counts_within_doc_repeats(spark):
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    # the same line twice in ONE doc is already over max_occurrences=1:
+    # both copies go (total count, not distinct-doc count)
+    docs = _docs(spark, ["dup\nmid\ndup"])
+    got = _line_map(pl.dedup_lines(docs))
+    assert got == {0: ("mid", 3, 2)}
+    # raising the ceiling keeps them
+    got2 = _line_map(pl.dedup_lines(docs, max_occurrences=2))
+    assert got2 == {0: ("dup\nmid\ndup", 3, 0)}
+
+
+def test_dedup_lines_edge_docs(spark):
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    # empty text = one blank line, kept; all-blank docs never count as
+    # duplicates of each other
+    docs = _docs(spark, ["", "", "\n\n"])
+    got = _line_map(pl.dedup_lines(docs))
+    assert got == {0: ("", 1, 0), 1: ("", 1, 0), 2: ("\n\n", 3, 0)}
+
+
+def test_dedup_lines_rejects_bad_ceiling(spark):
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    with pytest.raises(ValueError, match="max_occurrences"):
+        pl.dedup_lines(_docs(spark, ["a"]), max_occurrences=0)

@@ -172,6 +172,11 @@ BUDGETS = {
     "events_value_bins": (1, 1),
     "docs_curation_rules": (1, 0),
     "docs_hashed_embeddings": (5, 1),
+    # line dedup: count agg + doc reassembly agg; the dup-line join
+    # side broadcasts at this scale but is NOT pinned (at 100 TB the
+    # boilerplate set may exceed the broadcast threshold and AQE
+    # decides), so no floor
+    "docs_line_dedup": (2, 0),
     # r4: the Lloyd/assignment argmax is now an in-row literal reduction
     # (centroids collected driver-side and embedded in the plan), so the
     # 3x |corpus|-x-k window exchanges of the r3 plan are gone and the
