@@ -1093,11 +1093,12 @@ def q_approx_distinct_users(spark, sf_dir):
 
     DuckDB's HLL yields different estimates, so the raw estimate itself
     is not oracle-expressible -- but its ACCURACY is: the driver-hashed
-    columns are the exact count plus the boolean "estimate within 5% of
-    exact" (2.5x the configured rsd=0.02, so a correct sketch passes
-    with wide margin), which the oracle pins to 1. A broken HLL (or a
-    silently-degraded rsd) flips the boolean and fails the hash -- a
-    real check where r03 recorded none at all (`err: no_oracle`)."""
+    columns are the exact count plus the boolean "estimate within 10%
+    of exact" (5x the configured rsd=0.02 -- a ~5-sigma bound, so a
+    CORRECT sketch cannot realistically flip it even across data
+    regenerations or HLL hash changes, while a broken/degraded sketch
+    still fails the value hash), which the oracle pins to 1. A real
+    check where r03 recorded none at all (`err: no_oracle`)."""
     ev = _events(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
@@ -1108,10 +1109,10 @@ def q_approx_distinct_users(spark, sf_dir):
         "exact_users",
         (
             F.abs(F.col("_approx") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
+            <= 0.10 * F.col("exact_users")
         )
         .cast("long")
-        .alias("approx_within_5pct"),
+        .alias("approx_within_10pct"),
     )
 
 
@@ -2775,12 +2776,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # approx_distinct_users: the HLL estimate is implementation-
         # specific, but its accuracy bound is not -- the oracle checks the
-        # exact count and asserts the estimate landed within 5% (the query
-        # emits that boolean; a broken sketch fails the value hash).
+        # exact count and asserts the estimate landed within 10% (a
+        # ~5-sigma bound at rsd=0.02; the query emits that boolean, and a
+        # broken sketch fails the value hash).
         "approx_distinct_users": """
             SELECT event_type,
                    count(DISTINCT user_id)::BIGINT AS exact_users,
-                   1::BIGINT AS approx_within_5pct
+                   1::BIGINT AS approx_within_10pct
             FROM events GROUP BY event_type
         """,
         "tpch_q3_like": """

@@ -237,17 +237,26 @@ def _collect_cents(cents: DataFrame) -> list[tuple[int, list[float], float]]:
     """Materialize a (c_id, cv, cn) centroid frame driver-side. Bounded
     by construction: k centroids x dim doubles (16 x 64 here) -- model
     state, not data -- the same justification as the BPE learner's
-    vocab-sized collects."""
+    vocab-sized collects. NULL components/norms survive as None (they
+    become NULL literals, so the centroid scores NULL and ranks last --
+    the same behavior the r3 window form had)."""
     return [
-        (int(r["c_id"]), [float(x) for x in r["cv"]], float(r["cn"]))
+        (
+            int(r["c_id"]),
+            [None if x is None else float(x) for x in r["cv"]],
+            None if r["cn"] is None else float(r["cn"]),
+        )
         for r in cents.collect()
     ]
 
 
-def _dlit(x: float) -> str:
+def _dlit(x: float | None) -> str:
     """Shortest-round-trip double literal for a generated SQL expression
     (repr is exact for IEEE doubles; Spark's parser is correctly
-    rounded, so the value survives bit-for-bit)."""
+    rounded, so the value survives bit-for-bit). None -> NULL, so a
+    degenerate component poisons only its own centroid's score."""
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
     if not math.isfinite(x):
         raise ValueError(f"non-finite centroid component: {x}")
     return f"CAST('{x!r}' AS DOUBLE)"
@@ -263,6 +272,15 @@ def _cents_lit(cents: list[tuple[int, list[float], float]]):
     scale-killer) is now map-only with ZERO corpus movement and zero
     exchanges of any kind. Built as one SQL string: ~k*(dim+2) literals
     through per-Column py4j assembly would dominate plan-build time."""
+    if not cents:
+        # typed empty array: a bare array() is ARRAY<NULL> and the
+        # downstream struct-field lambdas would fail analysis; with the
+        # proper type the argmax yields NULL and callers emit 0 rows
+        # (the empty-corpus behavior of the r3 window form)
+        return F.expr(
+            "CAST(array() AS ARRAY<STRUCT<c_id: BIGINT, "
+            "cv: ARRAY<DOUBLE>, cn: DOUBLE>>)"
+        )
     parts = []
     for cid, cv, cn in cents:
         arr = ", ".join(_dlit(x) for x in cv)
@@ -294,6 +312,25 @@ def _cent_scores(v, norm, cents_arr):
 def _best_centroid(v, norm, cents_arr):
     """In-row argmax cluster id (see :func:`_cent_scores`)."""
     return -F.array_max(_cent_scores(v, norm, cents_arr))["neg_cid"]
+
+
+def _lloyd_means(assign: DataFrame) -> DataFrame:
+    """One Lloyd pass's per-(cluster, dim) means over an (c_id, v)
+    assignment frame -- DECIMAL-exact sums (order-independent, so the
+    mean is identical across engines and partitionings) with one
+    double cast at the end. Factored out so the plan-audit net can pin
+    this stage's shuffle shape directly (kmeans_centroids executes it
+    eagerly, outside any downstream query plan)."""
+    return (
+        assign.select("c_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("c_id", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast(_MEAN_DECIMAL)).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
 
 
 def kmeans_centroids(
@@ -340,26 +377,27 @@ def kmeans_centroids(
     nv = _norm_vecs(emb, id_col, vec_col)
     cur = _collect_cents(_init_centroids(nv, n_centroids))
     for _ in range(n_iter):
+        if not cur:
+            break  # empty corpus: nothing to refine, return empty set
         assign = nv.select(
             _best_centroid(F.col("v"), F.col("norm"), _cents_lit(cur)).alias("c_id"),
             "v",
         )
-        means = (
-            assign.select("c_id", F.posexplode("v").alias("pos", "val"))
-            .groupBy("c_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("val").cast(_MEAN_DECIMAL)).cast("double")
-                    / F.count("*")
-                ).alias("m")
-            )
-        )
-        by_cid: dict[int, dict[int, float]] = {}
+        means = _lloyd_means(assign)
+        by_cid: dict[int, dict[int, float | None]] = {}
         for r in means.collect():
-            by_cid.setdefault(int(r["c_id"]), {})[int(r["pos"])] = float(r["m"])
+            by_cid.setdefault(int(r["c_id"]), {})[int(r["pos"])] = (
+                None if r["m"] is None else float(r["m"])
+            )
         cur = []
         for cid in sorted(by_cid):
             cv = [by_cid[cid][p] for p in sorted(by_cid[cid])]
+            if any(x is None for x in cv):
+                # NULL vector elements poison their cluster's mean; keep
+                # the centroid with a NULL norm so it scores NULL and
+                # ranks last (the r3 window form's behavior)
+                cur.append((cid, cv, None))
+                continue
             acc = 0.0
             for x in cv:
                 acc += x * x
@@ -395,10 +433,13 @@ def ivf_assignments(
     if cents is None:
         cents = _init_centroids(nv, n_centroids)
     cur = _collect_cents(cents)
+    # NULL cluster arises only from an EMPTY centroid set (with any
+    # centroid present the score coalesces to -inf, never NULL); the
+    # filter reproduces the r3 crossJoin form's zero-row output there
     return nv.select(
         "id",
         _best_centroid(F.col("v"), F.col("norm"), _cents_lit(cur)).alias("cluster"),
-    )
+    ).where(F.col("cluster").isNotNull())
 
 
 def cosine_topk_ivf(
@@ -430,14 +471,13 @@ def cosine_topk_ivf(
         else:
             cents = _init_centroids(nv, n_centroids)
     # The centroid set is tiny model state: collect once, embed as a
-    # literal in BOTH the corpus assignment and the query probes.
+    # literal in the query probes; the corpus side goes through
+    # ivf_assignments -- ONE definition of assignment semantics, so the
+    # two cannot drift (the _broadcast_topk argument).
     cur = _collect_cents(cents)
     cents_arr = _cents_lit(cur)
     # persist: assignments feed every probed-cluster lookup.
-    assign = nv.select(
-        "id",
-        _best_centroid(F.col("v"), F.col("norm"), cents_arr).alias("cluster"),
-    ).persist()
+    assign = ivf_assignments(emb, id_col, vec_col, n_centroids, cents=cents).persist()
 
     q = query_ids.withColumnRenamed(query_ids.columns[0], "q_id")
     qv = nv.join(F.broadcast(q), nv.id == F.col("q_id")).select(

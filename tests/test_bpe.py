@@ -335,8 +335,6 @@ def test_learn_local_job_count_independent_of_merges(spark):
     run; the sf0.1 timing lives in the BPE_SCALE-gated test below.)"""
     import os
 
-    from sparkbigdatatextanalysis_spark.sources.parquet_io import normalize_event_ts  # noqa: F401
-
     sf = "/root/testdata/sf0.001"
     if not os.path.isdir(sf):
         pytest.skip("testdata not available")

@@ -458,3 +458,14 @@ def test_dedup_lines_rejects_bad_ceiling(spark):
 
     with pytest.raises(ValueError, match="max_occurrences"):
         pl.dedup_lines(_docs(spark, ["a"]), max_occurrences=0)
+
+
+def test_ivf_empty_corpus_degrades_to_empty_not_error(spark):
+    """Review regression (r4): the literal-centroid rewrite must keep
+    the r3 behavior on an empty corpus -- empty outputs, not an
+    AnalysisException from an untyped empty literal array."""
+    emb = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert ann.kmeans_centroids(emb).count() == 0
+    assert ann.ivf_assignments(emb).count() == 0
+    q = spark.createDataFrame([], "vec_id LONG")
+    assert ann.cosine_topk_ivf(emb, q).count() == 0

@@ -181,7 +181,10 @@ BUDGETS = {
     # (centroids collected driver-side and embedded in the plan), so the
     # 3x |corpus|-x-k window exchanges of the r3 plan are gone and the
     # ceiling drops 27 -> 7 (remaining: rerank joins + final rank
-    # window + the eager k-x-dim mean aggs)
+    # window). NB kmeans refinement executes EAGERLY at build time and
+    # is therefore invisible to this downstream-plan audit -- its
+    # assignment/means stages are pinned separately in
+    # test_ivf_internal_stage_budgets below.
     "ann_topk_ivf": (7, 2),
     "common_token_pairs": (31, 0),
     "cosine_similarity": (31, 0),
@@ -219,3 +222,36 @@ def test_audit_counts_python_stages(spark):
     a = audit_plan(entry_mod.queries()["events_anomaly"](spark, SF))
     assert a.arrow_python_stages >= 1
     assert a.row_python_stages == 0
+
+
+def test_ivf_internal_stage_budgets(spark):
+    """The Lloyd refinement runs EAGERLY inside kmeans_centroids (its
+    numbers are embedded as literals in the next pass's plan), so the
+    ann_topk_ivf budget above never sees it. Pin the internal stages
+    directly -- this is exactly where the r3 scale-killer lived:
+
+    * assignment (ivf_assignments over literal centroids) must be
+      map-only: ZERO shuffle exchanges, no corpus movement;
+    * one Lloyd pass's mean aggregation (_lloyd_means) is ONE
+      partial-agg shuffle of (cluster, dim) rows.
+    """
+    from pyspark.sql import functions as F
+
+    from sparkbigdatatextanalysis_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = audit_plan(ann.ivf_assignments(emb))
+    assert a.shuffle_exchanges == 0, a
+    assert a.cartesian_products == 0 and a.row_python_stages == 0, a
+
+    nv = ann._norm_vecs(emb, "vec_id", "embedding")
+    cur = ann._collect_cents(ann._init_centroids(nv, ann.N_CENTROIDS))
+    assign = nv.select(
+        ann._best_centroid(
+            F.col("v"), F.col("norm"), ann._cents_lit(cur)
+        ).alias("c_id"),
+        "v",
+    )
+    m = audit_plan(ann._lloyd_means(assign))
+    assert m.shuffle_exchanges <= 1, m
+    assert m.cartesian_products == 0 and m.row_python_stages == 0, m
