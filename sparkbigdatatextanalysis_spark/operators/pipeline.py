@@ -439,6 +439,7 @@ def dedup_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_occurrences: int = 1,
+    sep: str = "\n",
 ) -> DataFrame:
     """Sub-document (line-level) deduplication, the CCNet-family web
     curation step the document-level dedups (X1-X6) cannot express:
@@ -452,6 +453,10 @@ def dedup_lines(
     are rebuilt in original line order. Returns
     (id, text_dedup, n_lines BIGINT, n_removed BIGINT).
 
+    ``sep`` is a LITERAL separator (regex-escaped for the split,
+    reused verbatim for the rejoin): the default gives line-level
+    dedup, ``sep="\\n\\n"`` paragraph-level.
+
     Scale shape: posexplode (map-only) -> ONE partial-agg count on the
     line key -> the count table is FILTERED to the offending lines
     before joining back, so the join's build side is the duplicate set
@@ -463,13 +468,19 @@ def dedup_lines(
     64-bit line-hash join would start colliding around 2^32 distinct
     lines and silently delete unique text).
     """
+    import re
+
     if max_occurrences < 1:
         raise ValueError(
             f"dedup_lines: max_occurrences must be >= 1, got {max_occurrences}"
         )
+    if not sep:
+        raise ValueError("dedup_lines: sep must be non-empty")
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_i", "_line"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep), -1)
+        ).alias("_i", "_line"),
     )
     dup = (
         lines.where(F.trim("_line") != "")
@@ -494,7 +505,7 @@ def dedup_lines(
                     ),
                     lambda s: s["_line"],
                 ),
-                "\n",
+                sep,
             ).alias("text_dedup"),
         )
         .select(

@@ -469,3 +469,24 @@ def test_ivf_empty_corpus_degrades_to_empty_not_error(spark):
     assert ann.ivf_assignments(emb).count() == 0
     q = spark.createDataFrame([], "vec_id LONG")
     assert ann.cosine_topk_ivf(emb, q).count() == 0
+
+
+def test_dedup_lines_paragraph_separator(spark):
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    # sep="\n\n": units are paragraphs; the repeated footer paragraph
+    # goes, single newlines inside a paragraph survive untouched
+    docs = _docs(
+        spark,
+        [
+            "intro one\nstill intro\n\nshared footer",
+            "other doc\n\nshared footer",
+        ],
+    )
+    got = _line_map(pl.dedup_lines(docs, sep="\n\n"))
+    assert got == {
+        0: ("intro one\nstill intro", 2, 1),
+        1: ("other doc", 2, 1),
+    }
+    with pytest.raises(ValueError, match="sep"):
+        pl.dedup_lines(docs, sep="")
