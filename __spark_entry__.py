@@ -3527,7 +3527,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["docs_line_dedup"] = """
         WITH l AS (
-          SELECT doc_id, regexp_split_to_array(text, '\\n') AS lines
+          SELECT doc_id,
+                 regexp_split_to_array(coalesce(text, ''), '\\n') AS lines
           FROM documents
         ),
         ex AS (

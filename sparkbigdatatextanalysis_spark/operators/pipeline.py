@@ -455,7 +455,10 @@ def dedup_lines(
 
     ``sep`` is a LITERAL separator (regex-escaped for the split,
     reused verbatim for the rejoin): the default gives line-level
-    dedup, ``sep="\\n\\n"`` paragraph-level.
+    dedup, ``sep="\\n\\n"`` paragraph-level. NULL text is treated as
+    empty -- the document survives with an empty ``text_dedup`` instead
+    of silently vanishing from the corpus (posexplode drops NULL
+    arrays; zero-vector docs get the same treatment elsewhere).
 
     Scale shape: posexplode (map-only) -> ONE partial-agg count on the
     line key -> the count table is FILTERED to the offending lines
@@ -479,7 +482,7 @@ def dedup_lines(
     lines = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
-            F.split(F.col(text_col), re.escape(sep), -1)
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep), -1)
         ).alias("_i", "_line"),
     )
     dup = (

@@ -115,3 +115,27 @@ def test_jaccard_bounds_and_symmetric_key_order(spark, texts):
         | (F.col("a_id") >= F.col("b_id"))
     ).count()
     assert bad == 0
+
+
+@PROP
+@given(texts=CORPUS)
+def test_dedup_lines_preserves_docs_and_is_idempotent(spark, texts):
+    """Line dedup never loses a document (NULL text included) and is a
+    fixpoint: survivors' corpus-wide counts only shrink, so a second
+    application removes nothing and reproduces the text verbatim."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    docs = _docs_df(spark, texts)
+    once = pl.dedup_lines(docs, id_col="id").collect()
+    assert {r["id"] for r in once} == set(range(len(texts)))
+
+    again = pl.dedup_lines(
+        spark.createDataFrame(
+            [(r["id"], r["text_dedup"]) for r in once], "id LONG, text STRING"
+        ),
+        id_col="id",
+    ).collect()
+    got_once = {r["id"]: r["text_dedup"] for r in once}
+    for r in again:
+        assert r["n_removed"] == 0, (r, got_once[r["id"]])
+        assert r["text_dedup"] == got_once[r["id"]]
