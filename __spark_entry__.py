@@ -1824,6 +1824,26 @@ def q_docs_curation_rules(spark, sf_dir):
     )
 
 
+TOKEN_BUDGET = 8192  # ~half the sf0.01 corpus; any value is deterministic
+
+
+def q_docs_token_budget(spark, sf_dir):
+    """Token-budget downsampling (operators/pipeline.py::
+    sample_to_token_budget): keep a deterministic hash-ordered prefix of
+    each of 32 shards until the shard's share of the budget fills -- the
+    "train on N of these M tokens" corpus-construction step. Same
+    sharded-running-sum shape as docs_pack_sequences but ordered by the
+    salted hash (decorrelated from ingest order), so the oracle verifies
+    the hash ordering and the greedy boundary admission as well."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text_fns.tokenize("text")).alias("n_tokens")
+    )
+    out = pl.sample_to_token_budget(d, budget=TOKEN_BUDGET, n_shards=32)
+    return out.select("doc_id", "n_tokens", "shard", "cum_before")
+
+
 def q_docs_line_dedup(spark, sf_dir):
     """Line-level (CCNet-style) dedup (operators/pipeline.py::
     dedup_lines): corpus-wide counted lines, boilerplate (count > 1)
@@ -1929,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_strip_quotes": q_str_strip_quotes,
         "tokenize": q_tokenize,
         "docs_line_dedup": q_docs_line_dedup,
+        "docs_token_budget": q_docs_token_budget,
         # --- r03-green balance (47) ---
         "dedup_near_clusters": q_dedup_near_clusters,
         "tpch_q2_like": q_tpch_q2_like,
@@ -3524,6 +3545,27 @@ def oracle_sql() -> dict[str, str]:
                 AND b_bullet_ratio AND b_alpha_ratio
                 AND b_stopword_hits)::BIGINT AS keep
         FROM rules
+    """
+    sqls["docs_token_budget"] = f"""
+        WITH nt AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                 x -> x <> ''))::BIGINT AS n_tokens,
+                 {string_hash31_sql("'budget:' || doc_id::VARCHAR")} % 32 AS shard,
+                 {string_hash31_sql("'budget:' || doc_id::VARCHAR")} AS ord
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens, shard,
+                 -- ::BIGINT: window sums widen to HUGEINT in DuckDB
+                 coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS cum_before
+          FROM nt
+        )
+        SELECT doc_id, n_tokens, shard, cum_before
+        FROM c WHERE cum_before < {TOKEN_BUDGET / 32}
     """
     sqls["docs_line_dedup"] = """
         WITH l AS (

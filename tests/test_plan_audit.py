@@ -177,6 +177,8 @@ BUDGETS = {
     # boilerplate set may exceed the broadcast threshold and AQE
     # decides), so no floor
     "docs_line_dedup": (2, 0),
+    # token-budget downsampling: one per-shard hash-order sort window
+    "docs_token_budget": (1, 0),
     # r4: the Lloyd/assignment argmax is now an in-row literal reduction
     # (centroids collected driver-side and embedded in the plan), so the
     # 3x |corpus|-x-k window exchanges of the r3 plan are gone and the
