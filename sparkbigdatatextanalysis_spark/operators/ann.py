@@ -314,6 +314,19 @@ def _best_centroid(v, norm, cents_arr):
     return -F.array_max(_cent_scores(v, norm, cents_arr))["neg_cid"]
 
 
+def _assign_from_lit(nv: DataFrame, cents_arr) -> DataFrame:
+    """ONE definition of corpus-to-centroid assignment over a literal
+    centroid array (shared by ivf_assignments and cosine_topk_ivf, so
+    the two cannot drift). NULL cluster arises only from an EMPTY
+    centroid set (with any centroid present the score coalesces to
+    -inf, never NULL); the filter reproduces the r3 crossJoin form's
+    zero-row output there."""
+    return nv.select(
+        "id",
+        _best_centroid(F.col("v"), F.col("norm"), cents_arr).alias("cluster"),
+    ).where(F.col("cluster").isNotNull())
+
+
 def _lloyd_means(assign: DataFrame) -> DataFrame:
     """One Lloyd pass's per-(cluster, dim) means over an (c_id, v)
     assignment frame -- DECIMAL-exact sums (order-independent, so the
@@ -393,9 +406,13 @@ def kmeans_centroids(
         for cid in sorted(by_cid):
             cv = [by_cid[cid][p] for p in sorted(by_cid[cid])]
             if any(x is None for x in cv):
-                # NULL vector elements poison their cluster's mean; keep
-                # the centroid with a NULL norm so it scores NULL and
-                # ranks last (the r3 window form's behavior)
+                # A NULL mean arises only when EVERY member of the
+                # cluster is NULL at that dimension (the mean is
+                # sum-skipping-NULLs / count(*), so mixed clusters get a
+                # finite diluted mean -- same as the oracle). Keep the
+                # all-NULL-dimension centroid with a NULL norm so it
+                # scores NULL and ranks last instead of crashing the
+                # driver-side assembly.
                 cur.append((cid, cv, None))
                 continue
             acc = 0.0
@@ -432,14 +449,7 @@ def ivf_assignments(
     nv = _norm_vecs(emb, id_col, vec_col)
     if cents is None:
         cents = _init_centroids(nv, n_centroids)
-    cur = _collect_cents(cents)
-    # NULL cluster arises only from an EMPTY centroid set (with any
-    # centroid present the score coalesces to -inf, never NULL); the
-    # filter reproduces the r3 crossJoin form's zero-row output there
-    return nv.select(
-        "id",
-        _best_centroid(F.col("v"), F.col("norm"), _cents_lit(cur)).alias("cluster"),
-    ).where(F.col("cluster").isNotNull())
+    return _assign_from_lit(nv, _cents_lit(_collect_cents(cents)))
 
 
 def cosine_topk_ivf(
@@ -470,14 +480,13 @@ def cosine_topk_ivf(
             )
         else:
             cents = _init_centroids(nv, n_centroids)
-    # The centroid set is tiny model state: collect once, embed as a
-    # literal in the query probes; the corpus side goes through
-    # ivf_assignments -- ONE definition of assignment semantics, so the
-    # two cannot drift (the _broadcast_topk argument).
-    cur = _collect_cents(cents)
-    cents_arr = _cents_lit(cur)
+    # The centroid set is tiny model state: collect ONCE and embed as a
+    # literal in both the corpus assignment (shared _assign_from_lit
+    # definition -- same semantics as ivf_assignments) and the query
+    # probes.
+    cents_arr = _cents_lit(_collect_cents(cents))
     # persist: assignments feed every probed-cluster lookup.
-    assign = ivf_assignments(emb, id_col, vec_col, n_centroids, cents=cents).persist()
+    assign = _assign_from_lit(nv, cents_arr).persist()
 
     q = query_ids.withColumnRenamed(query_ids.columns[0], "q_id")
     qv = nv.join(F.broadcast(q), nv.id == F.col("q_id")).select(

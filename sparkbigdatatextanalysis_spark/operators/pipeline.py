@@ -21,6 +21,8 @@ shaped for 100 TB inputs:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -471,8 +473,6 @@ def dedup_lines(
     64-bit line-hash join would start colliding around 2^32 distinct
     lines and silently delete unique text).
     """
-    import re
-
     if max_occurrences < 1:
         raise ValueError(
             f"dedup_lines: max_occurrences must be >= 1, got {max_occurrences}"
