@@ -1824,6 +1824,27 @@ def q_docs_curation_rules(spark, sf_dir):
     )
 
 
+BM25_QUERY = ["hash", "join", "dup"]  # two common terms + one rare (idf contrast)
+
+
+def q_docs_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (operators/retrieval.py::bm25_topk):
+    top-20 documents for a fixed 3-term query over the stopword-filtered
+    tokens. Scored rows are pruned to query-term matches before any
+    aggregation; the cut is TakeOrdered on the round-6 score (ln and
+    summation differ in low-order bits across engines; ranking the
+    rounded value keeps the cut identical) with doc_id tie-break."""
+    from sparkbigdatatextanalysis_spark.operators import retrieval as rt
+
+    out = rt.bm25_topk(_tok(spark, sf_dir), BM25_QUERY, k=20)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_matched",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 TOKEN_BUDGET = 8192  # ~half the sf0.01 corpus; any value is deterministic
 
 
@@ -1950,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize": q_tokenize,
         "docs_line_dedup": q_docs_line_dedup,
         "docs_token_budget": q_docs_token_budget,
+        "docs_bm25_topk": q_docs_bm25_topk,
         # --- r03-green balance (47) ---
         "dedup_near_clusters": q_dedup_near_clusters,
         "tpch_q2_like": q_tpch_q2_like,
@@ -3545,6 +3567,33 @@ def oracle_sql() -> dict[str, str]:
                 AND b_bullet_ratio AND b_alpha_ratio
                 AND b_stopword_hits)::BIGINT AS keep
         FROM rules
+    """
+    _bm25_terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    sqls["docs_bm25_topk"] = f"""
+        WITH {_BASE},
+        qtf AS (
+          SELECT doc_id, token, count(*) AS qtf, any_value(n_tokens) AS dl
+          FROM ex WHERE token IN ({_bm25_terms})
+          GROUP BY doc_id, token
+        ),
+        dfs AS (SELECT token, count(*) AS df FROM qtf GROUP BY token),
+        stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+        scored AS (
+          SELECT doc_id,
+                 count(*) AS n_matched,
+                 sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                     * (qtf * 2.2)
+                     / (qtf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+          FROM qtf JOIN dfs USING (token), stats
+          GROUP BY doc_id
+        ),
+        top AS (
+          SELECT doc_id, n_matched, round(score, 6) AS score
+          FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+        )
+        SELECT doc_id, n_matched, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM top
     """
     sqls["docs_token_budget"] = f"""
         WITH nt AS (

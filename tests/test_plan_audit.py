@@ -179,6 +179,10 @@ BUDGETS = {
     "docs_line_dedup": (2, 0),
     # token-budget downsampling: one per-shard hash-order sort window
     "docs_token_budget": (1, 0),
+    # BM25: cache-free flattening shows the _tok fan-out + stats/df agg
+    # feeds of the two broadcasts + tf/df/score partial aggs + the
+    # k-row rank exchange; the scored set itself is query-term-pruned
+    "docs_bm25_topk": (8, 2),
     # r4: the Lloyd/assignment argmax is now an in-row literal reduction
     # (centroids collected driver-side and embedded in the plan), so the
     # 3x |corpus|-x-k window exchanges of the r3 plan are gone and the
