@@ -1964,7 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": q_customers_no_orders,
         # ---- end of the 50-key gate window ----
         # --- rotate into the r05 window: r02-green leftovers (4) plus
-        #     the one key added after this round's window was frozen ---
+        #     the three keys added after this round's window was frozen
+        #     (docs_line_dedup, docs_token_budget, docs_bm25_topk) ---
         "scan_gold_pairs": q_scan_gold_pairs,
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,

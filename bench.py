@@ -73,6 +73,9 @@ HEADLINE = [
     "events_anomaly_sql",
     "scd2_history",
     "winsorize_values",
+    # r4 additions: line-level dedup and BM25 retrieval
+    "docs_line_dedup",
+    "docs_bm25_topk",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental-dedup scale paths -- see EXTRA below
     "join_unbucketed_shuffle",
