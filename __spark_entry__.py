@@ -1824,6 +1824,24 @@ def q_docs_curation_rules(spark, sf_dir):
     )
 
 
+def q_dedup_best_rep(spark, sf_dir):
+    """Quality-aware near-dup survivor selection
+    (operators/dedup.py::cluster_representatives): MinHash-LSH clusters
+    (same chain as dedup_near_clusters) re-canonicalized to the
+    HIGHEST-quality member per cluster (textstats.text_quality), ties to
+    the smaller id -- the production dedup policy of keeping the clean
+    original over its mangled copies. One in-row argmax groupBy + one
+    representative join; the oracle nests the cluster and quality
+    oracles and recomputes the argmax as a rank window."""
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    clusters = cc.dedup_clusters(_mh_pairs(spark, sf_dir), _docs(spark, sf_dir))
+    quality = ts.text_quality(_docs(spark, sf_dir, wide=True)).select(
+        F.col("id").alias("doc_id"), "quality_score"
+    )
+    return dd.cluster_representatives(clusters, quality)
+
+
 BM25_QUERY = ["hash", "join", "dup"]  # two common terms + one rare (idf contrast)
 
 
@@ -1973,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_line_dedup": q_docs_line_dedup,
         "docs_token_budget": q_docs_token_budget,
         "docs_bm25_topk": q_docs_bm25_topk,
+        "dedup_best_rep": q_dedup_best_rep,
         # --- r03-green balance (47) ---
         "dedup_near_clusters": q_dedup_near_clusters,
         "tpch_q2_like": q_tpch_q2_like,
@@ -3568,6 +3587,24 @@ def oracle_sql() -> dict[str, str]:
                 AND b_bullet_ratio AND b_alpha_ratio
                 AND b_stopword_hits)::BIGINT AS keep
         FROM rules
+    """
+    # Nests the cluster + quality oracles as derived tables (the
+    # curation_pipeline pattern), so representative selection stays
+    # consistent with both underlying checks by construction.
+    sqls["dedup_best_rep"] = f"""
+        SELECT c.doc_id, c.keep_id AS cluster_id, r.rep_id,
+               (c.doc_id = r.rep_id)::BIGINT AS is_rep
+        FROM ({sqls["dedup_near_clusters"]}) c
+        JOIN (
+          SELECT keep_id, doc_id AS rep_id FROM (
+            SELECT c2.keep_id, q.doc_id,
+                   row_number() OVER (
+                     PARTITION BY c2.keep_id
+                     ORDER BY q.quality_score DESC, q.doc_id) AS rn
+            FROM ({sqls["dedup_near_clusters"]}) c2
+            JOIN ({sqls["text_quality"]}) q USING (doc_id)
+          ) WHERE rn = 1
+        ) r ON c.keep_id = r.keep_id
     """
     _bm25_terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     sqls["docs_bm25_topk"] = f"""

@@ -73,9 +73,11 @@ HEADLINE = [
     "events_anomaly_sql",
     "scd2_history",
     "winsorize_values",
-    # r4 additions: line-level dedup and BM25 retrieval
+    # r4 additions: line-level dedup, BM25 retrieval, quality-aware
+    # cluster representatives
     "docs_line_dedup",
     "docs_bm25_topk",
+    "dedup_best_rep",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental-dedup scale paths -- see EXTRA below
     "join_unbucketed_shuffle",

@@ -490,3 +490,44 @@ def test_dedup_lines_paragraph_separator(spark):
     }
     with pytest.raises(ValueError, match="sep"):
         pl.dedup_lines(docs, sep="")
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware cluster representatives (dedup.cluster_representatives)
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_representatives_pick_best_quality(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "doc_id LONG, keep_id LONG",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (10, 0.4)],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["rep_id"], r["is_rep"])
+        for r in dedup.cluster_representatives(clusters, scores).collect()
+    }
+    assert got == {
+        # cluster 1: 2 and 3 tie at 0.9 -> smaller id wins, min-id 1 loses
+        1: (1, 2, 0),
+        2: (1, 2, 1),
+        3: (1, 2, 0),
+        # singleton
+        7: (7, 7, 1),
+        # doc 9 missing from scores (NULL) -> scored member 10 wins
+        9: (9, 10, 0),
+        10: (9, 10, 1),
+    }
+
+
+def test_cluster_representatives_all_unscored_falls_back_to_min_id(spark):
+    clusters = spark.createDataFrame(
+        [(5, 4), (4, 4)], "doc_id LONG, keep_id LONG"
+    )
+    scores = spark.createDataFrame([], "doc_id LONG, quality_score DOUBLE")
+    got = {r["doc_id"]: r["rep_id"]
+           for r in dedup.cluster_representatives(clusters, scores).collect()}
+    assert got == {4: 4, 5: 4}

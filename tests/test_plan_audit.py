@@ -183,6 +183,9 @@ BUDGETS = {
     # feeds of the two broadcasts + tf/df/score partial aggs + the
     # k-row rank exchange; the scored set itself is query-term-pruned
     "docs_bm25_topk": (8, 2),
+    # cluster lineage (cache-free flattened) + the argmax groupBy and
+    # representative join
+    "dedup_best_rep": (6, 3),
     # r4: the Lloyd/assignment argmax is now an in-row literal reduction
     # (centroids collected driver-side and embedded in the plan), so the
     # 3x |corpus|-x-k window exchanges of the r3 plan are gone and the
