@@ -156,9 +156,14 @@ BUDGETS = {
     "ann_topk_bruteforce": (4, 2),
     "filter_pair_lookup": (6, 0),
     "dedup_embedding_lsh": (5, 3),
-    "dedup_near_clusters": (6, 2),
+    # r4: the cluster table is an eagerly-localCheckpointed pipeline
+    # point (deep CC-loop lineage cost ~1.3s of Catalyst re-analysis
+    # per consuming query), so the per-key audit sees a flat LogicalRDD
+    # scan; the underlying LSH+CC chain is pinned separately in
+    # test_dedup_cluster_chain_budget
+    "dedup_near_clusters": (0, 0),
     "doc_similarity": (7, 0),
-    "curation_pipeline": (8, 0),
+    "curation_pipeline": (1, 0),  # r4: consumes the checkpointed cluster point
     "ann_topk_lsh": (8, 5),
     "dot_product": (15, 0),
     "cross_similarity": (15, 0),
@@ -183,9 +188,8 @@ BUDGETS = {
     # feeds of the two broadcasts + tf/df/score partial aggs + the
     # k-row rank exchange; the scored set itself is query-term-pruned
     "docs_bm25_topk": (8, 2),
-    # cluster lineage (cache-free flattened) + the argmax groupBy and
-    # representative join
-    "dedup_best_rep": (6, 3),
+    # checkpointed cluster point + the argmax groupBy and rep join
+    "dedup_best_rep": (2, 2),
     # r4: the Lloyd/assignment argmax is now an in-row literal reduction
     # (centroids collected driver-side and embedded in the plan), so the
     # 3x |corpus|-x-k window exchanges of the r3 plan are gone and the
@@ -264,3 +268,21 @@ def test_ivf_internal_stage_budgets(spark):
     m = audit_plan(ann._lloyd_means(assign))
     assert m.shuffle_exchanges <= 1, m
     assert m.cartesian_products == 0 and m.row_python_stages == 0, m
+
+
+def test_dedup_cluster_chain_budget(spark):
+    """The entry's cluster pipeline point is eagerly localCheckpointed
+    (deep lineage = per-query Catalyst re-analysis cost), so the three
+    keys consuming it audit as flat LogicalRDD scans. Pin the UNDERLYING
+    MinHash-LSH + connected-components chain here so a regression into
+    extra exchanges cannot hide behind the checkpoint -- the same
+    treatment as the eager IVF refinement."""
+    import __spark_entry__ as em
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    a = audit_plan(
+        cc.dedup_clusters(em._mh_pairs(spark, SF), em._docs(spark, SF))
+    )
+    assert a.shuffle_exchanges <= 6, a
+    assert a.broadcast_exchanges >= 2, a
+    assert a.cartesian_products == 0 and a.row_python_stages == 0, a
