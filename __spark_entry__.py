@@ -1055,7 +1055,14 @@ def _dedup_clusters(spark, sf_dir):
     cached. Truncating to a LogicalRDD makes downstream plans flat; the
     exchange-budget net pins the underlying chain separately
     (tests/test_plan_audit.py::test_dedup_cluster_chain_budget), since
-    this wrapper hides it from the per-key audit."""
+    this wrapper hides it from the per-key audit.
+
+    Cluster caveat: localCheckpoint blocks are NOT fault-tolerant (an
+    executor loss drops them and the truncated lineage cannot recompute)
+    -- on a real cluster, give this pipeline point a reliable
+    checkpoint (`sc.setCheckpointDir` + `.checkpoint()`) or write it to
+    a table; local[n] has no executor loss, so the cheap form is right
+    here."""
     from sparkbigdatatextanalysis_spark.operators import components as cc
 
     return _cached(

@@ -531,3 +531,24 @@ def test_cluster_representatives_all_unscored_falls_back_to_min_id(spark):
     got = {r["doc_id"]: r["rep_id"]
            for r in dedup.cluster_representatives(clusters, scores).collect()}
     assert got == {4: 4, 5: 4}
+
+
+def test_entry_cluster_pipeline_point_matches_raw_operator(spark):
+    """The entry's checkpointed/cached cluster table must be row-equal
+    to a fresh run of the underlying operator -- guards the wrapper
+    (eager localCheckpoint + session cache) against ever diverging from
+    components.dedup_clusters itself."""
+    import __spark_entry__ as em
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    sf = sf_dir("0.001")
+    em._DF_CACHE.clear()
+    cached = {
+        (r["doc_id"], r["keep_id"], r["is_kept"])
+        for r in em._dedup_clusters(spark, sf).collect()
+    }
+    raw = {
+        (r["doc_id"], r["keep_id"], r["is_kept"])
+        for r in cc.dedup_clusters(em._mh_pairs(spark, sf), em._docs(spark, sf)).collect()
+    }
+    assert cached == raw and len(cached) > 0
