@@ -59,15 +59,22 @@ SF0001 = "/root/testdata/sf0.001"
 _DF_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
-def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+def _cached(
+    spark: SparkSession, sf_dir: str, name: str, build, persist: bool = True
+) -> DataFrame:
     # Keyed by (sf_dir, name) with the owning session stored alongside:
     # id(spark) alone can collide when a stopped session's address is
     # reused, which would hand back DataFrames bound to a dead session.
+    # persist=False is for builds that already hold their own storage
+    # (eager localCheckpoint): persisting on top would keep the table
+    # resident twice (RDD blocks + columnar SQL cache).
     key = (sf_dir, name)
     hit = _DF_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    df = build().persist()
+    df = build()
+    if persist:
+        df = df.persist()
     _DF_CACHE[key] = (spark, df)
     return df
 
@@ -1072,6 +1079,7 @@ def _dedup_clusters(spark, sf_dir):
         lambda: cc.dedup_clusters(
             _mh_pairs(spark, sf_dir), _docs(spark, sf_dir)
         ).localCheckpoint(eager=True),
+        persist=False,  # the eager checkpoint already holds the blocks
     )
 
 
@@ -1865,9 +1873,9 @@ def q_dedup_best_rep(spark, sf_dir):
     representative join over the shared cluster pipeline point; the
     oracle nests the cluster and quality oracles and recomputes the
     argmax as a rank window."""
-    quality = ts.text_quality(_docs(spark, sf_dir, wide=True)).select(
-        F.col("id").alias("doc_id"), "quality_score"
-    )
+    # reuse the declared quality query (the curation_pipeline pattern)
+    # so the two spellings of the stage cannot drift
+    quality = q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
     return dd.cluster_representatives(_dedup_clusters(spark, sf_dir), quality)
 
 
@@ -3620,18 +3628,23 @@ def oracle_sql() -> dict[str, str]:
     # Nests the cluster + quality oracles as derived tables (the
     # curation_pipeline pattern), so representative selection stays
     # consistent with both underlying checks by construction.
+    # LEFT join + unscored-last ordering mirror the operator's
+    # structure (scored members beat unscored, unscored fall back to
+    # min-id), so a quality stage that ever drops documents cannot
+    # desynchronize the two sides.
     sqls["dedup_best_rep"] = f"""
         SELECT c.doc_id, c.keep_id AS cluster_id, r.rep_id,
                (c.doc_id = r.rep_id)::BIGINT AS is_rep
         FROM ({sqls["dedup_near_clusters"]}) c
         JOIN (
           SELECT keep_id, doc_id AS rep_id FROM (
-            SELECT c2.keep_id, q.doc_id,
+            SELECT c2.keep_id, c2.doc_id,
                    row_number() OVER (
                      PARTITION BY c2.keep_id
-                     ORDER BY q.quality_score DESC, q.doc_id) AS rn
+                     ORDER BY (q.quality_score IS NULL),
+                              q.quality_score DESC, c2.doc_id) AS rn
             FROM ({sqls["dedup_near_clusters"]}) c2
-            JOIN ({sqls["text_quality"]}) q USING (doc_id)
+            LEFT JOIN ({sqls["text_quality"]}) q USING (doc_id)
           ) WHERE rn = 1
         ) r ON c.keep_id = r.keep_id
     """

@@ -542,6 +542,10 @@ def test_entry_cluster_pipeline_point_matches_raw_operator(spark):
     from sparkbigdatatextanalysis_spark.operators import components as cc
 
     sf = sf_dir("0.001")
+    # pair the module-cache clear with the SQL cache clear (the
+    # plan-audit fixture's pattern): dropping only the Python refs
+    # would leak every previously persisted pipeline-point table
+    spark.catalog.clearCache()
     em._DF_CACHE.clear()
     cached = {
         (r["doc_id"], r["keep_id"], r["is_kept"])
@@ -552,3 +556,29 @@ def test_entry_cluster_pipeline_point_matches_raw_operator(spark):
         for r in cc.dedup_clusters(em._mh_pairs(spark, sf), em._docs(spark, sf)).collect()
     }
     assert cached == raw and len(cached) > 0
+
+
+def test_cluster_representatives_string_ids_and_neg_inf(spark):
+    """Generic-contract regressions (r4 review): ids are never negated
+    (string ids must work), and a member genuinely scored -inf still
+    beats an unscored member (distinct is-scored rank field, not a
+    sentinel)."""
+    clusters = spark.createDataFrame(
+        [("b", "a"), ("a", "a")], "doc_id STRING, keep_id STRING"
+    )
+    scores = spark.createDataFrame(
+        [("b", 0.3)], "doc_id STRING, quality_score DOUBLE"
+    )
+    got = {r["doc_id"]: r["rep_id"]
+           for r in dedup.cluster_representatives(clusters, scores).collect()}
+    assert got == {"a": "b", "b": "b"}
+
+    clusters2 = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id LONG, keep_id LONG"
+    )
+    scores2 = spark.createDataFrame(
+        [(2, float("-inf"))], "doc_id LONG, quality_score DOUBLE"
+    )
+    got2 = {r["doc_id"]: r["rep_id"]
+            for r in dedup.cluster_representatives(clusters2, scores2).collect()}
+    assert got2 == {1: 2, 2: 2}
