@@ -3631,7 +3631,10 @@ def oracle_sql() -> dict[str, str]:
     # LEFT join + unscored-last ordering mirror the operator's
     # structure (scored members beat unscored, unscored fall back to
     # min-id), so a quality stage that ever drops documents cannot
-    # desynchronize the two sides.
+    # desynchronize the two sides. The explicit isnan tier mirrors the
+    # operator's is_nan rank field: DuckDB sorts NaN ABOVE +inf under
+    # DESC, so without it a NaN-scored member would WIN here while
+    # losing in Spark (r4 advice; latent -- text_quality is NaN-free).
     sqls["dedup_best_rep"] = f"""
         SELECT c.doc_id, c.keep_id AS cluster_id, r.rep_id,
                (c.doc_id = r.rep_id)::BIGINT AS is_rep
@@ -3642,6 +3645,7 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (
                      PARTITION BY c2.keep_id
                      ORDER BY (q.quality_score IS NULL),
+                              coalesce(isnan(q.quality_score), FALSE),
                               q.quality_score DESC, c2.doc_id) AS rn
             FROM ({sqls["dedup_near_clusters"]}) c2
             LEFT JOIN ({sqls["text_quality"]}) q USING (doc_id)
@@ -3657,7 +3661,10 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY doc_id, token
         ),
         dfs AS (SELECT token, count(*) AS df FROM qtf GROUP BY token),
-        stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+        -- coalesce mirrors the operator: a NULL token array is an
+        -- empty document, inside BOTH n and avgdl (r4 advice)
+        stats AS (SELECT count(*) AS n, avg(coalesce(len(toks), 0)) AS avgdl
+                  FROM tok),
         scored AS (
           SELECT doc_id,
                  count(*) AS n_matched,

@@ -107,12 +107,18 @@ def _bucketed_tables(spark, sf_dir):
         # A previous bench process may have left the managed locations
         # behind without this session's catalog knowing the tables --
         # saveAsTable then refuses even with mode=overwrite. Start clean.
-        warehouse = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
+        # Parse the warehouse URI properly: rmtree is only meaningful
+        # for a local-filesystem warehouse (scheme file/empty); for
+        # hdfs:// etc. a prefix-strip would target a bogus local path
+        # and leave the real leftover in place (r4 advice).
+        from urllib.parse import unquote, urlparse
+
+        w = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        warehouse = unquote(w.path) if w.scheme in ("", "file") else None
         for t in ("bench_lineitem_b", "bench_orders_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+            if warehouse:
+                shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
 
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
             "l_orderkey", "l_extendedprice", "l_discount"

@@ -53,9 +53,18 @@ def bm25_scores(
         F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
     )
     dfs = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # N and avgdl must cover the SAME row set: F.size(NULL) is NULL
+    # (or -1 under legacy sizeOfNull) and avg() skips NULLs, so a bare
+    # avg(size(tokens)) would drop NULL-token rows from avgdl while
+    # count(*) keeps them in N, skewing IDF vs the documented formula
+    # (r4 advice). A NULL/empty token array is an empty document:
+    # length 0, counted in both stats.
+    dl = F.when(F.col(tokens_col).isNull(), F.lit(0)).otherwise(
+        F.size(tokens_col)
+    )
     stats = tok_df.agg(
         F.count(F.lit(1)).alias("_n"),
-        F.avg(F.size(tokens_col)).alias("_avgdl"),
+        F.avg(dl).alias("_avgdl"),
     )
     idf = F.log(
         (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0

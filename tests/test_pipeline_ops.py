@@ -582,3 +582,25 @@ def test_cluster_representatives_string_ids_and_neg_inf(spark):
     got2 = {r["doc_id"]: r["rep_id"]
             for r in dedup.cluster_representatives(clusters2, scores2).collect()}
     assert got2 == {1: 2, 2: 2}
+
+
+def test_cluster_representatives_nan_loses_to_finite_beats_unscored(spark):
+    """The explicit NaN tier (r4 advice): a NaN-scored member loses to
+    ANY finite score (even -inf) but still beats an unscored member --
+    and the policy no longer rides -NaN ordering accidents, so the
+    oracle's coalesce(isnan(..), FALSE) tier matches by construction."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (8, 8), (9, 8)],
+        "doc_id LONG, keep_id LONG",
+    )
+    scores = spark.createDataFrame(
+        [
+            (1, float("nan")), (2, float("-inf")),   # finite/-inf beats NaN
+            (5, float("nan")),                        # NaN beats unscored 6
+            (8, float("nan")), (9, float("nan")),    # all-NaN -> min id
+        ],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    got = {r["doc_id"]: r["rep_id"]
+           for r in dedup.cluster_representatives(clusters, scores).collect()}
+    assert got == {1: 2, 2: 2, 5: 5, 6: 5, 8: 8, 9: 8}
