@@ -113,3 +113,122 @@ def bm25_topk(
     )
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_batch_scores(
+    tok_df: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "id",
+    tokens_col: str = "tokens",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Batch form of :func:`bm25_scores`: score N queries in ONE job
+    from a small (query_id, term) table -- the retrieval-evaluation /
+    online-serving shape, where re-scanning a 100 TB corpus once per
+    query is the thing that cannot happen.
+
+    Returns (query_id, id, n_matched, score). Semantics are exactly
+    per-query :func:`bm25_scores` (duplicate (query_id, term) rows are
+    deduplicated; df/N/avgdl are corpus-level statistics shared across
+    queries, NOT per-query).
+
+    Scale shape: the corpus explodes ONCE and is immediately semi-join
+    pruned to the UNION of all queries' terms (broadcast -- the query
+    table is model-state-sized), so the scored row set is (matching
+    docs x matching terms), independent of query count. One partial agg
+    builds (doc, term) tfs; the term-count-sized df table and the
+    2-value corpus stats attach as broadcasts; fanning out to
+    (query_id, doc, term) happens only AFTER the tf aggregation, via a
+    broadcast join against the query table, so adding queries adds no
+    corpus pass and no extra shuffle -- only post-prune fan-out rows.
+    """
+    qt = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(term_col).alias("_t")
+    ).distinct()
+    terms = qt.select("_t").distinct()
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(
+            f"bm25_batch_scores: need k1 >= 0 and 0 <= b <= 1, got {k1}, {b}"
+        )
+    ex = tok_df.select(
+        F.col(id_col).alias("_id"),
+        F.size(tokens_col).alias("_dl"),
+        F.explode(tokens_col).alias("_t"),
+    ).join(F.broadcast(terms), "_t", "left_semi")
+    tf = ex.groupBy("_id", "_t").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    dfs = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    dl = F.when(F.col(tokens_col).isNull(), F.lit(0)).otherwise(
+        F.size(tokens_col)
+    )
+    stats = tok_df.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg(dl).alias("_avgdl")
+    )
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    term_score = (
+        idf
+        * (F.col("_tf") * (k1 + 1.0))
+        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfs), "_t")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qt), "_t")
+        .select("_qid", "_id", term_score.alias("_s"))
+        .groupBy("_qid", "_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"), F.sum("_s").alias("score"))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            "n_matched",
+            "score",
+        )
+    )
+
+
+def bm25_batch_topk(
+    tok_df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "id",
+    tokens_col: str = "tokens",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-query top-``k`` over :func:`bm25_batch_scores`, ranked on the
+    ``round_to``-rounded score with id tie-break (same determinism
+    argument as :func:`bm25_topk`). Returns
+    (query_id, id, n_matched, score, rank).
+
+    The cut is :func:`relational.grouped_topk`, NOT a bare per-query
+    window: with a common query term one query's scored set is
+    corpus-sized, and a single PARTITION BY query_id window would
+    funnel it through one task -- grouped_topk's two-phase TakeOrdered
+    prunes each group to k rows per input partition first, so no task
+    ever sees more than max(partition, k * n_partitions) rows.
+    """
+    from .relational import grouped_topk
+
+    scored = bm25_batch_scores(
+        tok_df, queries, k1, b, id_col, tokens_col, query_id_col, term_col
+    )
+    return grouped_topk(
+        scored.select(
+            query_id_col,
+            id_col,
+            "n_matched",
+            F.round("score", round_to).alias("score"),
+        ),
+        group=[query_id_col],
+        order=[F.col("score").desc(), F.col(id_col)],
+        k=k,
+    )

@@ -188,6 +188,13 @@ BUDGETS = {
     # feeds of the two broadcasts + tf/df/score partial aggs + the
     # k-row rank exchange; the scored set itself is query-term-pruned
     "docs_bm25_topk": (8, 2),
+    # r5 batch form: SAME scan count as the single-query plan (the
+    # no-extra-corpus-pass claim, pinned below in
+    # test_bm25_batch_no_extra_corpus_pass); the +5 exchanges over the
+    # single form are the tiny query-table distincts feeding its
+    # broadcasts, the per-(query, doc) score agg, and grouped_topk's
+    # two bounded rank windows
+    "docs_bm25_batch": (13, 5),
     # checkpointed cluster point + the argmax groupBy and rep join
     "dedup_best_rep": (2, 2),
     # r4: the Lloyd/assignment argmax is now an in-row literal reduction
