@@ -1932,6 +1932,20 @@ def q_docs_bm25_batch(spark, sf_dir):
     )
 
 
+def q_docs_substring_dedup(spark, sf_dir):
+    """Exact-substring (ExactSubstr-family) dedup
+    (operators/dedup.py::duplicate_spans): winnowing-selected k-gram
+    fingerprints (width 25, window 15 -- any repeat >= 39 chars is
+    guaranteed caught at every occurrence), corpus-duplicated
+    fingerprints merged into maximal per-doc spans. Hashing + selection
+    are in-row; only selected fingerprints shuffle; span merge is an
+    in-row fold after one groupBy(doc). The oracle replays the same
+    winnowing in DuckDB (list_transform/list_reduce) and merges spans
+    with the classic gaps-and-islands window instead of the fold --
+    independent formulations, identical semantics."""
+    return dd.duplicate_spans(_docs(spark, sf_dir, wide=True))
+
+
 TOKEN_BUDGET = 8192  # ~half the sf0.01 corpus; any value is deterministic
 
 
@@ -2109,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "docs_bm25_batch": q_docs_bm25_batch,
+        "docs_substring_dedup": q_docs_substring_dedup,
     }
 
 
@@ -3827,5 +3842,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.pos::BIGINT AS pos,
                CASE WHEN n.nn > 0 THEN d.v / n.nn ELSE d.v END AS component
         FROM dense d JOIN nrm n USING (doc_id)
+    """
+    # Winnowing replay: same 60-bit k-gram hash (15 md5 hex digits),
+    # same rightmost-minimal selection per window of 15 positions
+    # (list_reduce left-to-right with >=-rightmost tie rule), same
+    # >=2 corpus-count duplicate mark; the span merge is the classic
+    # gaps-and-islands window instead of Spark's in-row fold.
+    sqls["docs_substring_dedup"] = """
+        WITH d0 AS (
+          SELECT doc_id, text, length(text) AS len FROM documents
+          WHERE length(text) >= 25 + 15 - 1
+        ),
+        hl AS (
+          SELECT doc_id,
+                 list_transform(range(1, len - 25 + 2),
+                   i -> ('0x' || substr(md5(substr(text, i::INT, 25)), 1, 15))::BIGINT)
+                   AS hs
+          FROM d0
+        ),
+        selp AS (
+          SELECT doc_id, hs,
+                 list_distinct(list_transform(range(1, len(hs) - 15 + 2),
+                   j -> list_reduce(range(j, j + 15),
+                          (a, b) -> CASE WHEN hs[b::INT] < hs[a::INT]
+                                           OR (hs[b::INT] = hs[a::INT] AND b > a)
+                                         THEN b ELSE a END))) AS ps
+          FROM hl
+        ),
+        fp AS (
+          SELECT doc_id, p::BIGINT AS p, hs[p::INT] AS h
+          FROM (SELECT doc_id, hs, unnest(ps) AS p FROM selp)
+        ),
+        dup AS (SELECT h FROM fp GROUP BY h HAVING count(*) >= 2),
+        dw AS (
+          SELECT doc_id, p AS s, p + 25 - 1 AS e
+          FROM fp WHERE h IN (SELECT h FROM dup)
+        ),
+        isl AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s <= coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) + 1
+                      THEN 0 ELSE 1 END AS brk
+          FROM dw
+        ),
+        g AS (
+          SELECT doc_id, s, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS isl_id
+          FROM isl
+        )
+        SELECT doc_id, (isl_id - 1)::BIGINT AS span_idx,
+               min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+               count(*)::BIGINT AS n_windows
+        FROM g GROUP BY doc_id, isl_id
     """
     return sqls

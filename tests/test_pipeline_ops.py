@@ -604,3 +604,97 @@ def test_cluster_representatives_nan_loses_to_finite_beats_unscored(spark):
     got = {r["doc_id"]: r["rep_id"]
            for r in dedup.cluster_representatives(clusters, scores).collect()}
     assert got == {1: 2, 2: 2, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (dedup.duplicate_spans / remove_duplicate_spans)
+# ---------------------------------------------------------------------------
+
+_BOILER = (
+    "This exact boilerplate sentence crosses\nline boundaries and repeats."
+)  # 69 chars >= width + window - 1 = 39 -> guaranteed caught
+
+
+def _span_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "unique prefix one. " + _BOILER + " unique tail one......."),
+            (2, "a very different start here!! " + _BOILER + " other end.."),
+            (3, "totally unrelated document with no repeated spans at all,"
+                " nothing shared here truly."),
+            (4, "short"),
+            (5, "internal repeat: " + _BOILER + " middle filler words go"
+                " here " + _BOILER + " done."),
+        ],
+        "doc_id LONG, text STRING",
+    )
+
+
+def test_duplicate_spans_alignment_robust_and_in_bounds(spark):
+    """The winnowing selection must catch the shared 69-char region in
+    docs 1/2/5 although it sits at DIFFERENT offsets in each (19, 30,
+    17/119) -- the exact case strided fingerprints miss -- and every
+    reported span must slice to the same duplicated text."""
+    docs = _span_docs(spark)
+    spans = dedup.duplicate_spans(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 5}
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    assert len(by_doc[5]) == 2  # within-doc repeat: both occurrences
+    cut = {
+        (r["doc_id"], r["span_idx"]):
+            texts[r["doc_id"]][r["span_start"] - 1 : r["span_end"]]
+        for r in spans
+    }
+    assert len(set(cut.values())) == 1  # all four spans = same interior
+    assert cut[(1, 0)] in _BOILER  # conservative: inside the repeat
+
+
+def test_duplicate_spans_sorted_disjoint_and_indexed(spark):
+    spans = dedup.duplicate_spans(_span_docs(spark)).collect()
+    by_doc = {}
+    for r in sorted(spans, key=lambda r: (r["doc_id"], r["span_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        assert [r["span_idx"] for r in rs] == list(range(len(rs)))
+        for a, b in zip(rs, rs[1:]):
+            assert a["span_end"] + 1 < b["span_start"]  # merged => gap > 1
+        for r in rs:
+            assert r["span_start"] >= 1 and r["n_windows"] >= 1
+
+
+def test_remove_duplicate_spans_subtracts_exactly(spark):
+    docs = _span_docs(spark)
+    spans = dedup.duplicate_spans(docs)
+    got = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(docs, spans).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    span_rows = spans.collect()
+    for did, t in texts.items():
+        rs = sorted(
+            [r for r in span_rows if r["doc_id"] == did],
+            key=lambda r: r["span_start"],
+        )
+        expect = ""
+        pos = 1
+        for r in rs:
+            expect += t[pos - 1 : r["span_start"] - 1]
+            pos = r["span_end"] + 1
+        expect += t[pos - 1 :]
+        assert got[did]["text_clean"] == expect, did
+        assert got[did]["n_removed_chars"] == sum(
+            r["span_end"] - r["span_start"] + 1 for r in rs
+        )
+        assert len(got[did]["text_clean"]) == len(t) - got[did]["n_removed_chars"]
+
+
+def test_duplicate_spans_guards(spark):
+    docs = _span_docs(spark)
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(docs, width=0)
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(docs, window=0)
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(docs, min_count=1)

@@ -197,6 +197,12 @@ BUDGETS = {
     "docs_bm25_batch": (13, 5),
     # checkpointed cluster point + the argmax groupBy and rep join
     "dedup_best_rep": (2, 2),
+    # r5 winnowing substring dedup: scan fan-out + fingerprint count
+    # agg + dup semi-join + per-doc span groupBy; hashing/selection/
+    # merge are all in-row. The dup-hash side broadcasts at this scale
+    # but is NOT floor-pinned (boilerplate-heavy corpora can exceed
+    # the threshold; AQE decides)
+    "docs_substring_dedup": (4, 0),
     # r4: the Lloyd/assignment argmax is now an in-row literal reduction
     # (centroids collected driver-side and embedded in the plan), so the
     # 3x |corpus|-x-k window exchanges of the r3 plan are gone and the
