@@ -1932,6 +1932,51 @@ def q_docs_bm25_batch(spark, sf_dir):
     )
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24  # overlapping windows exercise the stride math
+
+
+def q_docs_chunk_windows(spark, sf_dir):
+    """Context-window chunking (operators/pipeline.py::chunk_tokens):
+    split each doc's token array into 32-token windows advancing by 24
+    (overlap 8), final short tail emitted -- map-only, in-row
+    (sequence-of-starts + slice), zero shuffles. Chunks ship as the
+    space-joined text (tokens contain no whitespace by construction, so
+    the join is unambiguous and the driver hash covers every token)."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    out = pl.chunk_tokens(_tok(spark, sf_dir), size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def q_embeddings_quantized(spark, sf_dir):
+    """Int8 quantization round-trip surface
+    (operators/vectors.py::quantize_embeddings): per-vector symmetric
+    max-abs scaling, map-only, no corpus pass. Output exploded to
+    (vec_id, scale, pos, q) so the driver hash pins every int8
+    component AND the double scale bit-identically (max over widened
+    floats is exact; scale is one correctly-rounded division; q is one
+    mul + one div + round-half-away-from-zero in both engines)."""
+    from sparkbigdatatextanalysis_spark.operators import vectors as vec
+
+    emb = _scan(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = vec.quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.posexplode("qvec").alias("pos", "q"),
+    ).select(
+        "vec_id",
+        "scale",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("q").cast("long").alias("q"),
+    )
+
+
 def q_docs_substring_dedup(spark, sf_dir):
     """Exact-substring (ExactSubstr-family) dedup
     (operators/dedup.py::duplicate_spans): winnowing-selected k-gram
@@ -2124,6 +2169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "docs_bm25_batch": q_docs_bm25_batch,
         "docs_substring_dedup": q_docs_substring_dedup,
+        "docs_chunk_windows": q_docs_chunk_windows,
+        "embeddings_quantized": q_embeddings_quantized,
     }
 
 
@@ -3842,6 +3889,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.pos::BIGINT AS pos,
                CASE WHEN n.nn > 0 THEN d.v / n.nn ELSE d.v END AS component
         FROM dense d JOIN nrm n USING (doc_id)
+    """
+    # Window count = 1 + ceil(max(n - size, 0) / stride); every token
+    # appears in >= 1 chunk, only the final window may be short.
+    sqls["docs_chunk_windows"] = f"""
+        WITH {_BASE},
+        nz AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+        ch AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0,
+                   (CASE WHEN n > {CHUNK_SIZE}
+                         THEN ceil((n - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0)::BIGINT
+                         ELSE 0 END))) AS k
+          FROM nz
+        )
+        SELECT doc_id, k::BIGINT AS chunk_idx,
+               array_to_string(
+                 list_slice(toks, k * {CHUNK_STRIDE} + 1,
+                            least(k * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)),
+                 ' ') AS chunk_text,
+               least({CHUNK_SIZE}, n - k * {CHUNK_STRIDE})::BIGINT
+                 AS n_chunk_tokens
+        FROM ch
+    """
+    # Mirrors quantize_embeddings exactly: mx is an exact max over
+    # widened floats, scale one correctly-rounded division, each q one
+    # mul + div + round (ties away from zero in both engines). The
+    # degenerate branches (NULL / zero / non-finite vectors) are
+    # mirrored too, though the generated tables contain none.
+    sqls["embeddings_quantized"] = """
+        WITH q AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS mx,
+                 embedding
+          FROM embeddings
+        ),
+        qq AS (
+          SELECT vec_id,
+                 CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale,
+                 CASE WHEN mx > 0
+                      THEN list_transform(embedding,
+                             v -> round(v::DOUBLE * 127.0 / mx)::TINYINT)
+                      ELSE list_transform(embedding, v -> 0::TINYINT)
+                 END AS qvec
+          FROM q
+          WHERE embedding IS NOT NULL AND isfinite(mx)
+        )
+        SELECT vec_id, scale, (i - 1)::BIGINT AS pos, qvec[i::INT]::BIGINT AS q
+        FROM (SELECT vec_id, scale, qvec,
+                     unnest(generate_series(1, len(qvec))) AS i
+              FROM qq)
     """
     # Winnowing replay: same 60-bit k-gram hash (15 md5 hex digits),
     # same rightmost-minimal selection per window of 15 positions

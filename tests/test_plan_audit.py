@@ -197,6 +197,10 @@ BUDGETS = {
     "docs_bm25_batch": (13, 5),
     # checkpointed cluster point + the argmax groupBy and rep join
     "dedup_best_rep": (2, 2),
+    # r5 gated promotions: chunking is in-row map-only over the _tok
+    # fan-out; quantization is a pure map-only projection (codegen'd)
+    "docs_chunk_windows": (1, 0),
+    "embeddings_quantized": (0, 0),
     # r5 winnowing substring dedup: scan fan-out + fingerprint count
     # agg + dup semi-join + per-doc span groupBy; hashing/selection/
     # merge are all in-row. The dup-hash side broadcasts at this scale
