@@ -2044,30 +2044,92 @@ def q_docs_hashed_embeddings(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
-    # checks the FIRST 50 declared keys. Round-4 window: slots 1-3 are
-    # the r03 red/unchecked keys (oracle casts fixed + the new HLL
-    # accuracy-bound check), slots 4-9 the six keys new this round,
-    # slot 10 re-gates ann_topk_ivf (its plan changed: in-row literal
-    # argmax), and slots 11-50 rotate back 40 of the 44 keys whose
-    # latest driver row is r02 -- so no key's most recent row goes more
-    # than 2 rounds stale. The 4 r02 keys that didn't fit (noted below)
-    # rotate in next round; every key is re-verified on every suite run
-    # by tests/test_oracle_parity.py regardless.
+    # checks the FIRST 50 declared keys. Round-5 window (the rotation
+    # the r4 comment block promised): slots 1-4 are the four keys whose
+    # latest driver row is r02 (the r4 leftovers), slots 5-8 the four
+    # keys added after the r4 window froze (never driver-gated), slots
+    # 9-12 the four keys NEW this round, and slots 13-50 re-gate 38 of
+    # the 46 keys whose latest row is r03. The remaining 8 r03-latest
+    # keys (first section after the window, all simple stable
+    # single-shape plans) MUST lead the r6 window -- they will be 3
+    # rounds stale by then. Every key is re-verified on every suite run
+    # by tests/test_oracle_parity.py regardless of the window.
     return {
-        # --- r03 red rows, fixed this round (3) ---
+        # --- latest driver row r02: 2 rounds stale, rotate now (4) ---
+        "scan_gold_pairs": q_scan_gold_pairs,
+        "dot_product": q_dot_product,
+        "str_strip_quotes": q_str_strip_quotes,
+        "tokenize": q_tokenize,
+        # --- added after the r4 freeze, never driver-gated (4) ---
+        "docs_line_dedup": q_docs_line_dedup,
+        "docs_token_budget": q_docs_token_budget,
+        "docs_bm25_topk": q_docs_bm25_topk,
+        "dedup_best_rep": q_dedup_best_rep,
+        # --- new this round (4) ---
+        "docs_substring_dedup": q_docs_substring_dedup,
+        "docs_bm25_batch": q_docs_bm25_batch,
+        "docs_chunk_windows": q_docs_chunk_windows,
+        "embeddings_quantized": q_embeddings_quantized,
+        # --- latest driver row r03: re-gate 38 of 46 (slots 13-50) ---
+        "dedup_near_clusters": q_dedup_near_clusters,
+        "tpch_q2_like": q_tpch_q2_like,
+        "tpch_q3_like": q_tpch_q3_like,
+        "tpch_q4_like": q_tpch_q4_like,
+        "tpch_q5_like": q_tpch_q5_like,
+        "tpch_q7_like": q_tpch_q7_like,
+        "tpch_q16_like": q_tpch_q16_like,
+        "tpch_q18_like": q_tpch_q18_like,
+        "curation_pipeline": q_curation_pipeline,
+        "events_hourly_from_minutely": q_events_hourly_from_minutely,
+        "docs_split_sample": q_docs_split_sample,
+        "text_repetition": q_text_repetition,
+        "events_value_zscore": q_events_value_zscore,
+        "vocab_top_tokens": q_vocab_top_tokens,
+        "train_test_ngram_overlap": q_train_test_ngram_overlap,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
+        "events_latest_per_user": q_events_latest_per_user,
+        "funnel_conversion": q_funnel_conversion,
+        "table_profile": q_table_profile,
+        "corpus_bigrams": q_corpus_bigrams,
+        "events_rolling_1h": q_events_rolling_1h,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "merge_upsert_events": q_merge_upsert_events,
+        "events_gapfill": q_events_gapfill,
+        "orders_corr": q_orders_corr,
+        "embedding_centroids": q_embedding_centroids,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "skew_join_events": q_skew_join_events,
+        "user_running_stats": q_user_running_stats,
+        "events_anomaly": q_events_anomaly,
+        "scd2_history": q_scd2_history,
+        "winsorize_values": q_winsorize_values,
+        "scan_concat": q_scan_concat,
+        "tfidf_vectors": q_tfidf_vectors,
+        "fast_cosine_join": q_fast_cosine_join,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "events_sessionize": q_events_sessionize,
+        # ---- end of the 50-key gate window ----
+        # --- r03-latest leftovers (8): MUST lead the r6 window ---
+        "tokens_except": q_tokens_except,
+        "user_type_pivot": q_user_type_pivot,
+        "pair_edit_distance": q_pair_edit_distance,
+        "orders_by_month": q_orders_by_month,
+        "text_normalize": q_text_normalize,
+        "orders_grouping_sets": q_orders_grouping_sets,
+        "events_interarrival": q_events_interarrival,
+        "orders_status_breakdown": q_orders_status_breakdown,
+        # --- latest driver row r04: freshest, rotate after the above (50) ---
         "events_json_props": q_events_json_props,
         "docs_pack_sequences": q_docs_pack_sequences,
         "approx_distinct_users": q_approx_distinct_users,
-        # --- new keys this round (6) ---
         "events_anomaly_sql": q_events_anomaly_sql,
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_shuffle_shards": q_docs_shuffle_shards,
         "events_value_bins": q_events_value_bins,
         "docs_curation_rules": q_docs_curation_rules,
         "docs_hashed_embeddings": q_docs_hashed_embeddings,
-        # --- plan changed this round, re-gate (1) ---
         "ann_topk_ivf": q_ann_topk_ivf,
-        # --- r02-green rotation (40 of 44) ---
         "cosine_similarity": q_cosine_similarity,
         "tokenize_stopwords": q_tokenize_stopwords,
         "term_frequencies": q_term_frequencies,
@@ -2108,69 +2170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": q_sales_cube,
         "value_percentiles": q_value_percentiles,
         "customers_no_orders": q_customers_no_orders,
-        # ---- end of the 50-key gate window ----
-        # --- rotate into the r05 window: r02-green leftovers (4) plus
-        #     the three keys added after this round's window was frozen
-        #     (docs_line_dedup, docs_token_budget, docs_bm25_topk) ---
-        "scan_gold_pairs": q_scan_gold_pairs,
-        "dot_product": q_dot_product,
-        "str_strip_quotes": q_str_strip_quotes,
-        "tokenize": q_tokenize,
-        "docs_line_dedup": q_docs_line_dedup,
-        "docs_token_budget": q_docs_token_budget,
-        "docs_bm25_topk": q_docs_bm25_topk,
-        "dedup_best_rep": q_dedup_best_rep,
-        # --- r03-green balance (47) ---
-        "dedup_near_clusters": q_dedup_near_clusters,
-        "tpch_q2_like": q_tpch_q2_like,
-        "tpch_q3_like": q_tpch_q3_like,
-        "tpch_q4_like": q_tpch_q4_like,
-        "tpch_q5_like": q_tpch_q5_like,
-        "tpch_q7_like": q_tpch_q7_like,
-        "tpch_q16_like": q_tpch_q16_like,
-        "tpch_q18_like": q_tpch_q18_like,
-        "tokens_except": q_tokens_except,
-        "user_type_pivot": q_user_type_pivot,
-        "pair_edit_distance": q_pair_edit_distance,
-        "orders_by_month": q_orders_by_month,
-        "curation_pipeline": q_curation_pipeline,
-        "events_hourly_from_minutely": q_events_hourly_from_minutely,
-        "docs_split_sample": q_docs_split_sample,
-        "text_repetition": q_text_repetition,
-        "events_value_zscore": q_events_value_zscore,
-        "vocab_top_tokens": q_vocab_top_tokens,
-        "train_test_ngram_overlap": q_train_test_ngram_overlap,
-        "docs_unigram_logprob": q_docs_unigram_logprob,
-        "events_latest_per_user": q_events_latest_per_user,
-        "funnel_conversion": q_funnel_conversion,
-        "table_profile": q_table_profile,
-        "corpus_bigrams": q_corpus_bigrams,
-        "events_rolling_1h": q_events_rolling_1h,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "merge_upsert_events": q_merge_upsert_events,
-        "events_gapfill": q_events_gapfill,
-        "orders_corr": q_orders_corr,
-        "embedding_centroids": q_embedding_centroids,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        "text_normalize": q_text_normalize,
-        "orders_grouping_sets": q_orders_grouping_sets,
-        "events_interarrival": q_events_interarrival,
-        "orders_status_breakdown": q_orders_status_breakdown,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        "skew_join_events": q_skew_join_events,
-        "user_running_stats": q_user_running_stats,
-        "events_anomaly": q_events_anomaly,
-        "scd2_history": q_scd2_history,
-        "winsorize_values": q_winsorize_values,
-        "scan_concat": q_scan_concat,
-        "tfidf_vectors": q_tfidf_vectors,
-        "fast_cosine_join": q_fast_cosine_join,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "events_sessionize": q_events_sessionize,
-        "docs_bm25_batch": q_docs_bm25_batch,
-        "docs_substring_dedup": q_docs_substring_dedup,
-        "docs_chunk_windows": q_docs_chunk_windows,
-        "embeddings_quantized": q_embeddings_quantized,
     }
 
 
