@@ -67,9 +67,8 @@ HEADLINE = [
     "merge_upsert_events",
     "events_gapfill",
     "embedding_centroids",
-    "events_anomaly",
-    # the JVM window twin -- the 100 TB backfill plan; the Arrow
-    # events_anomaly stays listed as the cross-algorithm reference
+    # the JVM anomaly plan -- the 100 TB backfill shape; its Arrow twin
+    # events_anomaly moved to WITNESS below (r4 verdict #3)
     "events_anomaly_sql",
     "scd2_history",
     "winsorize_values",
@@ -78,11 +77,27 @@ HEADLINE = [
     "docs_line_dedup",
     "docs_bm25_topk",
     "dedup_best_rep",
+    # r5 additions: winnowing substring dedup, batch BM25, chunking,
+    # int8 quantization round-trip
+    "docs_substring_dedup",
+    "docs_bm25_batch",
+    "docs_chunk_windows",
+    "embeddings_quantized",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental-dedup scale paths -- see EXTRA below
     "join_unbucketed_shuffle",
     "join_bucketed_colocated",
     "incremental_dedup_batch",
+]
+
+# Correctness-gated cross-algorithm witnesses that are NOT 100 TB plans
+# and whose timing is contention-noise-dominated (the Arrow per-key
+# anomaly scan swung 3.8-5.3 s across rounds with an untouched body,
+# masking real regressions in the headline total). Timed and reported
+# under "witness_queries", EXCLUDED from the headline metric; the fast
+# JVM twin (events_anomaly_sql) stays in HEADLINE.
+WITNESS = [
+    "events_anomaly",
 ]
 
 
@@ -297,11 +312,13 @@ def main() -> None:
     qs = dict(entry_mod.queries())
     qs.update(EXTRA)
     timings: dict[str, float] = {}
+    witness: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+
+    def _run(name: str, into: dict[str, float]) -> None:
         fn = qs.get(name)
         if fn is None:
-            continue
+            return
         best = float("inf")
         for i in range(repeats):
             t0 = time.time()
@@ -310,7 +327,12 @@ def main() -> None:
             if i == 0:
                 cold[name] = round(dt, 3)
             best = min(best, dt)
-        timings[name] = round(best, 3)
+        into[name] = round(best, 3)
+
+    for name in HEADLINE:
+        _run(name, timings)
+    for name in WITNESS:
+        _run(name, witness)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -329,6 +351,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "witness_queries": witness,
                 "sf": sf_val,
             }
         )

@@ -148,16 +148,18 @@ def bm25_batch_scores(
     qt = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(term_col).alias("_t")
     ).distinct()
-    terms = qt.select("_t").distinct()
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError(
             f"bm25_batch_scores: need k1 >= 0 and 0 <= b <= 1, got {k1}, {b}"
         )
+    # prune against qt's terms directly: left_semi tolerates duplicate
+    # build-side keys (no fan-out), so a second distinct would only add
+    # a shuffle stage and a broadcast job for nothing
     ex = tok_df.select(
         F.col(id_col).alias("_id"),
         F.size(tokens_col).alias("_dl"),
         F.explode(tokens_col).alias("_t"),
-    ).join(F.broadcast(terms), "_t", "left_semi")
+    ).join(F.broadcast(qt.select("_t")), "_t", "left_semi")
     tf = ex.groupBy("_id", "_t").agg(
         F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
     )

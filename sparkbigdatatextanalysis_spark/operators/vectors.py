@@ -75,7 +75,21 @@ def quantize_embeddings(
     All expression-level (transform + round) — codegen, no Python.
     """
     v = F.col(vec_col)
-    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    # Materialize max-abs ONCE per row in a chained projection: inlined
+    # into the per-element rounding lambda it would re-evaluate the full
+    # array_max(transform(..)) for EVERY element -- O(dim^2) interpreted
+    # lambda evals per row, measured 25x slower at dim 64 (and the
+    # multi-use non-cheap alias stops CollapseProject from undoing the
+    # split).
+    if "_qmx" in emb.columns:
+        raise ValueError("quantize_embeddings: input already has column '_qmx'")
+    pre = emb.select(
+        "*",
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))).alias(
+            "_qmx"
+        ),
+    )
+    mx = F.col("_qmx")
     # a non-finite element makes mx NaN/Inf (both order as the largest
     # double), and NaN > 0 is TRUE in Spark -- without this guard the
     # tinyint cast of round(x*127/NaN) throws CAST_OVERFLOW under ANSI
@@ -90,7 +104,7 @@ def quantize_embeddings(
             lambda x: F.round(x.cast("double") * F.lit(127.0) / mx).cast("tinyint"),
         ),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
-    return emb.select(
+    return pre.select(
         F.col(id_col),
         F.when(bad, F.lit(None).cast("double")).otherwise(scale).alias("scale"),
         q.alias(out_vec),
