@@ -206,3 +206,100 @@ def test_prefix_blocking_keeps_unicode_alphanumerics(spark):
     # accented and CJK text keeps its characters: variants block together
     assert set(pairs) == {(1, 2), (3, 4)}
     assert pairs[(1, 2)] == "cafémü"
+
+
+# --- hostile-skew stress: hot band bucket / boilerplate line ---------------
+# SCALE.md documents AQE skew handling for the band/bucket joins; this
+# pins it on a deliberately hostile corpus instead of the benign
+# generated data (r4 verdict item 7). 25% of the corpus shares one
+# boilerplate line and near-identical text, so ONE LSH band bucket and
+# ONE line key carry a quarter of all rows.
+
+
+def _hostile_corpus(spark, n=800, hot_frac=0.25):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    hot_line = "SUBSCRIBE TO OUR NEWSLETTER for daily updates and offers"
+    body = " ".join(f"b{i}" for i in range(30))
+    rows = []
+    n_hot = int(n * hot_frac)
+    for i in range(n):
+        if i < n_hot:
+            # IDENTICAL docs (the mirrored-boilerplate-page reality):
+            # every band of every hot doc lands in the same bucket
+            text = hot_line + "\n" + body
+        else:
+            text = (
+                " ".join(rng.choice(vocab) for _ in range(40))
+                + "\n" + hot_line
+                + f"\nunique marker {i}"
+            )
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_minhash_lsh_survives_hot_band_bucket(spark):
+    """A bucket holding 25% of the corpus must neither cartesian the
+    corpus nor change the candidate semantics: pair count stays exactly
+    sum-over-buckets C(b,2)-union (here dominated by the hot group,
+    which IS all real near-dups), the plan stays cartesian- and
+    Python-free, and the job finishes in bounded time on 800 docs."""
+    import time
+
+    from sparkbigdatatextanalysis_spark.operators import dedup
+    from sparkbigdatatextanalysis_spark.plans import audit_plan
+
+    docs = _hostile_corpus(spark)
+    pairs = dedup.minhash_lsh_pairs(docs)
+    a = audit_plan(pairs)
+    assert a.cartesian_products == 0 and a.row_python_stages == 0
+    t0 = time.time()
+    got = pairs.collect()
+    elapsed = time.time() - t0
+    n_hot = 200
+    # every hot-hot pair is a candidate (identical bands); cross pairs
+    # may add a few -- bound, don't pin
+    assert len(got) >= n_hot * (n_hot - 1) // 2
+    assert len(got) <= n_hot * (n_hot - 1) // 2 + 5_000
+    assert elapsed < 120, f"hot-bucket candidate join took {elapsed:.1f}s"
+
+
+def test_dedup_lines_survives_hot_boilerplate_line(spark):
+    """One line occurring in 100% of docs (and 25% sharing near-identical
+    bodies): the duplicate-line set stays tiny (count-filtered BEFORE the
+    join back), every occurrence is removed, uniques survive."""
+    import time
+
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    docs = _hostile_corpus(spark)
+    t0 = time.time()
+    out = {r["doc_id"]: r for r in pl.dedup_lines(docs).collect()}
+    elapsed = time.time() - t0
+    assert len(out) == 800
+    hot_line = "SUBSCRIBE TO OUR NEWSLETTER for daily updates and offers"
+    for did, r in out.items():
+        assert hot_line not in r["text_dedup"], did
+    # unique body lines survive
+    assert sum(1 for r in out.values() if "unique marker" in r["text_dedup"]) == 600
+    assert elapsed < 60, f"boilerplate line dedup took {elapsed:.1f}s"
+
+
+def test_duplicate_spans_survives_hot_boilerplate(spark):
+    """The winnowing fingerprints of the shared boilerplate land in ONE
+    hot hash group per selected position; the count-filter reduces it to
+    a small duplicate set before the join back, and every doc reports a
+    span covering (the interior of) the boilerplate."""
+    import time
+
+    from sparkbigdatatextanalysis_spark.operators import dedup
+
+    docs = _hostile_corpus(spark)
+    t0 = time.time()
+    spans = dedup.duplicate_spans(docs).collect()
+    elapsed = time.time() - t0
+    with_span = {r["doc_id"] for r in spans}
+    assert len(with_span) == 800  # all docs contain the 56-char boilerplate
+    assert elapsed < 120, f"hot winnowing span join took {elapsed:.1f}s"
