@@ -1977,6 +1977,24 @@ def q_embeddings_quantized(spark, sf_dir):
     )
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/dedup.py::
+    semantic_dedup): k-means clusters (the shared ivf_cents pipeline
+    point, same centroids as ann_topk_ivf), within-cluster cosine
+    pairs >= the near-dup threshold, min-id survivor. The oracle
+    replays the deterministic k-means CTEs and the same pair predicate
+    (the dot fold is bit-identical across engines, so the unrounded
+    threshold comparison cannot flip)."""
+    emb = _emb(spark, sf_dir)
+    cents = _cached(
+        spark, sf_dir, "ivf_cents", lambda: ann_ops.kmeans_centroids(emb)
+    )
+    out = dd.semantic_dedup(
+        emb, threshold=EMBED_NEAR_DUP_THRESHOLD, cents=cents
+    )
+    return out.select("vec_id", "cluster", "keep")
+
+
 def q_docs_substring_dedup(spark, sf_dir):
     """Exact-substring (ExactSubstr-family) dedup
     (operators/dedup.py::duplicate_spans): winnowing-selected k-gram
@@ -2048,8 +2066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r4 comment block promised): slots 1-4 are the four keys whose
     # latest driver row is r02 (the r4 leftovers), slots 5-8 the four
     # keys added after the r4 window froze (never driver-gated), slots
-    # 9-12 the four keys NEW this round, and slots 13-50 re-gate 38 of
-    # the 46 keys whose latest row is r03. The remaining 8 r03-latest
+    # 9-13 the five keys NEW this round, and slots 14-50 re-gate 37 of
+    # the 46 keys whose latest row is r03. The remaining 9 r03-latest
     # keys (first section after the window, all simple stable
     # single-shape plans) MUST lead the r6 window -- they will be 3
     # rounds stale by then. Every key is re-verified on every suite run
@@ -2070,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_batch": q_docs_bm25_batch,
         "docs_chunk_windows": q_docs_chunk_windows,
         "embeddings_quantized": q_embeddings_quantized,
+        "dedup_semantic": q_dedup_semantic,
         # --- latest driver row r03: re-gate 38 of 46 (slots 13-50) ---
         "dedup_near_clusters": q_dedup_near_clusters,
         "tpch_q2_like": q_tpch_q2_like,
@@ -2108,9 +2127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vectors": q_tfidf_vectors,
         "fast_cosine_join": q_fast_cosine_join,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "events_sessionize": q_events_sessionize,
         # ---- end of the 50-key gate window ----
-        # --- r03-latest leftovers (8): MUST lead the r6 window ---
+        # --- r03-latest leftovers (9): MUST lead the r6 window ---
+        "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
         "user_type_pivot": q_user_type_pivot,
         "pair_edit_distance": q_pair_edit_distance,
@@ -3938,6 +3957,44 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT vec_id, scale, qvec,
                      unnest(generate_series(1, len(qvec))) AS i
               FROM qq)
+    """
+    # SemDeDup replay: the deterministic k-means CTEs (identical to the
+    # ann_topk_ivf oracle, so the two keys pin the SAME centroids), the
+    # round-9 assignment argmax with the c_id tie-break, within-cluster
+    # pairs with the bit-identical dot fold, min-id survivor.
+    sqls["dedup_semantic"] = f"""
+        WITH {_EMB_NORM_SQL},
+        {_KMEANS_CTES},
+        cents AS (SELECT c_id, cv, cn FROM {_KMEANS_FINAL}),
+        ascore AS (
+          SELECT a.vec_id AS id, c_id,
+                 round({_emb_dot_sql("a.v", "cv")} / (a.norm * cn), 9) AS cos
+          FROM nv a CROSS JOIN cents
+        ),
+        assign AS (
+          SELECT id, c_id AS cluster FROM (
+            SELECT id, c_id,
+                   row_number() OVER (
+                     PARTITION BY id ORDER BY cos DESC, c_id) AS rn
+            FROM ascore
+          ) WHERE rn = 1
+        ),
+        av AS (
+          SELECT s.id, s.cluster, nv.v, nv.norm
+          FROM assign s JOIN nv ON nv.vec_id = s.id
+        ),
+        pairs AS (
+          SELECT a.id AS a_id, b.id AS b_id,
+                 {_emb_dot_sql("a.v", "b.v")} / (a.norm * b.norm) AS cos
+          FROM av a JOIN av b USING (cluster) WHERE a.id < b.id
+        ),
+        dropped AS (
+          SELECT DISTINCT b_id AS id FROM pairs
+          WHERE cos >= {EMBED_NEAR_DUP_THRESHOLD}
+        )
+        SELECT s.id AS vec_id, s.cluster::BIGINT AS cluster,
+               (d.id IS NULL)::BIGINT AS keep
+        FROM assign s LEFT JOIN dropped d USING (id)
     """
     # Winnowing replay: same 60-bit k-gram hash (15 md5 hex digits),
     # same rightmost-minimal selection per window of 15 positions

@@ -83,6 +83,7 @@ HEADLINE = [
     "docs_bm25_batch",
     "docs_chunk_windows",
     "embeddings_quantized",
+    "dedup_semantic",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental-dedup scale paths -- see EXTRA below
     "join_unbucketed_shuffle",

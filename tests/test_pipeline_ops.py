@@ -698,3 +698,80 @@ def test_duplicate_spans_guards(spark):
         dedup.duplicate_spans(docs, window=0)
     with pytest.raises(ValueError):
         dedup.duplicate_spans(docs, min_count=1)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (dedup.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_within_cluster_minid_survives(spark):
+    """Two near-identical vectors (cos ~ 1) must land in one cluster
+    with the smaller id kept; an orthogonal vector survives untouched.
+    Two seed centroids (the first-2-by-id exemplars), so the near-dups
+    genuinely share a cluster rather than each seeding their own."""
+    from sparkbigdatatextanalysis_spark.operators.ann import _init_centroids, _norm_vecs
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal to 1
+            (3, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+            (4, [0.0, 0.998, 0.02, 0.0]),   # near-dup of 2
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = _init_centroids(_norm_vecs(emb, "vec_id", "embedding"), 2)
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in dedup.semantic_dedup(emb, threshold=0.95, cents=cents).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][1] == 1 and got[3][1] == 0   # min-id survives
+    assert got[1][0] == got[3][0]              # same cluster
+    assert got[2][1] == 1 and got[4][1] == 0
+    assert got[2][0] == got[4][0]
+    assert got[1][0] != got[2][0]              # orthogonals separate
+
+
+def test_semantic_dedup_recall_tradeoff_documented(spark):
+    """A >= threshold pair split across clusters is missed BY DESIGN --
+    pin the behavior so it can never silently change: with k = n
+    centroids (every vector its own seed), nothing pairs at all."""
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    from sparkbigdatatextanalysis_spark.operators.ann import _init_centroids, _norm_vecs
+
+    cents = _init_centroids(_norm_vecs(emb, "vec_id", "embedding"), 8)
+    out = dedup.semantic_dedup(emb, threshold=0.0, cents=cents).collect()
+    # orthogonal unit vectors each own their seed cluster: all kept even
+    # at threshold 0 (cos 0 pairs exist corpus-wide but never in-cluster)
+    assert all(r["keep"] == 1 for r in out)
+    assert len({r["cluster"] for r in out}) == 8
+
+
+def test_semantic_dedup_matches_brute_force_within_clusters(spark):
+    """Property: dropped == vectors that pair >= threshold with a
+    smaller id IN THE SAME CLUSTER, recomputed brute-force in Python."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in dedup.semantic_dedup(emb, threshold=0.8).collect()}
+    vecs = dict(rows)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for i, (ci, keep) in got.items():
+        expect_drop = any(
+            j < i and cj == ci and cos(vecs[i], vecs[j]) >= 0.8
+            for j, (cj, _) in got.items()
+        )
+        assert keep == (0 if expect_drop else 1), i
