@@ -2083,13 +2083,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget": q_docs_token_budget,
         "docs_bm25_topk": q_docs_bm25_topk,
         "dedup_best_rep": q_dedup_best_rep,
-        # --- new this round (4) ---
+        # --- new this round (5) ---
         "docs_substring_dedup": q_docs_substring_dedup,
         "docs_bm25_batch": q_docs_bm25_batch,
         "docs_chunk_windows": q_docs_chunk_windows,
         "embeddings_quantized": q_embeddings_quantized,
         "dedup_semantic": q_dedup_semantic,
-        # --- latest driver row r03: re-gate 38 of 46 (slots 13-50) ---
+        # --- latest driver row r03: re-gate 37 of 46 (slots 14-50) ---
         "dedup_near_clusters": q_dedup_near_clusters,
         "tpch_q2_like": q_tpch_q2_like,
         "tpch_q3_like": q_tpch_q3_like,

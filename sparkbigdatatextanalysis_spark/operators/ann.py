@@ -314,16 +314,21 @@ def _best_centroid(v, norm, cents_arr):
     return -F.array_max(_cent_scores(v, norm, cents_arr))["neg_cid"]
 
 
-def _assign_from_lit(nv: DataFrame, cents_arr) -> DataFrame:
+def _assign_from_lit(nv: DataFrame, cents_arr, extra_cols: tuple = ()) -> DataFrame:
     """ONE definition of corpus-to-centroid assignment over a literal
-    centroid array (shared by ivf_assignments and cosine_topk_ivf, so
-    the two cannot drift). NULL cluster arises only from an EMPTY
-    centroid set (with any centroid present the score coalesces to
-    -inf, never NULL); the filter reproduces the r3 crossJoin form's
-    zero-row output there."""
+    centroid array (shared by ivf_assignments, cosine_topk_ivf and
+    dedup.semantic_dedup, so they cannot drift). NULL cluster arises
+    only from an EMPTY centroid set (with any centroid present the
+    score coalesces to -inf, never NULL); the filter reproduces the r3
+    crossJoin form's zero-row output there. ``extra_cols`` pass nv
+    columns through the same projection -- the cluster id is computed
+    IN-ROW, so consumers that need (cluster, v, norm) together must
+    never re-join the assignment onto the corpus (that would add two
+    corpus-wide exchanges for data already co-resident in the row)."""
     return nv.select(
         "id",
         _best_centroid(F.col("v"), F.col("norm"), cents_arr).alias("cluster"),
+        *extra_cols,
     ).where(F.col("cluster").isNotNull())
 
 

@@ -25,6 +25,64 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+def _check_params(fn: str, k1: float, b: float) -> None:
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"{fn}: need k1 >= 0 and 0 <= b <= 1, got {k1}, {b}")
+
+
+def _exploded(tok_df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
+    """(_id, _dl, _t): the corpus explode with the doc length riding
+    along (so no join back to the full corpus is ever needed). Callers
+    prune to their query terms IMMEDIATELY (isin for a literal list,
+    broadcast left_semi for a query table)."""
+    return tok_df.select(
+        F.col(id_col).alias("_id"),
+        F.size(tokens_col).alias("_dl"),
+        F.explode(tokens_col).alias("_t"),
+    )
+
+
+def _tf_dfs(ex: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(doc, term) tfs from one partial agg; per-term dfs (document
+    frequency = docs containing the term) from a second, term-sized one."""
+    tf = ex.groupBy("_id", "_t").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    dfs = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    return tf, dfs
+
+
+def _corpus_stats(tok_df: DataFrame, tokens_col: str) -> DataFrame:
+    """(_n, _avgdl): N and avgdl over the SAME row set -- F.size(NULL)
+    is NULL (or -1 under legacy sizeOfNull) and avg() skips NULLs, so a
+    bare avg(size(tokens)) would drop NULL-token rows from avgdl while
+    count(*) keeps them in N, skewing IDF vs the documented formula
+    (r4 advice). A NULL/empty token array is an empty document: length
+    0, counted in both stats."""
+    dl = F.when(F.col(tokens_col).isNull(), F.lit(0)).otherwise(
+        F.size(tokens_col)
+    )
+    return tok_df.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg(dl).alias("_avgdl")
+    )
+
+
+def _term_score(k1: float, b: float):
+    """The Okapi/+1-smoothed-IDF per-(doc, term) score expression over
+    the joined (_tf, _dl, _df, _n, _avgdl) columns -- ONE definition
+    shared by the single-query and batch forms so the formula cannot
+    drift between them (r5 review finding)."""
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    return (
+        idf
+        * (F.col("_tf") * (k1 + 1.0))
+        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
+    )
+
+
 def bm25_scores(
     tok_df: DataFrame,
     query_tokens: list[str],
@@ -42,42 +100,14 @@ def bm25_scores(
     q = list(dict.fromkeys(query_tokens))
     if not q:
         raise ValueError("bm25_scores: query_tokens must be non-empty")
-    if k1 < 0 or not 0 <= b <= 1:
-        raise ValueError(f"bm25_scores: need k1 >= 0 and 0 <= b <= 1, got {k1}, {b}")
-    ex = tok_df.select(
-        F.col(id_col).alias("_id"),
-        F.size(tokens_col).alias("_dl"),
-        F.explode(tokens_col).alias("_t"),
-    ).where(F.col("_t").isin(q))
-    tf = ex.groupBy("_id", "_t").agg(
-        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
-    )
-    dfs = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    # N and avgdl must cover the SAME row set: F.size(NULL) is NULL
-    # (or -1 under legacy sizeOfNull) and avg() skips NULLs, so a bare
-    # avg(size(tokens)) would drop NULL-token rows from avgdl while
-    # count(*) keeps them in N, skewing IDF vs the documented formula
-    # (r4 advice). A NULL/empty token array is an empty document:
-    # length 0, counted in both stats.
-    dl = F.when(F.col(tokens_col).isNull(), F.lit(0)).otherwise(
-        F.size(tokens_col)
-    )
-    stats = tok_df.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.avg(dl).alias("_avgdl"),
-    )
-    idf = F.log(
-        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
-    )
-    term_score = (
-        idf
-        * (F.col("_tf") * (k1 + 1.0))
-        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
-    )
+    _check_params("bm25_scores", k1, b)
+    ex = _exploded(tok_df, id_col, tokens_col).where(F.col("_t").isin(q))
+    tf, dfs = _tf_dfs(ex)
+    stats = _corpus_stats(tok_df, tokens_col)
     return (
         tf.join(F.broadcast(dfs), "_t")
         .crossJoin(F.broadcast(stats))
-        .select("_id", term_score.alias("_s"))
+        .select("_id", _term_score(k1, b).alias("_s"))
         .groupBy("_id")
         .agg(F.count(F.lit(1)).alias("n_matched"), F.sum("_s").alias("score"))
         .select(F.col("_id").alias(id_col), "n_matched", "score")
@@ -148,41 +178,20 @@ def bm25_batch_scores(
     qt = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(term_col).alias("_t")
     ).distinct()
-    if k1 < 0 or not 0 <= b <= 1:
-        raise ValueError(
-            f"bm25_batch_scores: need k1 >= 0 and 0 <= b <= 1, got {k1}, {b}"
-        )
+    _check_params("bm25_batch_scores", k1, b)
     # prune against qt's terms directly: left_semi tolerates duplicate
     # build-side keys (no fan-out), so a second distinct would only add
     # a shuffle stage and a broadcast job for nothing
-    ex = tok_df.select(
-        F.col(id_col).alias("_id"),
-        F.size(tokens_col).alias("_dl"),
-        F.explode(tokens_col).alias("_t"),
-    ).join(F.broadcast(qt.select("_t")), "_t", "left_semi")
-    tf = ex.groupBy("_id", "_t").agg(
-        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    ex = _exploded(tok_df, id_col, tokens_col).join(
+        F.broadcast(qt.select("_t")), "_t", "left_semi"
     )
-    dfs = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    dl = F.when(F.col(tokens_col).isNull(), F.lit(0)).otherwise(
-        F.size(tokens_col)
-    )
-    stats = tok_df.agg(
-        F.count(F.lit(1)).alias("_n"), F.avg(dl).alias("_avgdl")
-    )
-    idf = F.log(
-        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
-    )
-    term_score = (
-        idf
-        * (F.col("_tf") * (k1 + 1.0))
-        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
-    )
+    tf, dfs = _tf_dfs(ex)
+    stats = _corpus_stats(tok_df, tokens_col)
     return (
         tf.join(F.broadcast(dfs), "_t")
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(qt), "_t")
-        .select("_qid", "_id", term_score.alias("_s"))
+        .select("_qid", "_id", _term_score(k1, b).alias("_s"))
         .groupBy("_qid", "_id")
         .agg(F.count(F.lit(1)).alias("n_matched"), F.sum("_s").alias("score"))
         .select(

@@ -201,11 +201,13 @@ BUDGETS = {
     # fan-out; quantization is a pure map-only projection (codegen'd)
     "docs_chunk_windows": (1, 0),
     "embeddings_quantized": (0, 0),
-    # r5 SemDeDup: literal-centroid assignment is map-only; the
-    # exchanges are the norm/assign joins, the within-cluster pair join,
-    # the dropped-set distinct and the keep outer join. Broadcasts are
-    # AQE's call at this scale (dropped set is data-dependent): no floor
-    "dedup_semantic": (9, 0),
+    # r5 SemDeDup: literal-centroid assignment + v/norm come out of ONE
+    # projection (post-review: the assignment re-join cost 2 corpus
+    # exchanges, 9 -> 5); remaining exchanges are the within-cluster
+    # pair join sides, the dropped-set distinct and the keep outer
+    # join. Broadcasts are AQE's call (dropped set is data-dependent):
+    # no floor
+    "dedup_semantic": (5, 0),
     # r5 winnowing substring dedup: scan fan-out + fingerprint count
     # agg + dup semi-join + per-doc span groupBy; hashing/selection/
     # merge are all in-row. The dup-hash side broadcasts at this scale
