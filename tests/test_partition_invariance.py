@@ -109,3 +109,87 @@ def test_decimal_money_sum_partition_invariant(spark):
         )
         results.append([(r["g"], r["s"]) for r in got])
     assert results[0] == results[1] == results[2]
+
+
+# --- r5 additions: winnowing spans, semantic dedup, batch BM25 -------------
+
+
+def _span_corpus(spark, n_parts):
+    base = "the quick brown fox jumps over the lazy dog near the riverbank"
+    rows = [
+        (1, "alpha " * 5 + base + " tail one"),
+        (2, "a completely different and much longer prefix!! " + base),
+        (3, "no repeats in this one at all, just some filler words here"),
+        (4, base + " and " + base),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING").repartition(
+        n_parts
+    )
+
+
+def test_duplicate_spans_partition_invariant(spark):
+    """Winnowing selection is content-defined and the merge is in-row:
+    the span set must be IDENTICAL at 1, 3 and 16 partitions."""
+    from sparkbigdatatextanalysis_spark.operators import dedup
+
+    results = []
+    for p in (1, 3, 16):
+        got = sorted(
+            tuple(r)
+            for r in dedup.duplicate_spans(_span_corpus(spark, p)).collect()
+        )
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    """Assignment cosines are round-9 in-row scores over plan-literal
+    centroids and the pair predicate is a deterministic fold: keep/
+    cluster labels cannot depend on partitioning."""
+    import random
+
+    from sparkbigdatatextanalysis_spark.operators import dedup
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    results = []
+    for p in (1, 3, 16):
+        emb = spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+        ).repartition(p)
+        got = sorted(
+            tuple(r) for r in dedup.semantic_dedup(emb, threshold=0.7).collect()
+        )
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+
+
+def test_bm25_batch_rounded_rank_partition_invariant(spark):
+    """The ranked cut is on the round-6 score with id tie-break: the
+    (query, doc, rank) table must be identical across partitionings.
+    (Raw double scores may differ in low bits -- that is exactly why
+    the rank rounds first.)"""
+    import random
+
+    from sparkbigdatatextanalysis_spark.operators import retrieval as rt
+
+    rng = random.Random(13)
+    vocab = ["hash", "join", "scan", "sort", "dup", "merge", "probe"]
+    rows = [
+        (i, [rng.choice(vocab) for _ in range(rng.randint(2, 12))])
+        for i in range(200)
+    ]
+    qrows = [("a", "hash"), ("a", "dup"), ("b", "sort"), ("b", "merge")]
+    results = []
+    for p in (1, 3, 16):
+        tok = spark.createDataFrame(
+            rows, "id LONG, tokens ARRAY<STRING>"
+        ).repartition(p)
+        q = spark.createDataFrame(qrows, "query_id STRING, term STRING")
+        got = sorted(
+            (r["query_id"], r["id"], r["rank"], r["n_matched"], r["score"])
+            for r in rt.bm25_batch_topk(tok, q, k=10).collect()
+        )
+        results.append(got)
+    assert results[0] == results[1] == results[2]

@@ -139,3 +139,42 @@ def test_dedup_lines_preserves_docs_and_is_idempotent(spark, texts):
     for r in again:
         assert r["n_removed"] == 0, (r, got_once[r["id"]])
         assert r["text_dedup"] == got_once[r["id"]]
+
+
+# --- winnowing guarantee (dedup.duplicate_spans) ---------------------------
+
+_REPEAT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    min_size=39,  # width + window - 1 with the defaults (25, 15)
+    max_size=120,
+)
+_FILLER = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=60,
+)
+
+
+@PROP
+@given(repeat=_REPEAT, pre_a=_FILLER, post_a=_FILLER, pre_b=_FILLER, post_b=_FILLER)
+def test_winnowing_guarantee_planted_repeat_always_detected(
+    spark, repeat, pre_a, post_a, pre_b, post_b
+):
+    """The MOSS guarantee, adversarially: ANY substring of length >=
+    width + window - 1 planted into two documents at arbitrary offsets
+    (hypothesis picks unicode fillers of arbitrary length, so the two
+    alignments are unrelated) must produce at least one duplicate span
+    in BOTH documents (extra spans from accidental filler repeats are
+    legitimate and not constrained here)."""
+    docs = spark.createDataFrame(
+        [
+            (1, pre_a + repeat + post_a),
+            (2, pre_b + repeat + post_b),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    spans = dd.duplicate_spans(docs).collect()
+    got_docs = {r["doc_id"] for r in spans}
+    assert got_docs == {1, 2}, (
+        f"planted {len(repeat)}-char repeat missed (filler lens "
+        f"{len(pre_a)}/{len(pre_b)}); spans={spans}"
+    )
