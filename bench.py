@@ -89,6 +89,7 @@ HEADLINE = [
     "join_unbucketed_shuffle",
     "join_bucketed_colocated",
     "incremental_dedup_batch",
+    "incremental_spans_batch",
 ]
 
 # Correctness-gated cross-algorithm witnesses that are NOT 100 TB plans
@@ -242,10 +243,49 @@ def bench_incremental_dedup(spark, sf_dir):
     return res.result
 
 
+def _spans_history(spark, sf_dir):
+    """One-time accumulated fingerprint-count state (winnowing
+    fingerprints of the even-doc_id half), persisted and materialized --
+    what a daily incremental substring-dedup run starts from."""
+    from pyspark.sql import functions as FF
+
+    from sparkbigdatatextanalysis_spark.operators import dedup as dd
+
+    key = ("spans_history", sf_dir)
+    if key not in _SETUP_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hist = docs.where(FF.col("doc_id") % 2 == 0)
+        hc = (
+            dd.winnow_fingerprints(hist)
+            .groupBy("h")
+            .agg(FF.count(FF.lit(1)).alias("cnt"))
+            .persist()
+        )
+        hc.count()
+        _SETUP_CACHE[key] = hc
+    return _SETUP_CACHE[key]
+
+
+def bench_incremental_spans(spark, sf_dir):
+    """Daily-batch substring dedup vs corpus fingerprint history
+    (operators/dedup.py::incremental_duplicate_spans): history = even
+    doc_ids (count table prebuilt and persisted once), batch = odd
+    doc_ids. Timed path = the incremental batch only."""
+    from pyspark.sql import functions as FF
+
+    from sparkbigdatatextanalysis_spark.operators import dedup as dd
+
+    hc = _spans_history(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.where(FF.col("doc_id") % 2 == 1)
+    return dd.incremental_duplicate_spans(batch, hc).spans
+
+
 EXTRA = {
     "join_unbucketed_shuffle": bench_join_unbucketed,
     "join_bucketed_colocated": bench_join_bucketed,
     "incremental_dedup_batch": bench_incremental_dedup,
+    "incremental_spans_batch": bench_incremental_spans,
 }
 
 
@@ -288,6 +328,7 @@ def main() -> None:
     # the one-time layout writes they start from.
     _bucketed_tables(spark, SF_DIR)
     _dedup_history(spark, SF_DIR)
+    _spans_history(spark, SF_DIR)
 
     # Quiesce before timing: flush dirty pages left by whatever ran
     # before (test suites, data generation) and let writeback drain --

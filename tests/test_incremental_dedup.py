@@ -118,3 +118,92 @@ def test_history_probe_is_equi_join(spark, history):
     plan = r.result._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- incremental substring dedup (dedup.incremental_duplicate_spans) -------
+
+
+def _spans_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_spans_equal_batch_over_union(spark):
+    """The defining equivalence: incremental(batch, counts(history)) ==
+    duplicate_spans(history UNION batch) restricted to batch docs."""
+    from sparkbigdatatextanalysis_spark.operators import dedup
+
+    boiler = "shared boilerplate sentence long enough to carry fingerprints."
+    hist_docs = spark.createDataFrame(
+        [
+            (1, "historic document one. " + boiler + " historic tail."),
+            (2, "another old document with completely unrelated content here."),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            # duplicates ONLY against history -- invisible to a plain
+            # batch-local duplicate_spans run
+            (10, "fresh prefix!! " + boiler + " fresh tail."),
+            (11, "nothing duplicated in this new document at all, truly."),
+            # duplicate pair WITHIN the batch
+            (12, "twin text: " + boiler * 2),
+            (13, "twin text: " + boiler * 2),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    hist_counts = (
+        dedup.winnow_fingerprints(hist_docs)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    res = dedup.incremental_duplicate_spans(batch, hist_counts)
+    union_spans = dedup.duplicate_spans(hist_docs.unionByName(batch)).where(
+        F.col("doc_id") >= 10
+    )
+    assert _spans_set(res.spans) == _spans_set(union_spans)
+    # doc 10 dups only vs history; 12/13 vs each other; 11 clean
+    got_docs = {r["doc_id"] for r in res.spans.collect()}
+    assert got_docs == {10, 12, 13}
+    # delta is the batch's own fingerprint counts, ready to merge
+    batch_fp = dedup.winnow_fingerprints(batch)
+    assert res.delta_counts.agg(F.sum("cnt")).first()[0] == batch_fp.count()
+
+
+def test_incremental_spans_none_history_equals_plain_batch(spark):
+    from sparkbigdatatextanalysis_spark.operators import dedup
+
+    boiler = "a repeated chunk of text that is long enough to fingerprint ok"
+    batch = spark.createDataFrame(
+        [
+            (1, "aa " + boiler),
+            (2, "bbbb " + boiler),
+            (3, "unique content here, nothing shared with the others at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    res = dedup.incremental_duplicate_spans(batch, None)
+    assert _spans_set(res.spans) == _spans_set(dedup.duplicate_spans(batch))
+
+
+def test_incremental_spans_rerun_idempotent_after_merge(spark):
+    """Merging delta_counts into history and rerunning the SAME batch
+    flags the batch's own fingerprints as history dups (counts >= 2),
+    covering the whole boilerplate in every batch doc -- reruns can only
+    widen spans, never resurrect removed text."""
+    from sparkbigdatatextanalysis_spark.operators import dedup
+
+    boiler = "one more sufficiently long boilerplate fragment for the test."
+    batch = spark.createDataFrame(
+        [(1, "xx " + boiler), (2, "yyyy " + boiler)],
+        "doc_id LONG, text STRING",
+    )
+    first = dedup.incremental_duplicate_spans(batch, None)
+    merged = first.delta_counts  # empty history + delta = delta
+    rerun = dedup.incremental_duplicate_spans(batch, merged)
+    first_set = _spans_set(first.spans)
+    rerun_rows = {r["doc_id"]: r for r in rerun.spans.collect()}
+    # every first-run span is contained in a rerun span
+    for did, _idx, s, e, _n in first_set:
+        rr = rerun_rows[did]
+        assert rr["span_start"] <= s and rr["span_end"] >= e
