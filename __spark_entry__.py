@@ -1977,6 +1977,24 @@ def q_embeddings_quantized(spark, sf_dir):
     )
 
 
+DOMAIN_CAP = 10  # of 25 docs/source at sf0.01 -- selective but non-empty
+
+
+def q_docs_domain_caps(spark, sf_dir):
+    """Per-domain cap (operators/pipeline.py::cap_per_domain): keep at
+    most 10 docs per source, chosen by salted-hash order with id
+    tie-break -- deterministic across engines/partitionings/reruns. The
+    cut is grouped_topk's two-phase TakeOrdered (domains are the
+    low-cardinality skew case); the oracle recomputes it as the plain
+    rank window, which the two-phase prune provably equals."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    out = pl.cap_per_domain(_docs(spark, sf_dir), cap=DOMAIN_CAP)
+    return out.select(
+        "doc_id", "source", F.col("domain_rank").cast("long").alias("domain_rank")
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/dedup.py::
     semantic_dedup): k-means clusters (the shared ivf_cents pipeline
@@ -2066,8 +2084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r4 comment block promised): slots 1-4 are the four keys whose
     # latest driver row is r02 (the r4 leftovers), slots 5-8 the four
     # keys added after the r4 window froze (never driver-gated), slots
-    # 9-13 the five keys NEW this round, and slots 14-50 re-gate 37 of
-    # the 46 keys whose latest row is r03. The remaining 9 r03-latest
+    # 9-14 the six keys NEW this round, and slots 15-50 re-gate 36 of
+    # the 46 keys whose latest row is r03. The remaining 10 r03-latest
     # keys (first section after the window, all simple stable
     # single-shape plans) MUST lead the r6 window -- they will be 3
     # rounds stale by then. Every key is re-verified on every suite run
@@ -2083,13 +2101,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget": q_docs_token_budget,
         "docs_bm25_topk": q_docs_bm25_topk,
         "dedup_best_rep": q_dedup_best_rep,
-        # --- new this round (5) ---
+        # --- new this round (6) ---
         "docs_substring_dedup": q_docs_substring_dedup,
         "docs_bm25_batch": q_docs_bm25_batch,
         "docs_chunk_windows": q_docs_chunk_windows,
         "embeddings_quantized": q_embeddings_quantized,
         "dedup_semantic": q_dedup_semantic,
-        # --- latest driver row r03: re-gate 37 of 46 (slots 14-50) ---
+        "docs_domain_caps": q_docs_domain_caps,
+        # --- latest driver row r03: re-gate 36 of 46 (slots 15-50) ---
         "dedup_near_clusters": q_dedup_near_clusters,
         "tpch_q2_like": q_tpch_q2_like,
         "tpch_q3_like": q_tpch_q3_like,
@@ -2126,9 +2145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_concat": q_scan_concat,
         "tfidf_vectors": q_tfidf_vectors,
         "fast_cosine_join": q_fast_cosine_join,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # ---- end of the 50-key gate window ----
-        # --- r03-latest leftovers (9): MUST lead the r6 window ---
+        # --- r03-latest leftovers (10): MUST lead the r6 window ---
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
         "user_type_pivot": q_user_type_pivot,
@@ -3957,6 +3976,18 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT vec_id, scale, qvec,
                      unnest(generate_series(1, len(qvec))) AS i
               FROM qq)
+    """
+    # grouped_topk's two-phase prune is exact, so the plain rank window
+    # is the oracle formulation.
+    sqls["docs_domain_caps"] = f"""
+        SELECT doc_id, source, domain_rank FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {string_hash31_sql("'domcap:' || doc_id::VARCHAR")},
+                            doc_id) AS domain_rank
+          FROM documents
+        ) WHERE domain_rank <= {DOMAIN_CAP}
     """
     # SemDeDup replay: the deterministic k-means CTEs (identical to the
     # ann_topk_ivf oracle, so the two keys pin the SAME centroids), the

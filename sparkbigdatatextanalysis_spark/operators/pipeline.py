@@ -515,3 +515,44 @@ def dedup_lines(
             F.col("_id").alias(id_col), "text_dedup", "n_lines", "n_removed"
         )
     )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "domcap:",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain (id, domain,
+    domain_rank): the RefinedWeb/Gopher-style per-domain cap that stops
+    boilerplate-heavy domains from dominating a corpus mixture.
+
+    Survivors are chosen by the salted md5-hash order of the id (the
+    split/budget-sampling discipline: deterministic across engines,
+    partitionings and reruns, decorrelated from ingest order and from
+    the other sampling hashes by the salt) with the id as tie-break, so
+    re-running on a grown corpus keeps a stable prefix per domain
+    rather than reshuffling survivors.
+
+    Scale shape: domains are LOW-cardinality by nature (the skew case),
+    so the cut is :func:`relational.grouped_topk`'s two-phase
+    TakeOrdered -- a bare ``row_number() OVER (PARTITION BY domain)``
+    would funnel the biggest domain's entire row set through one task.
+    NULL domains form their own capped group (window partitioning
+    groups NULLs together on both engines).
+    """
+    if cap < 1:
+        raise ValueError(f"cap_per_domain: cap must be >= 1, got {cap}")
+    from .relational import grouped_topk
+
+    h = string_hash31(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = df.select(F.col(id_col), F.col(domain_col), h.alias("_dch"))
+    out = grouped_topk(
+        base,
+        [domain_col],
+        [F.col("_dch").asc(), F.col(id_col).asc()],
+        cap,
+        rank_col="domain_rank",
+    )
+    return out.drop("_dch")

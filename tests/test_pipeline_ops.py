@@ -775,3 +775,54 @@ def test_semantic_dedup_matches_brute_force_within_clusters(spark):
             for j, (cj, _) in got.items()
         )
         assert keep == (0 if expect_drop else 1), i
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap (pipeline.cap_per_domain)
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_domain_caps_and_is_deterministic(spark):
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    rows = [(i, f"d{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out1 = sorted(tuple(r) for r in pl.cap_per_domain(df, cap=4).collect())
+    out2 = sorted(
+        tuple(r)
+        for r in pl.cap_per_domain(df.repartition(7), cap=4).collect()
+    )
+    assert out1 == out2  # partition-invariant survivors
+    by_dom = {}
+    for did, dom, rk in out1:
+        by_dom.setdefault(dom, []).append(rk)
+    assert set(by_dom) == {"d0", "d1", "d2"}
+    for dom, rks in by_dom.items():
+        assert sorted(rks) == [1, 2, 3, 4]
+
+
+def test_cap_per_domain_stable_prefix_under_growth(spark):
+    """Adding new docs must never evict a previously kept doc whose
+    hash rank stays within the cap -- survivors are a hash-order prefix,
+    so growth only appends competitors, it does not reshuffle."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    old = [(i, "d") for i in range(10)]
+    grown = old + [(i, "d") for i in range(100, 110)]
+    k_old = {r["doc_id"]: r["domain_rank"] for r in pl.cap_per_domain(
+        spark.createDataFrame(old, "doc_id LONG, source STRING"), cap=5).collect()}
+    k_new = {r["doc_id"]: r["domain_rank"] for r in pl.cap_per_domain(
+        spark.createDataFrame(grown, "doc_id LONG, source STRING"), cap=5).collect()}
+    # every survivor of the grown corpus that already existed must have
+    # been a survivor before (ranks can only move up as new docs win)
+    for did, rk in k_new.items():
+        if did < 100:
+            assert did in k_old and k_old[did] <= rk
+
+
+def test_cap_per_domain_guards(spark):
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame([(1, "d")], "doc_id LONG, source STRING")
+    with pytest.raises(ValueError):
+        pl.cap_per_domain(df, cap=0)

@@ -201,6 +201,9 @@ BUDGETS = {
     # fan-out; quantization is a pure map-only projection (codegen'd)
     "docs_chunk_windows": (1, 0),
     "embeddings_quantized": (0, 0),
+    # r5 per-domain cap: grouped_topk's two bounded rank exchanges
+    # (local prune + global rank); map-only hashing
+    "docs_domain_caps": (2, 0),
     # r5 SemDeDup: literal-centroid assignment + v/norm come out of ONE
     # projection (post-review: the assignment re-join cost 2 corpus
     # exchanges, 9 -> 5); remaining exchanges are the within-cluster
