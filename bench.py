@@ -84,6 +84,7 @@ HEADLINE = [
     "docs_chunk_windows",
     "embeddings_quantized",
     "dedup_semantic",
+    "docs_domain_caps",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental-dedup scale paths -- see EXTRA below
     "join_unbucketed_shuffle",
@@ -253,7 +254,12 @@ def _spans_history(spark, sf_dir):
 
     key = ("spans_history", sf_dir)
     if key not in _SETUP_CACHE:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # fan out: the winnowing selection is CPU-bound per row and the
+        # generated parquet is one file = one input split (the _scan
+        # wide=True rationale); on a cluster the input's own splits
+        # provide this
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
         hist = docs.where(FF.col("doc_id") % 2 == 0)
         hc = (
             dd.winnow_fingerprints(hist)
@@ -276,7 +282,8 @@ def bench_incremental_spans(spark, sf_dir):
     from sparkbigdatatextanalysis_spark.operators import dedup as dd
 
     hc = _spans_history(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     batch = docs.where(FF.col("doc_id") % 2 == 1)
     return dd.incremental_duplicate_spans(batch, hc).spans
 
