@@ -281,11 +281,18 @@ def bench_incremental_spans(spark, sf_dir):
 
     from sparkbigdatatextanalysis_spark.operators import dedup as dd
 
+    from sparkbigdatatextanalysis_spark.functions.lineage import release
+
     hc = _spans_history(spark, sf_dir)
+    prev = _SETUP_CACHE.pop(("spans_fp_prev", sf_dir), None)
+    if prev is not None:
+        release(prev)
     par = spark.sparkContext.defaultParallelism
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     batch = docs.where(FF.col("doc_id") % 2 == 1)
-    return dd.incremental_duplicate_spans(batch, hc).spans
+    res = dd.incremental_duplicate_spans(batch, hc)
+    _SETUP_CACHE[("spans_fp_prev", sf_dir)] = res.fingerprints
+    return res.spans
 
 
 EXTRA = {
