@@ -2086,9 +2086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys added after the r4 window froze (never driver-gated), slots
     # 9-14 the six keys NEW this round, and slots 15-50 re-gate 36 of
     # the 46 keys whose latest row is r03. The remaining 10 r03-latest
-    # keys (first section after the window, all simple stable
-    # single-shape plans) MUST lead the r6 window -- they will be 3
-    # rounds stale by then. Every key is re-verified on every suite run
+    # keys (first section after the window: nine simple single-shape
+    # plans plus the multi-stage dedup_minhash_lsh pipeline, demoted
+    # last to make room for docs_domain_caps) MUST lead the r6 window
+    # -- they will be 3 rounds stale by then. Every key is re-verified on every suite run
     # by tests/test_oracle_parity.py regardless of the window.
     return {
         # --- latest driver row r02: 2 rounds stale, rotate now (4) ---

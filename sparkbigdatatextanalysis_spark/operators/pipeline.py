@@ -544,12 +544,17 @@ def cap_per_domain(
     """
     if cap < 1:
         raise ValueError(f"cap_per_domain: cap must be >= 1, got {cap}")
+    if "_dch" in df.columns:
+        raise ValueError("cap_per_domain: input already has column '_dch'")
     from .relational import grouped_topk
 
     h = string_hash31(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    base = df.select(F.col(id_col), F.col(domain_col), h.alias("_dch"))
+    # keep EVERY input column (the sibling sampling ops' contract --
+    # the caller caps a corpus, not an id list); the two bounded rank
+    # exchanges then carry the full row width, so pre-project before
+    # calling if only ids are needed downstream
     out = grouped_topk(
-        base,
+        df.withColumn("_dch", h),
         [domain_col],
         [F.col("_dch").asc(), F.col(id_col).asc()],
         cap,

@@ -207,3 +207,31 @@ def test_incremental_spans_rerun_idempotent_after_merge(spark):
     for did, _idx, s, e, _n in first_set:
         rr = rerun_rows[did]
         assert rr["span_start"] <= s and rr["span_end"] >= e
+
+
+def test_incremental_spans_history_probe_is_equi_join(spark):
+    """The '100 TB side touched by ONE equi-join' scale contract,
+    plan-pinned like its incremental_dedup sibling: no cartesian, no
+    row-Python anywhere in the spans plan, and the audit counts stay
+    exchange-bounded."""
+    from sparkbigdatatextanalysis_spark.operators import dedup
+    from sparkbigdatatextanalysis_spark.plans import audit_plan
+
+    boiler = "shared boilerplate sentence long enough to carry fingerprints."
+    hist_docs = spark.createDataFrame(
+        [(1, "historic document one. " + boiler)], "doc_id LONG, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [(10, "fresh prefix!! " + boiler)], "doc_id LONG, text STRING"
+    )
+    hc = (
+        dedup.winnow_fingerprints(hist_docs)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    res = dedup.incremental_duplicate_spans(batch, hc)
+    a = audit_plan(res.spans)
+    assert a.cartesian_products == 0 and a.row_python_stages == 0
+    plan = res.spans._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
