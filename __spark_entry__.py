@@ -2008,7 +2008,13 @@ def q_dedup_semantic(spark, sf_dir):
         spark, sf_dir, "ivf_cents", lambda: ann_ops.kmeans_centroids(emb)
     )
     out = dd.semantic_dedup(
-        emb, threshold=EMBED_NEAR_DUP_THRESHOLD, cents=cents
+        emb,
+        threshold=EMBED_NEAR_DUP_THRESHOLD,
+        cents=cents,
+        # honest bench repeats + zero cache residue per invocation, the
+        # same reasoning as docs_substring_dedup (r5 advice); the triple
+        # re-evaluation this trades away is a map-only projection
+        persist_assignments=False,
     )
     return out.select("vec_id", "cluster", "keep")
 
@@ -2023,8 +2029,16 @@ def q_docs_substring_dedup(spark, sf_dir):
     in-row fold after one groupBy(doc). The oracle replays the same
     winnowing in DuckDB (list_transform/list_reduce) and merges spans
     with the classic gaps-and-islands window instead of the fold --
-    independent formulations, identical semantics."""
-    return dd.duplicate_spans(_docs(spark, sf_dir, wide=True))
+    independent formulations, identical semantics.
+
+    persist_fingerprints=False: the honest per-run cost is the double
+    winnowing evaluation -- with the default persist, bench repeats
+    2..n would read run 1's cached fingerprint table instead of timing
+    the pipeline's one compute-heavy map stage, and every invocation
+    would pin one cached table in a long-lived session (r5 advice)."""
+    return dd.duplicate_spans(
+        _docs(spark, sf_dir, wide=True), persist_fingerprints=False
+    )
 
 
 TOKEN_BUDGET = 8192  # ~half the sf0.01 corpus; any value is deterministic

@@ -303,13 +303,35 @@ def test_dedup_cluster_chain_budget(spark):
     keys consuming it audit as flat LogicalRDD scans. Pin the UNDERLYING
     MinHash-LSH + connected-components chain here so a regression into
     extra exchanges cannot hide behind the checkpoint -- the same
-    treatment as the eager IVF refinement."""
+    treatment as the eager IVF refinement.
+
+    Unlike every other budget in this file, this chain RUNS jobs while
+    being built (the CC fixpoint loop), so the pipeline persists it
+    re-creates MATERIALIZE before the final plan is produced -- and a
+    materialized InMemoryRelation reports its actual byte size, which
+    can (a) cross autoBroadcastJoinThreshold where the fresh-scan
+    estimate does not and (b) make two join subtrees canonically
+    identical so one counted BroadcastExchange collapses into an
+    uncounted ReusedExchange. Both made this pin flaky under full-suite
+    cache state (r5 verdict). Pin the two confs for the audit's
+    duration: a generous fixed broadcast threshold (every side here is
+    KB-scale at sf0.001 under either statistic, so the join strategy no
+    longer depends on WHICH statistic the planner saw) and
+    exchange-reuse off (every broadcast prints at its own site)."""
     import __spark_entry__ as em
     from sparkbigdatatextanalysis_spark.operators import components as cc
 
-    a = audit_plan(
-        cc.dedup_clusters(em._mh_pairs(spark, SF), em._docs(spark, SF))
-    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        a = audit_plan(
+            cc.dedup_clusters(em._mh_pairs(spark, SF), em._docs(spark, SF))
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.conf.set("spark.sql.exchange.reuse", reuse)
     assert a.shuffle_exchanges <= 6, a
     assert a.broadcast_exchanges >= 2, a
     assert a.cartesian_products == 0 and a.row_python_stages == 0, a
