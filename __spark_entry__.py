@@ -2041,6 +2041,92 @@ def q_docs_substring_dedup(spark, sf_dir):
     )
 
 
+def q_docs_substring_clean(spark, sf_dir):
+    """The user-facing half of ExactSubstr dedup
+    (operators/dedup.py::remove_duplicate_spans): subtract the
+    duplicate_spans output from every document -- (doc_id, text_clean,
+    n_removed_chars) with each span cut out and the remainder
+    concatenated in order; docs with no spans (including sub-guarantee
+    short docs) pass through unchanged. The subtraction is ONE in-row
+    fold walking the text left to right; the only shuffles beyond span
+    detection are the span groupBy and the (id) equi-join back onto the
+    corpus. The oracle rebuilds the same spans, then re-derives the
+    KEPT segments as the complement (lag-window gaps + head/tail) and
+    string_agg's them in order -- an independent formulation of the
+    same subtraction."""
+    spans = dd.duplicate_spans(
+        _docs(spark, sf_dir, wide=True), persist_fingerprints=False
+    )
+    return dd.remove_duplicate_spans(_docs(spark, sf_dir), spans)
+
+
+# Deterministic two-batch split for the incremental (daily-ingest)
+# contract keys: history = even doc_ids, batch = odd -- replayable in
+# plain SQL, and the SAME split bench.py's incremental_dedup_batch /
+# incremental_spans_batch entries time (there with the history tables
+# prebuilt + persisted; here built inline so the whole contract is
+# driver-gated end to end).
+
+
+def q_incremental_dedup_flags(spark, sf_dir):
+    """Daily-batch dedup vs accumulated history
+    (operators/dedup.py::incremental_dedup), driver-gated end to end:
+    history = the even-doc_id half (content-hash set + MinHash LSH band
+    table), batch = the odd half; result = the batch's four audit flags
+    plus keep. The oracle replays union-then-restrict -- exact flags
+    from sha256 equality against the history half / lower-id batch
+    docs, near flags from the same minhash band-key CTEs as
+    dedup_minhash_lsh split into history and lower-id-batch collisions
+    -- the incremental-equals-batch-over-union equivalence the pytest
+    contract pins, here checked value-for-value by the driver.
+    persist_bands=False: zero cache residue + honest bench repeats (the
+    production shape persists and releases; bench.py's
+    incremental_dedup_batch times exactly that)."""
+    d = _docs(spark, sf_dir)
+    hist = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    hh = dd.exact_dedup(hist).select("content_hash").distinct()
+    hb = dd.lsh_band_keys_flat(
+        dd.minhash_signatures_flat(dd.shingle_hashes(hist))
+    ).select("band", "key")
+    res = dd.incremental_dedup(batch, hh, hb, persist_bands=False)
+    return res.result.select(
+        "doc_id",
+        "content_hash",
+        "exact_dup_history",
+        "exact_dup_batch",
+        "near_dup_history",
+        "near_dup_batch",
+        "keep",
+    )
+
+
+def q_incremental_spans_batch(spark, sf_dir):
+    """Daily-batch substring dedup vs accumulated fingerprint-count
+    history (operators/dedup.py::incremental_duplicate_spans),
+    driver-gated: history = winnowing fingerprint counts of the even
+    half, batch = the odd half. A batch fingerprint is duplicated when
+    history count + batch count >= 2 -- which over this split equals
+    the FULL-corpus count, so the oracle replays the whole-corpus
+    winnowing span pipeline (the docs_substring_dedup CTEs) restricted
+    to odd doc_ids: the union-then-restrict equivalence the pytest
+    contract pins, checked value-for-value. persist_fingerprints=False
+    for zero cache residue (bench.py's incremental_spans_batch times
+    the persisted production shape)."""
+    d = _docs(spark, sf_dir, wide=True)
+    hist = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    hc = (
+        dd.winnow_fingerprints(hist)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    res = dd.incremental_duplicate_spans(
+        batch, hc, persist_fingerprints=False
+    )
+    return res.spans
+
+
 TOKEN_BUDGET = 8192  # ~half the sf0.01 corpus; any value is deterministic
 
 
@@ -2094,74 +2180,19 @@ def q_docs_hashed_embeddings(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
-    # checks the FIRST 50 declared keys. Round-5 window (the rotation
-    # the r4 comment block promised): slots 1-4 are the four keys whose
-    # latest driver row is r02 (the r4 leftovers), slots 5-8 the four
-    # keys added after the r4 window froze (never driver-gated), slots
-    # 9-14 the six keys NEW this round, and slots 15-50 re-gate 36 of
-    # the 46 keys whose latest row is r03. The remaining 10 r03-latest
-    # keys (first section after the window: nine simple single-shape
-    # plans plus the multi-stage dedup_minhash_lsh pipeline, demoted
-    # last to make room for docs_domain_caps) MUST lead the r6 window
-    # -- they will be 3 rounds stale by then. Every key is re-verified on every suite run
-    # by tests/test_oracle_parity.py regardless of the window.
+    # checks the FIRST 50 declared keys. Round-6 window (the rotation
+    # the r5 comment block promised): slots 1-10 are the ten keys whose
+    # latest driver row is r03 (3 rounds stale -- the staleness maximum,
+    # they MUST gate now), slots 11-13 the three keys NEW this round
+    # (the incremental daily-ingest contracts + the ExactSubstr
+    # subtraction half), and slots 14-50 re-gate 37 of the 50 keys whose
+    # latest row is r04. The remaining 13 r04-latest keys (first section
+    # after the window) MUST lead the r7 window -- they will be 3 rounds
+    # stale by then; after them rotate the 50 r05-latest keys (2 rounds
+    # stale at r7, 37 fit alongside). Every key is re-verified on every
+    # suite run by tests/test_oracle_parity.py regardless of the window.
     return {
-        # --- latest driver row r02: 2 rounds stale, rotate now (4) ---
-        "scan_gold_pairs": q_scan_gold_pairs,
-        "dot_product": q_dot_product,
-        "str_strip_quotes": q_str_strip_quotes,
-        "tokenize": q_tokenize,
-        # --- added after the r4 freeze, never driver-gated (4) ---
-        "docs_line_dedup": q_docs_line_dedup,
-        "docs_token_budget": q_docs_token_budget,
-        "docs_bm25_topk": q_docs_bm25_topk,
-        "dedup_best_rep": q_dedup_best_rep,
-        # --- new this round (6) ---
-        "docs_substring_dedup": q_docs_substring_dedup,
-        "docs_bm25_batch": q_docs_bm25_batch,
-        "docs_chunk_windows": q_docs_chunk_windows,
-        "embeddings_quantized": q_embeddings_quantized,
-        "dedup_semantic": q_dedup_semantic,
-        "docs_domain_caps": q_docs_domain_caps,
-        # --- latest driver row r03: re-gate 36 of 46 (slots 15-50) ---
-        "dedup_near_clusters": q_dedup_near_clusters,
-        "tpch_q2_like": q_tpch_q2_like,
-        "tpch_q3_like": q_tpch_q3_like,
-        "tpch_q4_like": q_tpch_q4_like,
-        "tpch_q5_like": q_tpch_q5_like,
-        "tpch_q7_like": q_tpch_q7_like,
-        "tpch_q16_like": q_tpch_q16_like,
-        "tpch_q18_like": q_tpch_q18_like,
-        "curation_pipeline": q_curation_pipeline,
-        "events_hourly_from_minutely": q_events_hourly_from_minutely,
-        "docs_split_sample": q_docs_split_sample,
-        "text_repetition": q_text_repetition,
-        "events_value_zscore": q_events_value_zscore,
-        "vocab_top_tokens": q_vocab_top_tokens,
-        "train_test_ngram_overlap": q_train_test_ngram_overlap,
-        "docs_unigram_logprob": q_docs_unigram_logprob,
-        "events_latest_per_user": q_events_latest_per_user,
-        "funnel_conversion": q_funnel_conversion,
-        "table_profile": q_table_profile,
-        "corpus_bigrams": q_corpus_bigrams,
-        "events_rolling_1h": q_events_rolling_1h,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "merge_upsert_events": q_merge_upsert_events,
-        "events_gapfill": q_events_gapfill,
-        "orders_corr": q_orders_corr,
-        "embedding_centroids": q_embedding_centroids,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        "skew_join_events": q_skew_join_events,
-        "user_running_stats": q_user_running_stats,
-        "events_anomaly": q_events_anomaly,
-        "scd2_history": q_scd2_history,
-        "winsorize_values": q_winsorize_values,
-        "scan_concat": q_scan_concat,
-        "tfidf_vectors": q_tfidf_vectors,
-        "fast_cosine_join": q_fast_cosine_join,
-        # ---- end of the 50-key gate window ----
-        # --- r03-latest leftovers (10): MUST lead the r6 window ---
+        # --- latest driver row r03: 3 rounds stale, MUST gate now (10) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
@@ -2172,7 +2203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "events_interarrival": q_events_interarrival,
         "orders_status_breakdown": q_orders_status_breakdown,
-        # --- latest driver row r04: freshest, rotate after the above (50) ---
+        # --- new this round (3) ---
+        "docs_substring_clean": q_docs_substring_clean,
+        "incremental_dedup_flags": q_incremental_dedup_flags,
+        "incremental_spans_batch": q_incremental_spans_batch,
+        # --- latest driver row r04: re-gate 37 of 50 (slots 14-50) ---
         "events_json_props": q_events_json_props,
         "docs_pack_sequences": q_docs_pack_sequences,
         "approx_distinct_users": q_approx_distinct_users,
@@ -2210,6 +2245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
+        # ---- end of the 50-key gate window ----
+        # --- r04-latest leftovers (13): MUST lead the r7 window ---
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "media_decode": q_media_decode,
@@ -2223,6 +2260,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": q_sales_cube,
         "value_percentiles": q_value_percentiles,
         "customers_no_orders": q_customers_no_orders,
+        # --- latest driver row r05: freshest, rotate after the above (50) ---
+        "scan_gold_pairs": q_scan_gold_pairs,
+        "dot_product": q_dot_product,
+        "str_strip_quotes": q_str_strip_quotes,
+        "tokenize": q_tokenize,
+        "docs_line_dedup": q_docs_line_dedup,
+        "docs_token_budget": q_docs_token_budget,
+        "docs_bm25_topk": q_docs_bm25_topk,
+        "dedup_best_rep": q_dedup_best_rep,
+        "docs_substring_dedup": q_docs_substring_dedup,
+        "docs_bm25_batch": q_docs_bm25_batch,
+        "docs_chunk_windows": q_docs_chunk_windows,
+        "embeddings_quantized": q_embeddings_quantized,
+        "dedup_semantic": q_dedup_semantic,
+        "docs_domain_caps": q_docs_domain_caps,
+        "dedup_near_clusters": q_dedup_near_clusters,
+        "tpch_q2_like": q_tpch_q2_like,
+        "tpch_q3_like": q_tpch_q3_like,
+        "tpch_q4_like": q_tpch_q4_like,
+        "tpch_q5_like": q_tpch_q5_like,
+        "tpch_q7_like": q_tpch_q7_like,
+        "tpch_q16_like": q_tpch_q16_like,
+        "tpch_q18_like": q_tpch_q18_like,
+        "curation_pipeline": q_curation_pipeline,
+        "events_hourly_from_minutely": q_events_hourly_from_minutely,
+        "docs_split_sample": q_docs_split_sample,
+        "text_repetition": q_text_repetition,
+        "events_value_zscore": q_events_value_zscore,
+        "vocab_top_tokens": q_vocab_top_tokens,
+        "train_test_ngram_overlap": q_train_test_ngram_overlap,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
+        "events_latest_per_user": q_events_latest_per_user,
+        "funnel_conversion": q_funnel_conversion,
+        "table_profile": q_table_profile,
+        "corpus_bigrams": q_corpus_bigrams,
+        "events_rolling_1h": q_events_rolling_1h,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "merge_upsert_events": q_merge_upsert_events,
+        "events_gapfill": q_events_gapfill,
+        "orders_corr": q_orders_corr,
+        "embedding_centroids": q_embedding_centroids,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "skew_join_events": q_skew_join_events,
+        "user_running_stats": q_user_running_stats,
+        "events_anomaly": q_events_anomaly,
+        "scd2_history": q_scd2_history,
+        "winsorize_values": q_winsorize_values,
+        "scan_concat": q_scan_concat,
+        "tfidf_vectors": q_tfidf_vectors,
+        "fast_cosine_join": q_fast_cosine_join,
     }
 
 
@@ -2425,6 +2513,69 @@ _KMEANS_CTES, _KMEANS_FINAL = _kmeans_cents_sql(ann_ops.KMEANS_ITERS)
 def _lang_hits_sql(words: list[str]) -> str:
     lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
     return f"len(list_filter(toks, t -> list_contains({lst}, t)))"
+
+
+def _winnow_spans_ctes(dw_pred: str = "TRUE") -> str:
+    """DuckDB CTE chain replaying operators/dedup.py::duplicate_spans
+    (width 25, window 15, min_count 2): per-position 60-bit k-gram
+    hashes, rightmost-minimal winnowing selection, corpus-wide
+    duplicate counting, and the gaps-and-islands span merge.
+    ``dw_pred`` restricts WHICH docs' duplicated positions become spans
+    (duplicate counting always sees the whole corpus) -- the
+    union-then-restrict shape of the incremental contract. The final
+    CTE ``msp`` is (doc_id, span_idx, span_start, span_end,
+    n_windows)."""
+    return f"""
+        d0 AS (
+          SELECT doc_id, text, length(text) AS len FROM documents
+          WHERE length(text) >= 25 + 15 - 1
+        ),
+        hl AS (
+          SELECT doc_id,
+                 list_transform(range(1, len - 25 + 2),
+                   i -> ('0x' || substr(md5(substr(text, i::INT, 25)), 1, 15))::BIGINT)
+                   AS hs
+          FROM d0
+        ),
+        selp AS (
+          SELECT doc_id, hs,
+                 list_distinct(list_transform(range(1, len(hs) - 15 + 2),
+                   j -> list_reduce(range(j, j + 15),
+                          (a, b) -> CASE WHEN hs[b::INT] < hs[a::INT]
+                                           OR (hs[b::INT] = hs[a::INT] AND b > a)
+                                         THEN b ELSE a END))) AS ps
+          FROM hl
+        ),
+        fp AS (
+          SELECT doc_id, p::BIGINT AS p, hs[p::INT] AS h
+          FROM (SELECT doc_id, hs, unnest(ps) AS p FROM selp)
+        ),
+        dup AS (SELECT h FROM fp GROUP BY h HAVING count(*) >= 2),
+        dw AS (
+          SELECT doc_id, p AS s, p + 25 - 1 AS e
+          FROM fp WHERE h IN (SELECT h FROM dup) AND ({dw_pred})
+        ),
+        isl AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s <= coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) + 1
+                      THEN 0 ELSE 1 END AS brk
+          FROM dw
+        ),
+        g AS (
+          SELECT doc_id, s, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS isl_id
+          FROM isl
+        ),
+        msp AS (
+          SELECT doc_id, (isl_id - 1)::BIGINT AS span_idx,
+                 min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+                 count(*)::BIGINT AS n_windows
+          FROM g GROUP BY doc_id, isl_id
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4047,53 +4198,94 @@ def oracle_sql() -> dict[str, str]:
     # (list_reduce left-to-right with >=-rightmost tie rule), same
     # >=2 corpus-count duplicate mark; the span merge is the classic
     # gaps-and-islands window instead of Spark's in-row fold.
-    sqls["docs_substring_dedup"] = """
-        WITH d0 AS (
-          SELECT doc_id, text, length(text) AS len FROM documents
-          WHERE length(text) >= 25 + 15 - 1
-        ),
-        hl AS (
+    sqls["docs_substring_dedup"] = f"""
+        WITH {_winnow_spans_ctes()}
+        SELECT doc_id, span_idx, span_start, span_end, n_windows FROM msp
+    """
+    # incremental = union-then-restrict: history count + batch count over
+    # the even/odd split equals the FULL-corpus fingerprint count, so the
+    # oracle is the whole-corpus span pipeline keeping only batch docs
+    sqls["incremental_spans_batch"] = f"""
+        WITH {_winnow_spans_ctes("doc_id % 2 = 1")}
+        SELECT doc_id, span_idx, span_start, span_end, n_windows FROM msp
+    """
+    # span subtraction replayed as its complement: the KEPT segments are
+    # the lag-window gaps between spans plus the tail (head is the gap
+    # before the first span, lag default 0), string_agg'd in order --
+    # independent of the Spark side's left-to-right fold
+    sqls["docs_substring_clean"] = f"""
+        WITH {_winnow_spans_ctes()},
+        segs AS (
           SELECT doc_id,
-                 list_transform(range(1, len - 25 + 2),
-                   i -> ('0x' || substr(md5(substr(text, i::INT, 25)), 1, 15))::BIGINT)
-                   AS hs
-          FROM d0
+                 coalesce(lag(span_end) OVER (
+                   PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS ss,
+                 span_start - 1 AS se
+          FROM msp
+          UNION ALL
+          SELECT doc_id, max(span_end) + 1 AS ss, NULL AS se
+          FROM msp GROUP BY doc_id
         ),
-        selp AS (
-          SELECT doc_id, hs,
-                 list_distinct(list_transform(range(1, len(hs) - 15 + 2),
-                   j -> list_reduce(range(j, j + 15),
-                          (a, b) -> CASE WHEN hs[b::INT] < hs[a::INT]
-                                           OR (hs[b::INT] = hs[a::INT] AND b > a)
-                                         THEN b ELSE a END))) AS ps
-          FROM hl
+        cleaned AS (
+          SELECT s.doc_id,
+                 string_agg(
+                   substr(d.text, ss::INT,
+                          (coalesce(se, length(d.text)) - ss + 1)::INT),
+                   '' ORDER BY ss) AS txt
+          FROM segs s JOIN documents d ON d.doc_id = s.doc_id
+          WHERE coalesce(se, length(d.text)) >= ss
+          GROUP BY s.doc_id
         ),
-        fp AS (
-          SELECT doc_id, p::BIGINT AS p, hs[p::INT] AS h
-          FROM (SELECT doc_id, hs, unnest(ps) AS p FROM selp)
-        ),
-        dup AS (SELECT h FROM fp GROUP BY h HAVING count(*) >= 2),
-        dw AS (
-          SELECT doc_id, p AS s, p + 25 - 1 AS e
-          FROM fp WHERE h IN (SELECT h FROM dup)
-        ),
-        isl AS (
-          SELECT doc_id, s, e,
-                 CASE WHEN s <= coalesce(max(e) OVER (
-                        PARTITION BY doc_id ORDER BY s
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      -1) + 1
-                      THEN 0 ELSE 1 END AS brk
-          FROM dw
-        ),
-        g AS (
-          SELECT doc_id, s, e,
-                 sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS isl_id
-          FROM isl
+        rem AS (
+          SELECT doc_id, sum(span_end - span_start + 1)::BIGINT AS nrem
+          FROM msp GROUP BY doc_id
         )
-        SELECT doc_id, (isl_id - 1)::BIGINT AS span_idx,
-               min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
-               count(*)::BIGINT AS n_windows
-        FROM g GROUP BY doc_id, isl_id
+        SELECT d.doc_id,
+               CASE WHEN r.doc_id IS NULL THEN d.text
+                    ELSE coalesce(c.txt, '') END AS text_clean,
+               coalesce(r.nrem, 0)::BIGINT AS n_removed_chars
+        FROM documents d
+        LEFT JOIN rem r ON r.doc_id = d.doc_id
+        LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+    """
+    sqls["incremental_dedup_flags"] = f"""
+        WITH {_DEDUP_BASE}, {_MINHASH_PARAMS_SQL}, {_MINHASH_SIGS_SQL},
+        bands AS (
+          SELECT doc_id, (i // {dd.LSH_ROWS})::INT AS band,
+                 array_to_string(array_agg(sig ORDER BY i), ',') AS key
+          FROM sigs GROUP BY doc_id, band
+        ),
+        hx AS (SELECT doc_id, sha256(text) AS content_hash FROM documents),
+        bx AS (SELECT doc_id, content_hash FROM hx WHERE doc_id % 2 = 1),
+        eh AS (
+          SELECT DISTINCT bx.doc_id FROM bx
+          JOIN hx h ON h.doc_id % 2 = 0 AND h.content_hash = bx.content_hash
+        ),
+        eb AS (
+          SELECT DISTINCT bx.doc_id FROM bx
+          JOIN bx b2 ON b2.content_hash = bx.content_hash
+                    AND b2.doc_id < bx.doc_id
+        ),
+        nh AS (
+          SELECT DISTINCT a.doc_id FROM bands a
+          JOIN bands h ON h.band = a.band AND h.key = a.key
+                      AND h.doc_id % 2 = 0
+          WHERE a.doc_id % 2 = 1
+        ),
+        nb AS (
+          SELECT DISTINCT a.doc_id FROM bands a
+          JOIN bands l ON l.band = a.band AND l.key = a.key
+                      AND l.doc_id % 2 = 1 AND l.doc_id < a.doc_id
+          WHERE a.doc_id % 2 = 1
+        )
+        SELECT bx.doc_id, bx.content_hash,
+               (bx.doc_id IN (SELECT doc_id FROM eh)) AS exact_dup_history,
+               (bx.doc_id IN (SELECT doc_id FROM eb)) AS exact_dup_batch,
+               (bx.doc_id IN (SELECT doc_id FROM nh)) AS near_dup_history,
+               (bx.doc_id IN (SELECT doc_id FROM nb)) AS near_dup_batch,
+               NOT ((bx.doc_id IN (SELECT doc_id FROM eh))
+                    OR (bx.doc_id IN (SELECT doc_id FROM eb))
+                    OR (bx.doc_id IN (SELECT doc_id FROM nh))
+                    OR (bx.doc_id IN (SELECT doc_id FROM nb))) AS keep
+        FROM bx
     """
     return sqls

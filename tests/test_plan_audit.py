@@ -228,6 +228,17 @@ BUDGETS = {
     "ann_topk_ivf": (7, 2),
     "common_token_pairs": (31, 0),
     "cosine_similarity": (31, 0),
+    # --- r6 additions: the ExactSubstr subtraction half + the two
+    # incremental daily-ingest contracts, gated with the history half
+    # built INLINE (so the audit sees both halves' pipelines flattened
+    # cache-free; the production daily run probes prebuilt bucketed
+    # history and is timed separately by bench.py). History-probe /
+    # dup-set joins broadcast at this scale but take NO floor: at
+    # 100 TB the history side must NOT broadcast (it is the bucketed
+    # side) and dup sets are data-dependent -- AQE decides ---
+    "docs_substring_clean": (4, 0),
+    "incremental_dedup_flags": (12, 0),
+    "incremental_spans_batch": (6, 0),
 }
 
 
