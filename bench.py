@@ -85,12 +85,22 @@ HEADLINE = [
     "embeddings_quantized",
     "dedup_semantic",
     "docs_domain_caps",
+    # r6 addition: the span-subtraction (user-facing) half of
+    # exact-substring dedup
+    "docs_substring_clean",
     # bench-only entries (not driver-gated queries): the bucketed-layout
-    # and incremental-dedup scale paths -- see EXTRA below
+    # and incremental-dedup scale paths plus the 100-query BM25 batch --
+    # see EXTRA below. NB incremental_spans_batch here SHADOWS the
+    # queries() key of the same name on purpose: the gated key builds
+    # its fingerprint history inline (oracle-checkable end to end),
+    # while this entry times the production daily shape probing
+    # PREBUILT persisted history -- same computation, the timing that
+    # matters at 100 TB.
     "join_unbucketed_shuffle",
     "join_bucketed_colocated",
     "incremental_dedup_batch",
     "incremental_spans_batch",
+    "bm25_batch_100q",
 ]
 
 # Correctness-gated cross-algorithm witnesses that are NOT 100 TB plans
@@ -110,6 +120,31 @@ WITNESS = [
 # ---------------------------------------------------------------------------
 
 _SETUP_CACHE: dict = {}
+
+
+def _other_java_procs() -> int:
+    """Count java processes NOT parented by this bench (a concurrent
+    Spark session or test suite JVM -- the contention source that made
+    identical-code runs span 34-44 s). Best-effort /proc scan; 0 on an
+    honest solo run."""
+    import glob
+
+    me = os.getpid()
+    n = 0
+    for p in glob.glob("/proc/[0-9]*/comm"):
+        try:
+            with open(p) as f:
+                if f.read().strip() != "java":
+                    continue
+            with open(p.replace("/comm", "/stat")) as f:
+                ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+            if ppid != me:
+                n += 1
+        except OSError:
+            continue
+        except (ValueError, IndexError):
+            continue
+    return n
 
 
 def _bucketed_tables(spark, sf_dir):
@@ -295,11 +330,43 @@ def bench_incremental_spans(spark, sf_dir):
     return res.spans
 
 
+def bench_bm25_batch_100q(spark, sf_dir):
+    """Batch BM25 at a realistic batch size (r5 verdict item 6): 100
+    generated 2-3-term queries over the corpus vocabulary, scored in ONE
+    job. The no-extra-corpus-pass claim is scan-count-pinned in
+    tests/test_retrieval.py; this entry makes it QUANTITATIVE -- read it
+    against docs_bm25_topk (1 query) and docs_bm25_batch (3 queries):
+    the per-query marginal is (this - single) / 99. The 30-word shared
+    vocabulary means the union-of-terms prune keeps essentially the
+    whole corpus -- the worst case for the batch form, since nothing is
+    saved by pruning and the fan-out carries all 100 queries."""
+    import random
+
+    from sparkbigdatatextanalysis_spark.operators import retrieval as rt
+
+    rng = random.Random(13)
+    vocab = [
+        "join", "hash", "row", "batch", "scan", "customer", "column",
+        "filter", "small", "slow", "merge", "order", "vector", "line",
+        "table", "data", "agg", "value", "key", "stream", "window",
+        "spark", "group", "part", "big", "sort", "query", "fast",
+        "the", "dup",
+    ]
+    rows = [
+        (f"q{qi:03d}", t)
+        for qi in range(100)
+        for t in rng.sample(vocab, rng.choice([2, 3]))
+    ]
+    qdf = spark.createDataFrame(rows, "query_id STRING, term STRING")
+    return rt.bm25_batch_topk(entry_mod._tok(spark, sf_dir), qdf, k=20)
+
+
 EXTRA = {
     "join_unbucketed_shuffle": bench_join_unbucketed,
     "join_bucketed_colocated": bench_join_bucketed,
     "incremental_dedup_batch": bench_incremental_dedup,
     "incremental_spans_batch": bench_incremental_spans,
+    "bm25_batch_100q": bench_bm25_batch_100q,
 }
 
 
@@ -349,7 +416,20 @@ def main() -> None:
     # background I/O was measured to add seconds to Python-worker and
     # multi-stage queries. Cheap no-op on an idle system.
     os.sync()
-    time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "8")))
+    settle_sec = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "8"))
+    time.sleep(settle_sec)
+    # Settle metadata (recorded on the final JSON line so a reader can
+    # verify the run was solo and quiesced): load average at timing
+    # start/end and the count of java processes NOT spawned by this
+    # bench -- identical-code runs spanned 34-44 s purely on machine
+    # state in r3-r5, so a bench line is only comparable to another
+    # with similar settle fields.
+    settle_meta: dict = {
+        "settle_sec": settle_sec,
+        "repeats": int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")),
+        "loadavg_start": [round(v, 2) for v in os.getloadavg()],
+        "other_java_procs": _other_java_procs(),
+    }
 
     # Each query runs REPEATS times and reports the per-query minimum:
     # wall-clock on a shared box is one-sided noise (page cache misses,
@@ -400,6 +480,7 @@ def main() -> None:
     # final line must stay compact (summary + warm per-query map only).
     print(json.dumps({"queries_cold": cold, "sf": sf_val}))
     sys.stdout.flush()
+    settle_meta["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
     print(
         json.dumps(
             {
@@ -408,6 +489,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "witness_queries": witness,
+                "settle": settle_meta,
                 "sf": sf_val,
             }
         )

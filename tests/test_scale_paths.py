@@ -303,3 +303,55 @@ def test_duplicate_spans_survives_hot_boilerplate(spark):
     with_span = {r["doc_id"] for r in spans}
     assert len(with_span) == 800  # all docs contain the 56-char boilerplate
     assert elapsed < 120, f"hot winnowing span join took {elapsed:.1f}s"
+
+
+def test_semantic_dedup_survives_degenerate_cluster(spark):
+    """SemDeDup's Σ cluster² bargain under hostile skew (r5 verdict
+    item): one k-means cluster holds 25%+ of all vectors (200 IDENTICAL
+    embeddings -- the re-encoded-boilerplate reality). The within-cluster
+    pair join must stay cluster-bounded -- no cartesian over the corpus,
+    no row-Python, bounded time -- and the hot cluster must resolve to
+    ONE survivor with every duplicate dropped."""
+    import random
+    import time
+
+    from sparkbigdatatextanalysis_spark.operators import dedup
+    from sparkbigdatatextanalysis_spark.plans import audit_plan
+
+    rng = random.Random(11)
+    dim, n_rand, n_hot = 32, 600, 200
+    hot_vec = [1.0] * dim
+    rows = []
+    # ids 0..599 random Gaussians: the first N_CENTROIDS (16) seed
+    # DISTINCT centroids (identical seeds would collapse every vector
+    # into one cluster and the test would measure the wrong degeneracy)
+    for i in range(n_rand):
+        rows.append((i, [rng.gauss(0.0, 1.0) for _ in range(dim)]))
+    # ids 600..799 all IDENTICAL: one cluster carries 25% of the corpus
+    for i in range(n_rand, n_rand + n_hot):
+        rows.append((i, list(hot_vec)))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    out_df = dedup.semantic_dedup(emb, threshold=0.99)
+    a = audit_plan(out_df)
+    assert a.cartesian_products == 0 and a.row_python_stages == 0
+
+    t0 = time.time()
+    out = out_df.collect()
+    elapsed = time.time() - t0
+    assert len(out) == n_rand + n_hot
+
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    hot = [r for r in out if r["vec_id"] >= n_rand]
+    # all identical vectors land in ONE cluster ...
+    assert len({r["cluster"] for r in hot}) == 1
+    # ... and min-id survivorship keeps exactly one of them
+    assert sum(r["keep"] for r in hot) == 1
+    assert next(r for r in hot if r["keep"])["vec_id"] == n_rand
+    # random Gaussians in dim 32 never reach cos >= 0.99 (seeded): every
+    # non-hot vector survives -- the hot cluster's quadratic term did not
+    # leak drops into other clusters
+    assert sum(r["keep"] for r in out) == n_rand + 1
+    assert elapsed < 120, f"degenerate-cluster pair join took {elapsed:.1f}s"
