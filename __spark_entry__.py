@@ -2127,6 +2127,27 @@ def q_incremental_spans_batch(spark, sf_dir):
     return res.spans
 
 
+def q_docs_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (operators/pipeline.py::
+    bloom_bits + bloom_contamination) -- the broadcast-constant twin of
+    train_test_ngram_overlap with the direction production uses: the
+    bitmap is built over the PROTECTED test split (buckets >= 90, same
+    deterministic split), collected as bounded model state (2048 longs)
+    and embedded as a plan literal; the 100 TB TRAIN side (buckets
+    < 80) is probed IN-ROW -- no join, the only exchange is the per-doc
+    counting agg. contaminated is a provable SUPERSET of the exact
+    answer (Bloom FPs only; pinned vs contamination_overlap in
+    tests/test_pipeline_ops.py). The oracle replays the same affine
+    bit positions and bit_or words in DuckDB."""
+    from sparkbigdatatextanalysis_spark.functions.hashing import string_hash31
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    sh = dd.shingle_hashes(_docs(spark, sf_dir)).select("id", "sh").distinct()
+    bucket = string_hash31(F.col("id").cast("string")) % 100
+    bits = pl.bloom_bits(sh.where(bucket >= 90))
+    return pl.bloom_contamination(sh.where(bucket < 80), bits)
+
+
 TOKEN_BUDGET = 8192  # ~half the sf0.01 corpus; any value is deterministic
 
 
@@ -2183,14 +2204,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checks the FIRST 50 declared keys. Round-6 window (the rotation
     # the r5 comment block promised): slots 1-10 are the ten keys whose
     # latest driver row is r03 (3 rounds stale -- the staleness maximum,
-    # they MUST gate now), slots 11-13 the three keys NEW this round
-    # (the incremental daily-ingest contracts + the ExactSubstr
-    # subtraction half), and slots 14-50 re-gate 37 of the 50 keys whose
-    # latest row is r04. The remaining 13 r04-latest keys (first section
-    # after the window) MUST lead the r7 window -- they will be 3 rounds
-    # stale by then; after them rotate the 50 r05-latest keys (2 rounds
-    # stale at r7, 37 fit alongside). Every key is re-verified on every
-    # suite run by tests/test_oracle_parity.py regardless of the window.
+    # they MUST gate now), slots 11-14 the four keys NEW this round
+    # (the incremental daily-ingest contracts, the ExactSubstr
+    # subtraction half, and Bloom decontamination), and slots 15-50
+    # re-gate 36 of the 50 keys whose latest row is r04. The remaining
+    # 14 r04-latest keys (first section after the window) MUST lead the
+    # r7 window -- they will be 3 rounds stale by then; after them
+    # rotate the 50 r05-latest keys (2 rounds stale at r7, 36 fit
+    # alongside). Every key is re-verified on every suite run by
+    # tests/test_oracle_parity.py regardless of the window.
     return {
         # --- latest driver row r03: 3 rounds stale, MUST gate now (10) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2203,11 +2225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "events_interarrival": q_events_interarrival,
         "orders_status_breakdown": q_orders_status_breakdown,
-        # --- new this round (3) ---
+        # --- new this round (4) ---
         "docs_substring_clean": q_docs_substring_clean,
         "incremental_dedup_flags": q_incremental_dedup_flags,
         "incremental_spans_batch": q_incremental_spans_batch,
-        # --- latest driver row r04: re-gate 37 of 50 (slots 14-50) ---
+        "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
+        # --- latest driver row r04: re-gate 36 of 50 (slots 15-50) ---
         "events_json_props": q_events_json_props,
         "docs_pack_sequences": q_docs_pack_sequences,
         "approx_distinct_users": q_approx_distinct_users,
@@ -2244,9 +2267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
         # ---- end of the 50-key gate window ----
-        # --- r04-latest leftovers (13): MUST lead the r7 window ---
+        # --- r04-latest leftovers (14): MUST lead the r7 window ---
+        "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "media_decode": q_media_decode,
@@ -4246,6 +4269,52 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         LEFT JOIN rem r ON r.doc_id = d.doc_id
         LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+    """
+    from sparkbigdatatextanalysis_spark.operators.pipeline import (
+        BLOOM_AB,
+        BLOOM_BITS_PER_WORD as _BPW,
+        BLOOM_N_WORDS as _BNW,
+    )
+
+    (_ba1, _bb1), (_ba2, _bb2) = BLOOM_AB
+    _bm = _BNW * _BPW
+    sqls["docs_bloom_decontaminate"] = f"""
+        WITH {_DEDUP_BASE},
+        sd AS (SELECT DISTINCT doc_id, sh FROM shh),
+        bk AS (
+          SELECT doc_id, sh,
+                 {string_hash31_sql("doc_id::VARCHAR")} % 100 AS bucket
+          FROM sd
+        ),
+        words AS (
+          SELECT (p // {_BPW})::BIGINT AS w,
+                 bit_or(1::BIGINT << (p % {_BPW})::INT) AS bits
+          FROM (
+            SELECT ((a * sh + b) % {MERSENNE31}) % {_bm} AS p
+            FROM (SELECT sh FROM bk WHERE bucket >= 90)
+            CROSS JOIN (VALUES ({_ba1}, {_bb1}), ({_ba2}, {_bb2})) t(a, b)
+          ) GROUP BY 1
+        ),
+        train AS (
+          SELECT doc_id,
+                 (({_ba1} * sh + {_bb1}) % {MERSENNE31}) % {_bm} AS p1,
+                 (({_ba2} * sh + {_bb2}) % {MERSENNE31}) % {_bm} AS p2
+          FROM bk WHERE bucket < 80
+        ),
+        probe AS (
+          SELECT doc_id,
+                 ((coalesce(w1.bits, 0) & (1::BIGINT << (p1 % {_BPW})::INT)) <> 0
+                  AND
+                  (coalesce(w2.bits, 0) & (1::BIGINT << (p2 % {_BPW})::INT)) <> 0)
+                   AS hit
+          FROM train t
+          LEFT JOIN words w1 ON w1.w = p1 // {_BPW}
+          LEFT JOIN words w2 ON w2.w = p2 // {_BPW}
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_shingles,
+               sum(hit::INT)::BIGINT AS n_bloom_hits,
+               (sum(hit::INT) > 0) AS contaminated
+        FROM probe GROUP BY doc_id
     """
     sqls["incremental_dedup_flags"] = f"""
         WITH {_DEDUP_BASE}, {_MINHASH_PARAMS_SQL}, {_MINHASH_SIGS_SQL},

@@ -85,9 +85,10 @@ HEADLINE = [
     "embeddings_quantized",
     "dedup_semantic",
     "docs_domain_caps",
-    # r6 addition: the span-subtraction (user-facing) half of
-    # exact-substring dedup
+    # r6 additions: the span-subtraction (user-facing) half of
+    # exact-substring dedup, and join-free Bloom decontamination
     "docs_substring_clean",
+    "docs_bloom_decontaminate",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental-dedup scale paths plus the 100-query BM25 batch --
     # see EXTRA below. NB incremental_spans_batch here SHADOWS the

@@ -113,6 +113,114 @@ def contamination_overlap(
     )
 
 
+# --- Bloom-filter decontamination -----------------------------------------
+# The broadcast-constant variant of contamination_overlap: at 100 TB the
+# train side's shingle postings are petabyte-scale and the equi-join
+# shuffles the TEST shingles against them; when the question is only
+# "does this shingle occur in the protected set" (test-set n-grams,
+# blocklists), a Bloom bitmap over the PROTECTED side is bounded
+# driver-held model state -- embed it as a plan literal (the IVF
+# centroid pattern) and the probe over the unbounded side becomes
+# MAP-ONLY + one partial agg: zero joins, zero shuffles of the corpus.
+# The price is a tunable false-positive rate ((1 - e^{-kn/m})^k; zero
+# false NEGATIVES), so it fits flag-and-route, not exact reporting.
+
+BLOOM_N_WORDS = 2048       # bitmap size in 64-bit words (16 KiB literal)
+BLOOM_BITS_PER_WORD = 63   # bit 63 stays clear: DuckDB raises on 1 << 63
+# Two affine hashes over the (already md5-derived) shingle hash -- the
+# minhash parameter construction, replayed verbatim in the oracle.
+BLOOM_AB = ((1540483477, 433494437), (1203948817, 998244353))
+
+
+def _bloom_positions(sh, n_words: int):
+    from ..functions.hashing import MERSENNE31
+
+    m = n_words * BLOOM_BITS_PER_WORD
+    return [((F.lit(a) * sh + F.lit(b)) % MERSENNE31 % m) for a, b in BLOOM_AB]
+
+
+def bloom_bits(shingles: DataFrame, n_words: int = BLOOM_N_WORDS) -> list[int]:
+    """Collect the Bloom bitmap (``n_words`` longs) of a distinct
+    (id, sh) shingle-hash table -- e.g. the protected test split of
+    :func:`..operators.dedup.shingle_hashes` output.
+
+    The build is one explode of k=2 bit positions per shingle + ONE
+    partial-aggregated bit_or groupBy over at most ``n_words`` groups,
+    then an ``n_words``-row collect: bounded model state (16 KiB at the
+    default), NOT a corpus collect. Size rule of thumb: for n protected
+    shingles and k=2 hashes the false-positive rate is
+    (1 - e^{-2n/m})^2 with m = n_words*63 bits -- at the default m ~=
+    129k bits, 20k shingles give ~8%; scale ``n_words`` linearly with
+    the protected set (a 1M-shingle test set at 1% FP wants ~2^21
+    bits ~= 33k words = 260 KiB, still broadcast-trivial)."""
+    pos = F.explode(
+        F.array(*[p.cast("long") for p in _bloom_positions(F.col("sh"), n_words)])
+    ).alias("p")
+    rows = (
+        shingles.select(pos)
+        # selectExpr: pyspark's shiftleft wrapper takes only an int
+        # literal shift; the SQL function accepts a column
+        .selectExpr(
+            f"CAST(p / {BLOOM_BITS_PER_WORD} AS BIGINT) AS w",
+            f"shiftleft(1L, CAST(p % {BLOOM_BITS_PER_WORD} AS INT)) AS mask",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    got = {r["w"]: r["bits"] for r in rows}
+    return [got.get(i, 0) for i in range(n_words)]
+
+
+def bloom_contamination(
+    shingles: DataFrame, bits: list[int], id_col: str = "id"
+) -> DataFrame:
+    """(doc_id, n_shingles, n_bloom_hits, contaminated): probe every
+    doc's distinct shingle hashes against a :func:`bloom_bits` bitmap
+    embedded as a plan literal. The probe is IN-ROW (two affine hashes,
+    two element_at reads of the literal array, two bitwise ANDs); the
+    only exchange is the per-doc counting agg, partial-aggregated
+    map-side. ``contaminated`` = any shingle hit -- a superset of the
+    true contaminated set (Bloom false positives flag clean docs at the
+    documented rate; never the reverse), so route flagged docs to the
+    exact :func:`contamination_overlap` join for adjudication."""
+    n_words = len(bits)
+    # one SQL-string array literal (the _cents_lit pattern): n_words
+    # longs through per-Column py4j assembly would dominate plan build
+    arr_sql = "array(" + ",".join(f"{b}L" for b in bits) + ")"
+    # chained projection: name the positions first, then test the bits
+    # in SQL (pyspark's shiftleft wrapper cannot take a column shift);
+    # the bitmap literal stays INSIDE the projection expression -- it
+    # never becomes a per-row column crossing an exchange
+    named = shingles.select(
+        F.col(id_col).alias("doc_id"),
+        *[
+            p.cast("long").alias(f"_p{i}")
+            for i, p in enumerate(_bloom_positions(F.col("sh"), n_words))
+        ],
+    )
+    bpw = BLOOM_BITS_PER_WORD
+    hit_sql = " AND ".join(
+        f"((element_at({arr_sql}, CAST(_p{i} / {bpw} AS INT) + 1)"
+        f" & shiftleft(1L, CAST(_p{i} % {bpw} AS INT))) <> 0)"
+        for i in range(len(BLOOM_AB))
+    )
+    return (
+        named.selectExpr("doc_id", f"({hit_sql}) AS _hit")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("_hit").cast("long")).alias("n_bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            (F.col("n_bloom_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
 def pack_sequences(
     doc_tokens: DataFrame,
     budget: int = 512,

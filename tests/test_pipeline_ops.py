@@ -826,3 +826,81 @@ def test_cap_per_domain_guards(spark):
     df = spark.createDataFrame([(1, "d")], "doc_id LONG, source STRING")
     with pytest.raises(ValueError):
         pl.cap_per_domain(df, cap=0)
+
+
+# --- Bloom-filter decontamination (pipeline.bloom_bits / bloom_contamination)
+
+
+def test_bloom_contamination_supersets_exact(spark):
+    """Zero false NEGATIVES by construction: every shingle truly present
+    in the protected split has all its Bloom bits set, so per-doc bloom
+    hit counts dominate the exact join's contaminated counts and every
+    truly contaminated doc is flagged. False positives are allowed at
+    the documented rate and routed to the exact join -- the API
+    contract this pins."""
+    from sparkbigdatatextanalysis_spark.operators import dedup
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    train_phrase = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, "alpha " + train_phrase + " beta gamma"),
+        (1, "completely different training text about query planners"),
+        (2, "another training document with shuffle partitions and joins"),
+        (3, train_phrase),
+        (4, "cost based optimizer statistics histogram sketch"),
+        # test docs: 5 copies a train phrase (contaminated), 6 copies a
+        # fragment, 7 and 8 are clean, 9 shares single words only (no
+        # 3-gram overlap)
+        (5, "intro words then " + train_phrase + " closing words"),
+        (6, "quick brown fox jumps somewhere new entirely today folks"),
+        (7, "nothing shared here at all zebra xylophone quasar"),
+        (8, "fresh unrelated evaluation sentence with novel content"),
+        (9, "optimizer quick planners shuffle lazy statistics zebra"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sh = dedup.shingle_hashes(docs).select("id", "sh").distinct()
+    train_pred = F.col("id") < 5
+    test_pred = F.col("id") >= 5
+
+    exact = {
+        r["doc_id"]: r
+        for r in pl.contamination_overlap(sh, train_pred, test_pred).collect()
+    }
+    bits = pl.bloom_bits(sh.where(train_pred))
+    bloom = {
+        r["doc_id"]: r
+        for r in pl.bloom_contamination(sh.where(test_pred), bits).collect()
+    }
+    assert set(bloom) == set(exact) == {5, 6, 7, 8, 9}
+    for did, ex in exact.items():
+        bl = bloom[did]
+        assert bl["n_shingles"] == ex["n_shingles"], did
+        # superset: every true match hits the bloom
+        assert bl["n_bloom_hits"] >= ex["n_contaminated"], did
+        if ex["n_contaminated"] > 0:
+            assert bl["contaminated"], did
+    # the known-contaminated docs are flagged; the known-clean pair may
+    # only be flagged by an (unlikely at this fill) false positive,
+    # never unflagged when truly contaminated
+    assert bloom[5]["contaminated"] and bloom[6]["contaminated"]
+    assert exact[7]["n_contaminated"] == 0 and exact[9]["n_contaminated"] == 0
+
+
+def test_bloom_bits_bounded_and_deterministic(spark):
+    """The collected bitmap is model state: exactly BLOOM_N_WORDS longs,
+    bit 63 never set (the cross-engine shift guard), and rebuilding from
+    the same input is bit-identical."""
+    from sparkbigdatatextanalysis_spark.operators import dedup
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with a few shared words") for i in range(6)],
+        "doc_id LONG, text STRING",
+    )
+    sh = dedup.shingle_hashes(docs).select("id", "sh").distinct()
+    b1 = pl.bloom_bits(sh)
+    b2 = pl.bloom_bits(sh)
+    assert len(b1) == pl.BLOOM_N_WORDS
+    assert b1 == b2
+    assert any(b1)  # something was set
+    assert all(w >= 0 for w in b1)  # bit 63 clear in every word

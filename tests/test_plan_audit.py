@@ -239,6 +239,11 @@ BUDGETS = {
     "docs_substring_clean": (4, 0),
     "incremental_dedup_flags": (12, 0),
     "incremental_spans_batch": (6, 0),
+    # r6 Bloom decontamination: the probe side is JOIN-FREE by
+    # construction (bitmap embedded as a plan literal); the exchanges
+    # are the shingle window, the (id, sh) distinct and the per-doc
+    # counting agg -- zero broadcasts because there is nothing to join
+    "docs_bloom_decontaminate": (3, 0),
 }
 
 
