@@ -2085,7 +2085,9 @@ def q_incremental_dedup_flags(spark, sf_dir):
     d = _docs(spark, sf_dir)
     hist = d.where(F.col("doc_id") % 2 == 0)
     batch = d.where(F.col("doc_id") % 2 == 1)
-    hh = dd.exact_dedup(hist).select("content_hash").distinct()
+    # the history hash SET directly -- exact_dedup's min-id window
+    # computes a keep flag this set never reads (review finding)
+    hh = hist.select(F.sha2(F.col("text"), 256).alias("content_hash")).distinct()
     hb = dd.lsh_band_keys_flat(
         dd.minhash_signatures_flat(dd.shingle_hashes(hist))
     ).select("band", "key")

@@ -244,7 +244,13 @@ def _dedup_history(spark, sf_dir):
     if key not in _SETUP_CACHE:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         hist = docs.where(FF.col("doc_id") % 2 == 0)
-        hh = dd.exact_dedup(hist).select("content_hash").distinct().persist()
+        # the hash SET directly -- exact_dedup's min-id window computes
+        # a keep flag this set never reads
+        hh = (
+            hist.select(FF.sha2(FF.col("text"), 256).alias("content_hash"))
+            .distinct()
+            .persist()
+        )
         hb = (
             dd.lsh_band_keys_flat(
                 dd.minhash_signatures_flat(dd.shingle_hashes(hist))
@@ -418,6 +424,7 @@ def main() -> None:
     # multi-stage queries. Cheap no-op on an idle system.
     os.sync()
     settle_sec = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "8"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     time.sleep(settle_sec)
     # Settle metadata (recorded on the final JSON line so a reader can
     # verify the run was solo and quiesced): load average at timing
@@ -427,7 +434,7 @@ def main() -> None:
     # with similar settle fields.
     settle_meta: dict = {
         "settle_sec": settle_sec,
-        "repeats": int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")),
+        "repeats": repeats,
         "loadavg_start": [round(v, 2) for v in os.getloadavg()],
         "other_java_procs": _other_java_procs(),
     }
@@ -444,8 +451,9 @@ def main() -> None:
     # measures "query over warm pipeline caches" -- which is exactly how
     # the query runs in the pipeline, but NOT a cold-start number. The
     # first-run (cold, incl. cache build) timings are reported alongside
-    # as "queries_cold" so both views stay visible.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # as "queries_cold" so both views stay visible. (repeats was read
+    # ONCE above, before the settle block records it -- the metadata
+    # must describe the run that actually happened.)
     qs = dict(entry_mod.queries())
     qs.update(EXTRA)
     timings: dict[str, float] = {}

@@ -150,9 +150,10 @@ def bloom_bits(shingles: DataFrame, n_words: int = BLOOM_N_WORDS) -> list[int]:
     default), NOT a corpus collect. Size rule of thumb: for n protected
     shingles and k=2 hashes the false-positive rate is
     (1 - e^{-2n/m})^2 with m = n_words*63 bits -- at the default m ~=
-    129k bits, 20k shingles give ~8%; scale ``n_words`` linearly with
-    the protected set (a 1M-shingle test set at 1% FP wants ~2^21
-    bits ~= 33k words = 260 KiB, still broadcast-trivial)."""
+    129k bits, 20k shingles give ~7%; scale ``n_words`` with the
+    protected set via m = 2n / ln(1/(1-sqrt(FP))) (a 1M-shingle test
+    set at 1% FP wants m ~= 19M bits ~= 301k words = 2.4 MiB, still
+    broadcast-trivial)."""
     pos = F.explode(
         F.array(*[p.cast("long") for p in _bloom_positions(F.col("sh"), n_words)])
     ).alias("p")

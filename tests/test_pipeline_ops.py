@@ -724,7 +724,9 @@ def test_semantic_dedup_within_cluster_minid_survives(spark):
     cents = _init_centroids(_norm_vecs(emb, "vec_id", "embedding"), 2)
     got = {
         r["vec_id"]: (r["cluster"], r["keep"])
-        for r in dedup.semantic_dedup(emb, threshold=0.95, cents=cents).collect()
+        for r in dedup.semantic_dedup(
+            emb, threshold=0.95, cents=cents, persist_assignments=False
+        ).collect()
     }
     assert set(got) == {1, 2, 3, 4}
     assert got[1][1] == 1 and got[3][1] == 0   # min-id survives
@@ -743,7 +745,9 @@ def test_semantic_dedup_recall_tradeoff_documented(spark):
     from sparkbigdatatextanalysis_spark.operators.ann import _init_centroids, _norm_vecs
 
     cents = _init_centroids(_norm_vecs(emb, "vec_id", "embedding"), 8)
-    out = dedup.semantic_dedup(emb, threshold=0.0, cents=cents).collect()
+    out = dedup.semantic_dedup(
+        emb, threshold=0.0, cents=cents, persist_assignments=False
+    ).collect()
     # orthogonal unit vectors each own their seed cluster: all kept even
     # at threshold 0 (cos 0 pairs exist corpus-wide but never in-cluster)
     assert all(r["keep"] == 1 for r in out)
@@ -762,7 +766,8 @@ def test_semantic_dedup_matches_brute_force_within_clusters(spark):
     ]
     emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
     got = {r["vec_id"]: (r["cluster"], r["keep"])
-           for r in dedup.semantic_dedup(emb, threshold=0.8).collect()}
+           for r in dedup.semantic_dedup(
+               emb, threshold=0.8, persist_assignments=False).collect()}
     vecs = dict(rows)
 
     def cos(a, b):
