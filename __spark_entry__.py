@@ -2150,6 +2150,29 @@ def q_docs_bloom_decontaminate(spark, sf_dir):
     return pl.bloom_contamination(sh.where(bucket < 80), bits)
 
 
+def q_tokens_cms_estimates(spark, sf_dir):
+    """Count-min-sketch token frequencies (operators/stats.py::
+    cms_build + cms_estimate) -- the counting member of the sketch
+    family: (token, n_occ, cms_est) for every distinct corpus token.
+    The sketch (depth 3 x width 2048) is collected as bounded model
+    state and embedded as plan literals; the estimate is a join-free
+    per-row min of three counter reads (at 100 TB this replaces a
+    ~1e8-row vocabulary broadcast inside filter/scoring stages).
+    Overestimate-only by construction; the oracle replays the
+    identical affine cells and counter sums, so the estimate is
+    hash-pinned exactly, not just bounded."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+
+    counts = (
+        _tok(spark, sf_dir)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    table = st.cms_build(counts)
+    return st.cms_estimate(counts, table).select("token", "n_occ", "cms_est")
+
+
 TOKEN_BUDGET = 8192  # ~half the sf0.01 corpus; any value is deterministic
 
 
@@ -2206,14 +2229,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checks the FIRST 50 declared keys. Round-6 window (the rotation
     # the r5 comment block promised): slots 1-10 are the ten keys whose
     # latest driver row is r03 (3 rounds stale -- the staleness maximum,
-    # they MUST gate now), slots 11-14 the four keys NEW this round
+    # they MUST gate now), slots 11-15 the five keys NEW this round
     # (the incremental daily-ingest contracts, the ExactSubstr
-    # subtraction half, and Bloom decontamination), and slots 15-50
-    # re-gate 36 of the 50 keys whose latest row is r04. The remaining
-    # 14 r04-latest keys (first section after the window) MUST lead the
-    # r7 window -- they will be 3 rounds stale by then; after them
-    # rotate the 50 r05-latest keys (2 rounds stale at r7, 36 fit
-    # alongside). Every key is re-verified on every suite run by
+    # subtraction half, Bloom decontamination, and the CMS), and slots
+    # 16-50 re-gate 35 of the 50 keys whose latest row is r04. The
+    # remaining 15 r04-latest keys (first section after the window)
+    # MUST lead the r7 window -- they will be 3 rounds stale by then;
+    # after them rotate the 50 r05-latest keys (2 rounds stale at r7,
+    # 35 fit alongside). Every key is re-verified on every suite run by
     # tests/test_oracle_parity.py regardless of the window.
     return {
         # --- latest driver row r03: 3 rounds stale, MUST gate now (10) ---
@@ -2227,12 +2250,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "events_interarrival": q_events_interarrival,
         "orders_status_breakdown": q_orders_status_breakdown,
-        # --- new this round (4) ---
+        # --- new this round (5) ---
         "docs_substring_clean": q_docs_substring_clean,
         "incremental_dedup_flags": q_incremental_dedup_flags,
         "incremental_spans_batch": q_incremental_spans_batch,
         "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
-        # --- latest driver row r04: re-gate 36 of 50 (slots 15-50) ---
+        "tokens_cms_estimates": q_tokens_cms_estimates,
+        # --- latest driver row r04: re-gate 35 of 50 (slots 16-50) ---
         "events_json_props": q_events_json_props,
         "docs_pack_sequences": q_docs_pack_sequences,
         "approx_distinct_users": q_approx_distinct_users,
@@ -2268,9 +2292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
-        "text_lang_id": q_text_lang_id,
         # ---- end of the 50-key gate window ----
-        # --- r04-latest leftovers (14): MUST lead the r7 window ---
+        # --- r04-latest leftovers (15): MUST lead the r7 window ---
+        "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -4278,8 +4302,40 @@ def oracle_sql() -> dict[str, str]:
         BLOOM_N_WORDS as _BNW,
     )
 
+    from sparkbigdatatextanalysis_spark.operators.stats import (
+        CMS_DEPTH_AB,
+        CMS_WIDTH as _CW,
+    )
+
     (_ba1, _bb1), (_ba2, _bb2) = BLOOM_AB
     _bm = _BNW * _BPW
+    _cms_pos = ", ".join(
+        f"(({a} * sh + {b}) % {MERSENNE31}) % {_CW} AS c{i}"
+        for i, (a, b) in enumerate(CMS_DEPTH_AB)
+    )
+    _cms_union = " UNION ALL ".join(
+        f"SELECT {i} AS r, c{i} AS c, n_occ FROM pos"
+        for i in range(len(CMS_DEPTH_AB))
+    )
+    _cms_joins = " ".join(
+        f"JOIN cells e{i} ON e{i}.r = {i} AND e{i}.c = p.c{i}"
+        for i in range(len(CMS_DEPTH_AB))
+    )
+    _cms_least = ", ".join(f"e{i}.v" for i in range(len(CMS_DEPTH_AB)))
+    sqls["tokens_cms_estimates"] = f"""
+        WITH {_BASE},
+        cnt AS (SELECT token, count(*)::BIGINT AS n_occ FROM ex GROUP BY token),
+        hs AS (
+          SELECT token, n_occ, {string_hash31_sql("token")} AS sh FROM cnt
+        ),
+        pos AS (SELECT token, n_occ, {_cms_pos} FROM hs),
+        cells AS (
+          SELECT r, c, sum(n_occ)::BIGINT AS v
+          FROM ({_cms_union}) GROUP BY r, c
+        )
+        SELECT p.token, p.n_occ, least({_cms_least})::BIGINT AS cms_est
+        FROM pos p {_cms_joins}
+    """
     sqls["docs_bloom_decontaminate"] = f"""
         WITH {_DEDUP_BASE},
         sd AS (SELECT DISTINCT doc_id, sh FROM shh),

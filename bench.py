@@ -86,9 +86,11 @@ HEADLINE = [
     "dedup_semantic",
     "docs_domain_caps",
     # r6 additions: the span-subtraction (user-facing) half of
-    # exact-substring dedup, and join-free Bloom decontamination
+    # exact-substring dedup, join-free Bloom decontamination, and
+    # count-min-sketch frequency estimates
     "docs_substring_clean",
     "docs_bloom_decontaminate",
+    "tokens_cms_estimates",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental-dedup scale paths plus the 100-query BM25 batch --
     # see EXTRA below. NB incremental_spans_batch here SHADOWS the

@@ -201,3 +201,83 @@ def equi_depth_bins(
         df.join(F.broadcast(bounds), cond)
         .select(*df.columns, binned.alias(out_col))
     )
+
+
+# --- Count-min sketch frequency estimation ---------------------------------
+# The counting member of the sketch family (HLL = distinct cardinality,
+# MinHash = set similarity, SimHash = vector similarity, Bloom =
+# membership, CMS = frequency): a depth x width counter table answers
+# "how often does key x occur" for ANY key with additive-overestimate
+# error <= 2N/width at ~1 - (1/2)^depth confidence (Cormode &
+# Muthukrishnan 2005), in bounded space. At 100 TB the exact token
+# table has ~1e8 rows -- too big to broadcast into a scoring stage --
+# while the CMS is depth*width longs of driver-held model state (48 KiB
+# at the defaults): embed it as a plan literal (the IVF-centroid /
+# Bloom-bitmap pattern) and frequency lookups inside filters or
+# LM-scoring stages become per-row expressions with ZERO joins.
+
+CMS_DEPTH_AB = (
+    (1540483477, 433494437),
+    (1203948817, 998244353),
+    (1779033703, 102334155),
+)
+CMS_WIDTH = 2048
+
+
+def _cms_cols(sh, width: int):
+    from ..functions.hashing import MERSENNE31
+
+    return [((F.lit(a) * sh + F.lit(b)) % MERSENNE31 % width) for a, b in CMS_DEPTH_AB]
+
+
+def cms_build(key_counts: DataFrame, width: int = CMS_WIDTH) -> list[list[int]]:
+    """depth x width counter table from a (token, n_occ) count table.
+
+    One explode of depth=3 (row, col) cells per DISTINCT key + ONE
+    partial-aggregated sum over <= depth*width groups, then a bounded
+    collect -- model state, not data (the vocabulary itself never
+    reaches the driver). Hashing is the md5-derived string_hash31 +
+    the minhash affine family, replayed verbatim by the oracle."""
+    from ..functions.hashing import string_hash31
+
+    sh = string_hash31(F.col("token"))
+    entries = [
+        F.struct(
+            F.lit(i).cast("int").alias("r"), c.cast("long").alias("c")
+        )
+        for i, c in enumerate(_cms_cols(sh, width))
+    ]
+    rows = (
+        key_counts.select(
+            F.col("n_occ"), F.explode(F.array(*entries)).alias("rc")
+        )
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.sum("n_occ").alias("v"))
+        .collect()
+    )
+    table = [[0] * width for _ in CMS_DEPTH_AB]
+    for rec in rows:
+        table[rec["r"]][rec["c"]] = rec["v"]
+    return table
+
+
+def cms_estimate(keys: DataFrame, table: list[list[int]]) -> DataFrame:
+    """Adds ``cms_est`` to a frame with a ``token`` column: the min over
+    depth rows of the key's counter cells -- a pure per-row expression
+    over SQL-string array literals (one per depth row), no join, no
+    shuffle. Estimates NEVER undercount; overcounts are bounded by the
+    documented additive error."""
+    from ..functions.hashing import string_hash31
+
+    width = len(table[0])
+    cols = _cms_cols(string_hash31(F.col("token")), width)
+    named = keys.withColumns(
+        {f"_c{i}": c.cast("int") for i, c in enumerate(cols)}
+    )
+    ests = ", ".join(
+        "element_at(array(" + ",".join(f"{v}L" for v in row) + f"), _c{i} + 1)"
+        for i, row in enumerate(table)
+    )
+    return named.selectExpr("*", f"least({ests}) AS cms_est").drop(
+        *[f"_c{i}" for i in range(len(table))]
+    )

@@ -909,3 +909,42 @@ def test_bloom_bits_bounded_and_deterministic(spark):
     assert b1 == b2
     assert any(b1)  # something was set
     assert all(w >= 0 for w in b1)  # bit 63 clear in every word
+
+
+# --- Count-min sketch (stats.cms_build / cms_estimate) ----------------------
+
+
+def test_cms_overcounts_only_and_exact_without_collisions(spark):
+    """CMS estimates never undercount; at width 2048 with a handful of
+    keys the (deterministic, seeded-by-hash) cells do not collide, so
+    every estimate equals the true count exactly."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+
+    counts = spark.createDataFrame(
+        [("alpha", 5), ("beta", 3), ("gamma", 11), ("delta", 1), ("eps", 7)],
+        "token STRING, n_occ LONG",
+    )
+    table = st.cms_build(counts)
+    assert len(table) == len(st.CMS_DEPTH_AB)
+    assert all(len(row) == st.CMS_WIDTH for row in table)
+    # total mass conservation per depth row
+    assert all(sum(row) == 27 for row in table)
+    got = {r["token"]: r for r in st.cms_estimate(counts, table).collect()}
+    for tok, r in got.items():
+        assert r["cms_est"] >= r["n_occ"], tok
+        assert r["cms_est"] == r["n_occ"], tok  # no collisions at this width
+
+
+def test_cms_width_one_degenerates_to_total(spark):
+    """The collision worst case, forced: at width 1 every key maps to
+    the single cell in every depth row, so every estimate equals the
+    total corpus mass -- the documented additive overestimate at its
+    maximum, still never an undercount."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+
+    counts = spark.createDataFrame(
+        [("a", 2), ("b", 3), ("c", 5)], "token STRING, n_occ LONG"
+    )
+    table = st.cms_build(counts, width=1)
+    got = st.cms_estimate(counts, table).collect()
+    assert all(r["cms_est"] == 10 for r in got)

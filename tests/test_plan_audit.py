@@ -244,6 +244,11 @@ BUDGETS = {
     # are the shingle window, the (id, sh) distinct and the per-doc
     # counting agg -- zero broadcasts because there is nothing to join
     "docs_bloom_decontaminate": (3, 0),
+    # r6 CMS: the sketch BUILD runs eagerly at query construction
+    # (collected model state, like the IVF centroids); the audited plan
+    # is the _tok fan-out + the token count agg, with the estimate a
+    # join-free per-row min over the literal counter rows
+    "tokens_cms_estimates": (2, 0),
 }
 
 
