@@ -126,27 +126,40 @@ _SETUP_CACHE: dict = {}
 
 
 def _other_java_procs() -> int:
-    """Count java processes NOT parented by this bench (a concurrent
+    """Count java processes NOT descended from this bench (a concurrent
     Spark session or test suite JVM -- the contention source that made
-    identical-code runs span 34-44 s). Best-effort /proc scan; 0 on an
-    honest solo run."""
+    identical-code runs span 34-44 s). Walks the full ancestor chain
+    (one /proc pid->ppid snapshot), so a gateway JVM launched through a
+    non-exec wrapper or reparented mid-run is still recognized as OURS
+    rather than reported as contention (r6 advice: the old single-level
+    ppid check made an honest solo run look contended in that case).
+    Best-effort /proc scan; 0 on an honest solo run."""
     import glob
 
     me = os.getpid()
-    n = 0
-    for p in glob.glob("/proc/[0-9]*/comm"):
+    ppid_of: dict[int, int] = {}
+    javas: list[int] = []
+    for p in glob.glob("/proc/[0-9]*/stat"):
         try:
+            pid = int(p.split("/")[2])
             with open(p) as f:
-                if f.read().strip() != "java":
-                    continue
-            with open(p.replace("/comm", "/stat")) as f:
-                ppid = int(f.read().rsplit(")", 1)[1].split()[1])
-            if ppid != me:
-                n += 1
-        except OSError:
+                stat = f.read()
+            # comm is field 2, parenthesized and may contain spaces --
+            # split on the LAST ')' like the old parser did
+            comm = stat.split("(", 1)[1].rsplit(")", 1)[0]
+            ppid_of[pid] = int(stat.rsplit(")", 1)[1].split()[1])
+            if comm == "java":
+                javas.append(pid)
+        except (OSError, ValueError, IndexError):
             continue
-        except (ValueError, IndexError):
-            continue
+    n = 0
+    for pid in javas:
+        cur, hops = pid, 0
+        while cur > 1 and cur != me and hops < 64:
+            cur = ppid_of.get(cur, 0)
+            hops += 1
+        if cur != me:
+            n += 1
     return n
 
 

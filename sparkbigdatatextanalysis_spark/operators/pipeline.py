@@ -174,25 +174,61 @@ def bloom_bits(shingles: DataFrame, n_words: int = BLOOM_N_WORDS) -> list[int]:
 
 
 def bloom_contamination(
-    shingles: DataFrame, bits: list[int], id_col: str = "id"
+    shingles: DataFrame,
+    bits: list[int],
+    id_col: str = "id",
+    as_literal: bool | None = None,
 ) -> DataFrame:
     """(doc_id, n_shingles, n_bloom_hits, contaminated): probe every
-    doc's distinct shingle hashes against a :func:`bloom_bits` bitmap
-    embedded as a plan literal. The probe is IN-ROW (two affine hashes,
-    two element_at reads of the literal array, two bitwise ANDs); the
-    only exchange is the per-doc counting agg, partial-aggregated
-    map-side. ``contaminated`` = any shingle hit -- a superset of the
-    true contaminated set (Bloom false positives flag clean docs at the
+    doc's distinct shingle hashes against a :func:`bloom_bits` bitmap.
+    ``contaminated`` = any shingle hit -- a superset of the true
+    contaminated set (Bloom false positives flag clean docs at the
     documented rate; never the reverse), so route flagged docs to the
-    exact :func:`contamination_overlap` join for adjudication."""
+    exact :func:`contamination_overlap` join for adjudication.
+
+    Two probe strategies, neither joining on the CORPUS side's keys:
+
+    * plan-literal (``as_literal=True``): the bitmap ships as one
+      SQL-string array literal per hash (k=2 copies) and the probe is
+      IN-ROW (two affine hashes, two element_at reads, two bitwise
+      ANDs); the only exchange is the per-doc counting agg,
+      partial-aggregated map-side. Plan build parses/canonicalizes
+      2 x n_words literals, so very large bitmaps tax planning --
+      measured at the documented 301k-word sizing: ~14 s plan build +
+      ~5 s extra on the first action (local[8], Spark 4.1), vs <1 s
+      total for the broadcast path. It still completes (no
+      canonicalization blow-up), but the default cutoff below routes
+      that sizing to broadcast; tests/test_scale_paths.py pins both
+      the routing and the bounded end-to-end time.
+    * broadcast words (``as_literal=False``): the NONZERO bitmap words
+      ship as one tiny broadcast (word_idx, bits) table probed with two
+      broadcast-hash left joins -- map-side, zero shuffles of the
+      probed frame, plan size independent of the bitmap. The right
+      path for the 301k-word (2.4 MiB) sizing example in
+      :func:`bloom_bits`.
+
+    Default ``None`` picks the literal path up to 32768 words (~256 KiB
+    per literal copy) and broadcast past it.
+    """
     n_words = len(bits)
-    # one SQL-string array literal (the _cents_lit pattern): n_words
-    # longs through per-Column py4j assembly would dominate plan build
-    arr_sql = "array(" + ",".join(f"{b}L" for b in bits) + ")"
+    bpw = BLOOM_BITS_PER_WORD
+    k = len(BLOOM_AB)
+    reserved = [
+        s for i in range(k) for s in (f"_p{i}", f"_w{i}", f"_b{i}", f"_wb{i}")
+    ] + ["_hit"]
+    clash = [c for c in reserved if c in shingles.columns]
+    if clash:
+        # cheap insurance against silent scratch-column shadowing (the
+        # remove_duplicate_spans contract); the select() below projects
+        # these names fresh, so a clash today only confuses, but a
+        # refactor to withColumns would corrupt
+        raise ValueError(
+            f"bloom_contamination: input already has column(s) {clash}"
+        )
+    if as_literal is None:
+        as_literal = n_words <= 32768
     # chained projection: name the positions first, then test the bits
-    # in SQL (pyspark's shiftleft wrapper cannot take a column shift);
-    # the bitmap literal stays INSIDE the projection expression -- it
-    # never becomes a per-row column crossing an exchange
+    # (pyspark's shiftleft wrapper cannot take a column shift)
     named = shingles.select(
         F.col(id_col).alias("doc_id"),
         *[
@@ -200,15 +236,43 @@ def bloom_contamination(
             for i, p in enumerate(_bloom_positions(F.col("sh"), n_words))
         ],
     )
-    bpw = BLOOM_BITS_PER_WORD
-    hit_sql = " AND ".join(
-        f"((element_at({arr_sql}, CAST(_p{i} / {bpw} AS INT) + 1)"
-        f" & shiftleft(1L, CAST(_p{i} % {bpw} AS INT))) <> 0)"
-        for i in range(len(BLOOM_AB))
-    )
+    if as_literal:
+        # one SQL-string array literal (the _cents_lit pattern): n_words
+        # longs through per-Column py4j assembly would dominate plan
+        # build; the literal stays INSIDE the projection expression --
+        # it never becomes a per-row column crossing an exchange
+        arr_sql = "array(" + ",".join(f"{b}L" for b in bits) + ")"
+        hit_sql = " AND ".join(
+            f"((element_at({arr_sql}, CAST(_p{i} / {bpw} AS INT) + 1)"
+            f" & shiftleft(1L, CAST(_p{i} % {bpw} AS INT))) <> 0)"
+            for i in range(k)
+        )
+        probed = named.selectExpr("doc_id", f"({hit_sql}) AS _hit")
+    else:
+        spark = shingles.sparkSession
+        words = spark.createDataFrame(
+            [(w, int(b)) for w, b in enumerate(bits) if b] or [(-1, 0)],
+            "_w INT, _bits BIGINT",
+        )
+        probed = named.selectExpr(
+            "doc_id",
+            *[f"CAST(_p{i} / {bpw} AS INT) AS _w{i}" for i in range(k)],
+            *[f"CAST(_p{i} % {bpw} AS INT) AS _b{i}" for i in range(k)],
+        )
+        for i in range(k):
+            w = words.select(
+                F.col("_w").alias(f"_ww{i}"), F.col("_bits").alias(f"_wb{i}")
+            )
+            probed = probed.join(
+                F.broadcast(w), probed[f"_w{i}"] == F.col(f"_ww{i}"), "left"
+            ).drop(f"_ww{i}")
+        hit_sql = " AND ".join(
+            f"((coalesce(_wb{i}, 0L) & shiftleft(1L, _b{i})) <> 0)"
+            for i in range(k)
+        )
+        probed = probed.selectExpr("doc_id", f"({hit_sql}) AS _hit")
     return (
-        named.selectExpr("doc_id", f"({hit_sql}) AS _hit")
-        .groupBy("doc_id")
+        probed.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(F.col("_hit").cast("long")).alias("n_bloom_hits"),

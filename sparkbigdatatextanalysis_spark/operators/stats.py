@@ -237,7 +237,19 @@ def cms_build(key_counts: DataFrame, width: int = CMS_WIDTH) -> list[list[int]]:
     partial-aggregated sum over <= depth*width groups, then a bounded
     collect -- model state, not data (the vocabulary itself never
     reaches the driver). Hashing is the md5-derived string_hash31 +
-    the minhash affine family, replayed verbatim by the oracle."""
+    the minhash affine family, replayed verbatim by the oracle.
+
+    Sizing rule (the Bloom twin's closed form): the additive
+    overestimate is <= 2N/width with probability >= 1 - (1/2)^depth
+    per query (Cormode & Muthukrishnan 2005, with the standard e/eps
+    constant relaxed to the pairwise-hash bound), where N = sum of all
+    counts -- so for a target absolute error E choose
+    ``width >= 2N/E``. At 100 TB (N ~= 10^12 tokens) the default
+    width 2048 gives ~10^9 additive error -- useful only for
+    heavy-hitter screening; a 10^6-error estimate wants width ~=
+    2*10^6, i.e. ~16 MiB per depth row, at which point pass the table
+    to :func:`cms_estimate` via its broadcast-join fallback rather
+    than the plan-literal path (see cms_estimate's docstring)."""
     from ..functions.hashing import string_hash31
 
     sh = string_hash31(F.col("token"))
@@ -261,23 +273,72 @@ def cms_build(key_counts: DataFrame, width: int = CMS_WIDTH) -> list[list[int]]:
     return table
 
 
-def cms_estimate(keys: DataFrame, table: list[list[int]]) -> DataFrame:
+def cms_estimate(
+    keys: DataFrame, table: list[list[int]], as_literal: bool | None = None
+) -> DataFrame:
     """Adds ``cms_est`` to a frame with a ``token`` column: the min over
-    depth rows of the key's counter cells -- a pure per-row expression
-    over SQL-string array literals (one per depth row), no join, no
-    shuffle. Estimates NEVER undercount; overcounts are bounded by the
-    documented additive error."""
+    depth rows of the key's counter cells. Estimates NEVER undercount;
+    overcounts are bounded by the documented additive error.
+
+    Two probe strategies, both join-free of the CORPUS side:
+
+    * plan-literal (``as_literal=True``): each depth row ships as one
+      SQL-string array literal and the probe is a pure per-row
+      expression -- no join at all. Right up to moderate widths; the
+      literal is parsed/canonicalized once per depth row, so very wide
+      tables tax plan build (the Bloom twin measured ~14 s plan build
+      at 2 x 301k literals; tests/test_scale_paths.py pins the
+      width-65536 sizing end-to-end through the auto route).
+    * broadcast cells (``as_literal=False``): the NONZERO cells ship as
+      depth tiny broadcast tables and the probe is depth broadcast-hash
+      left joins on the column index -- map-side, zero shuffles of the
+      probed frame, plan size independent of width. The right path for
+      the 100 TB sizing rule (width ~ 10^6).
+
+    Default ``None`` picks the literal path up to width 32768 (~256 KiB
+    per depth-row literal) and broadcast past it.
+    """
     from ..functions.hashing import string_hash31
 
+    depth = len(table)
     width = len(table[0])
+    reserved = (
+        [f"_c{i}" for i in range(depth)]
+        + [f"_e{i}" for i in range(depth)]
+        + ["cms_est"]
+    )
+    clash = [c for c in reserved if c in keys.columns]
+    if clash:
+        # same contract as remove_duplicate_spans: never silently
+        # overwrite caller columns with internal scratch names
+        raise ValueError(f"cms_estimate: input already has column(s) {clash}")
+    if as_literal is None:
+        as_literal = width <= 32768
     cols = _cms_cols(string_hash31(F.col("token")), width)
     named = keys.withColumns(
         {f"_c{i}": c.cast("int") for i, c in enumerate(cols)}
     )
-    ests = ", ".join(
-        "element_at(array(" + ",".join(f"{v}L" for v in row) + f"), _c{i} + 1)"
-        for i, row in enumerate(table)
+    if as_literal:
+        ests = ", ".join(
+            "element_at(array(" + ",".join(f"{v}L" for v in row) + f"), _c{i} + 1)"
+            for i, row in enumerate(table)
+        )
+        return named.selectExpr("*", f"least({ests}) AS cms_est").drop(
+            *[f"_c{i}" for i in range(depth)]
+        )
+    spark = keys.sparkSession
+    out = named
+    for i, row in enumerate(table):
+        cells = spark.createDataFrame(
+            [(c, int(v)) for c, v in enumerate(row) if v] or [(-1, 0)],
+            f"_cc{i} INT, _e{i} BIGINT",
+        )
+        out = out.join(
+            F.broadcast(cells), out[f"_c{i}"] == F.col(f"_cc{i}"), "left"
+        ).drop(f"_cc{i}")
+    est = F.least(
+        *[F.coalesce(F.col(f"_e{i}"), F.lit(0).cast("long")) for i in range(depth)]
     )
-    return named.selectExpr("*", f"least({ests}) AS cms_est").drop(
-        *[f"_c{i}" for i in range(len(table))]
+    return out.withColumn("cms_est", est).drop(
+        *[f"_c{i}" for i in range(depth)], *[f"_e{i}" for i in range(depth)]
     )

@@ -358,3 +358,101 @@ def test_semantic_dedup_survives_degenerate_cluster(spark):
     # leak drops into other clusters
     assert sum(r["keep"] for r in out) == n_rand + 1
     assert elapsed < 120, f"degenerate-cluster pair join took {elapsed:.1f}s"
+
+
+def test_sketch_probes_at_documented_100tb_sizing(spark):
+    """The r6 verdict's plan-literal ceiling watch item: build the Bloom
+    probe at the docstring's 301k-word (2.4 MiB bitmap) sizing and the
+    CMS estimate at width 65536 and pin that plan construction + one
+    action complete in bounded time. At these sizes the auto route picks
+    the broadcast-words/broadcast-cells path (plan size independent of
+    the sketch; the literal path was measured at ~14 s plan build for
+    2 x 301k literals -- it completes, but the cutoff exists so nobody
+    pays it by default). Also pins literal == broadcast result equality
+    at a size where both paths are cheap."""
+    import random
+    import time
+
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+    from sparkbigdatatextanalysis_spark.plans import audit_plan
+
+    rng = random.Random(7)
+    sh = spark.createDataFrame(
+        [(i, (i * 2654435761) % (2**31 - 1)) for i in range(300)],
+        "id LONG, sh LONG",
+    )
+
+    # --- Bloom at the documented 301k-word sizing (auto -> broadcast)
+    bits = [
+        rng.getrandbits(63) if rng.random() < 0.5 else 0
+        for _ in range(301_000)
+    ]
+    t0 = time.time()
+    probe = pl.bloom_contamination(sh, bits)  # auto route
+    a = audit_plan(probe)
+    assert a.cartesian_products == 0 and a.row_python_stages == 0
+    rows = probe.collect()
+    elapsed = time.time() - t0
+    assert len(rows) == 300
+    assert elapsed < 60, f"301k-word bloom probe took {elapsed:.1f}s"
+
+    # --- CMS at width 65536 (auto -> broadcast)
+    counts = spark.createDataFrame(
+        [(f"tok{i}", i % 17 + 1) for i in range(500)],
+        "token STRING, n_occ LONG",
+    )
+    t0 = time.time()
+    table = st.cms_build(counts, width=65536)
+    est = st.cms_estimate(counts, table)  # auto route
+    got = est.collect()
+    elapsed = time.time() - t0
+    assert len(got) == 500
+    assert all(r["cms_est"] >= r["n_occ"] for r in got)  # never undercounts
+    assert elapsed < 60, f"width-65536 CMS took {elapsed:.1f}s"
+
+    # --- path equality where both are cheap: the broadcast fallback is
+    # only correct if it computes the SAME sketch probe
+    small_bits = [
+        rng.getrandbits(63) if rng.random() < 0.4 else 0 for _ in range(4096)
+    ]
+    lit = sorted(
+        tuple(r) for r in pl.bloom_contamination(sh, small_bits, as_literal=True).collect()
+    )
+    bc = sorted(
+        tuple(r) for r in pl.bloom_contamination(sh, small_bits, as_literal=False).collect()
+    )
+    assert lit == bc
+    small_table = st.cms_build(counts, width=2048)
+    lit2 = sorted(
+        (r["token"], r["cms_est"])
+        for r in st.cms_estimate(counts, small_table, as_literal=True).collect()
+    )
+    bc2 = sorted(
+        (r["token"], r["cms_est"])
+        for r in st.cms_estimate(counts, small_table, as_literal=False).collect()
+    )
+    assert lit2 == bc2
+
+
+def test_sketch_probes_reject_reserved_column_collisions(spark):
+    """r6 advice: the sketch probes must raise on inputs that already
+    carry their internal scratch names (the remove_duplicate_spans
+    guard contract) instead of silently overwriting them."""
+    import pytest as _pytest
+
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+
+    sh = spark.createDataFrame([(1, 42)], "id LONG, sh LONG")
+    counts = spark.createDataFrame([("a", 1)], "token STRING, n_occ LONG")
+    table = st.cms_build(counts, width=64)
+    with _pytest.raises(ValueError, match="cms_estimate"):
+        st.cms_estimate(counts.withColumn("cms_est", F.lit(1)), table)
+    with _pytest.raises(ValueError, match="cms_estimate"):
+        st.cms_estimate(counts.withColumn("_c0", F.lit(1)), table)
+    bits = [0] * 64
+    with _pytest.raises(ValueError, match="bloom_contamination"):
+        pl.bloom_contamination(sh.withColumn("_hit", F.lit(1)), bits)
+    with _pytest.raises(ValueError, match="bloom_contamination"):
+        pl.bloom_contamination(sh.withColumn("_p0", F.lit(1)), bits)
