@@ -247,3 +247,147 @@ def test_incremental_spans_history_probe_is_equi_join(spark):
     # it or the shared test session accumulates one cached table per run
     # (the exact leak the API docstring warns about; r5 verdict item)
     release(res.fingerprints)
+
+
+# --- incremental semantic dedup (dedup.incremental_semantic_dedup) ---------
+
+
+def _mkemb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+@pytest.fixture(scope="module")
+def sem_corpus(spark):
+    """Two well-separated directions in dim 8 plus noise vectors: ids
+    0..5 history (all < batch ids, so the union equivalence is exact),
+    ids 10..14 batch."""
+    import random
+
+    rng = random.Random(3)
+
+    def noisy(base, eps):
+        return [b + rng.uniform(-eps, eps) for b in base]
+
+    d1 = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+    d2 = [0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0]
+    hist_rows = [
+        (0, list(d1)),
+        (1, noisy(d1, 0.05)),
+        (2, list(d2)),
+        (3, noisy(d2, 0.05)),
+        (4, [rng.gauss(0, 1) for _ in range(8)]),
+        (5, [rng.gauss(0, 1) for _ in range(8)]),
+    ]
+    batch_rows = [
+        (10, list(d1)),                       # dup of history direction 1
+        (11, [rng.gauss(0, 1) for _ in range(8)]),  # fresh noise
+        (12, noisy(d2, 0.01)),                # dup of history direction 2
+        (13, [0.0, 0.0, 5.0, 0.0, 0.0, 5.0, 0.0, 5.0]),  # new direction, kept
+        (14, [0.0, 0.0, 5.0, 0.0, 0.0, 5.0, 0.0, 5.0]),  # its batch twin
+    ]
+    from sparkbigdatatextanalysis_spark.operators import ann
+
+    hist = _mkemb(spark, hist_rows)
+    batch = _mkemb(spark, batch_rows)
+    full = _mkemb(spark, hist_rows + batch_rows)
+    cents = ann.kmeans_centroids(hist, n_centroids=4)
+    return hist, batch, full, cents
+
+
+SEM_T = 0.95
+
+
+def test_incremental_semantic_flags_each_kind(spark, sem_corpus):
+    hist, batch, _full, cents = sem_corpus
+    # history state: every history vector as a representative (the
+    # all-reps configuration; kept-only is exercised by the loop test)
+    hr = dd.incremental_semantic_dedup(hist, None, SEM_T, cents)
+    reps = hr.assignments  # (id, cluster, v, norm) -- the rep schema
+    r = dd.incremental_semantic_dedup(batch, reps, SEM_T, cents)
+    f = {
+        row["vec_id"]: (
+            row["near_dup_history"],
+            row["near_dup_batch"],
+            row["keep"],
+        )
+        for row in r.result.collect()
+    }
+    assert f[10][0] and not f[10][2]          # dup of history dir 1
+    assert f[12][0] and not f[12][2]          # dup of history dir 2
+    assert f[11] == (False, False, True)      # fresh noise kept
+    assert f[13][2] and not f[13][1]          # min-id of batch twin pair
+    assert f[14][1] and not f[14][2]          # its higher-id twin dropped
+    # delta = kept reps only
+    assert {row["id"] for row in r.delta_reps.collect()} == {11, 13}
+    release(hr.assignments)
+    release(r.assignments)
+
+
+def test_incremental_semantic_equals_union_restricted(spark, sem_corpus):
+    """The defining equivalence (the X111/X112 contract shape): with
+    history ids all below batch ids and EVERY history vector kept as a
+    representative, incremental(batch, reps) computes exactly
+    semantic_dedup(history UNION batch) restricted to batch ids."""
+    hist, batch, full, cents = sem_corpus
+    full_keep = {
+        r["vec_id"]: bool(r["keep"])
+        for r in dd.semantic_dedup(
+            full, SEM_T, cents=cents, persist_assignments=False
+        ).collect()
+        if r["vec_id"] >= 10
+    }
+    hr = dd.incremental_semantic_dedup(
+        hist, None, SEM_T, cents, persist_assignments=False
+    )
+    r = dd.incremental_semantic_dedup(
+        batch, hr.assignments, SEM_T, cents, persist_assignments=False
+    )
+    inc_keep = {row["vec_id"]: bool(row["keep"]) for row in r.result.collect()}
+    assert inc_keep == full_keep
+    # clusters agree too (same pinned centroids, same argmax)
+    full_cl = {
+        r["vec_id"]: r["cluster"]
+        for r in dd.semantic_dedup(
+            full, SEM_T, cents=cents, persist_assignments=False
+        ).collect()
+    }
+    inc_cl = {row["vec_id"]: row["cluster"] for row in r.result.collect()}
+    assert all(full_cl[i] == c for i, c in inc_cl.items())
+
+
+def test_incremental_semantic_daily_loop_drops_rerun(spark, sem_corpus):
+    """Day-2 rerun of the same batch against history UPDATED with the
+    day-1 delta: every batch vector now matches its own committed rep
+    (cos(v, v) = 1 >= threshold), so everything drops and the delta is
+    empty -- the kept-reps daily loop is rerun-safe (contrast the
+    incremental spans COUNT merge, which is documented as not being
+    so)."""
+    hist, batch, _full, cents = sem_corpus
+    hr = dd.incremental_semantic_dedup(hist, None, SEM_T, cents)
+    day1 = dd.incremental_semantic_dedup(batch, hr.assignments, SEM_T, cents)
+    updated = hr.assignments.select("cluster", "v", "norm").unionByName(
+        day1.delta_reps.select("cluster", "v", "norm")
+    )
+    day2 = dd.incremental_semantic_dedup(batch, updated, SEM_T, cents)
+    assert day2.result.where("keep").count() == 0
+    assert day2.delta_reps.count() == 0
+    release(hr.assignments)
+    release(day1.assignments)
+    release(day2.assignments)
+
+
+def test_incremental_semantic_history_probe_shape(spark, sem_corpus):
+    """The history probe must be a cluster equi-join over the map-only
+    literal-centroid assignment: no cartesian, no row-Python -- the
+    shape a cluster-bucketed 100 TB history table elides its exchange
+    for."""
+    hist, batch, _full, cents = sem_corpus
+    hr = dd.incremental_semantic_dedup(
+        hist, None, SEM_T, cents, persist_assignments=False
+    )
+    r = dd.incremental_semantic_dedup(
+        batch, hr.assignments, SEM_T, cents, persist_assignments=False
+    )
+    plan = r.result._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
