@@ -2224,22 +2224,205 @@ def q_docs_hashed_embeddings(spark, sf_dir):
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "component")
 
 
+def q_docs_prefix_blocking(spark, sf_dir):
+    """Prefix blocking (operators/dedup.py::prefix_blocking_pairs) --
+    the third classic entity-resolution candidate generator beside
+    token blocking and LSH: docs whose NORMALIZED text (lowercased,
+    every non-letter/digit stripped via Unicode \\p{L}/\\p{N} classes)
+    shares its first 12 characters pair up through one bucket
+    equi-join; each doc carries exactly one block key so the join
+    emits each pair once, no distinct pass. The oracle replays the
+    normalization with RE2's identical Unicode classes and the same
+    a < b self-join."""
+    out = dd.prefix_blocking_pairs(_docs(spark, sf_dir), prefix_len=12)
+    return out.select("a_id", "b_id", "block_key")
+
+
+def q_events_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key (operators/layout.py::
+    zorder_key) over (user_id, value) at 16 bits per dimension -- the
+    multi-dimensional layout key Delta OPTIMIZE ZORDER / Iceberg sort
+    orders cluster files by. One broadcast single-row min/max agg, then
+    the grid normalization + 32-term bit interleave run MAP-ONLY in
+    whole-stage codegen. The output is integer-exact (the only floats
+    live inside floor(), computed identically by both engines on
+    identical doubles), so the oracle replays the normalization and
+    the interleave with DuckDB integer shifts bit for bit -- the
+    layout family's first value-hashed driver row."""
+    from sparkbigdatatextanalysis_spark.operators import layout
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    out = layout.zorder_key(ev, ["user_id", "value"], bits=16)
+    return out.select("event_id", "zkey")
+
+
+def q_orders_profile_drift(spark, sf_dir):
+    """Snapshot-over-snapshot drift report (operators/profile.py::
+    profile_drift) between the profiles of the even- and odd-orderkey
+    halves of orders -- the ingest-gate check a daily pipeline runs
+    before a new snapshot joins the corpus. Each profile is ONE wide
+    aggregation (profile_table); the drift join is a full-outer join of
+    two per-column tables, effectively free at any scale. Ratios are
+    rounded to 6 dp on both sides; the alert booleans compare UNROUNDED
+    doubles that are bit-identical across engines (pure scalar
+    arithmetic on exact counts)."""
+    from sparkbigdatatextanalysis_spark.operators import profile as pf
+
+    o = _scan(spark, sf_dir, "orders", wide=True)
+    num = ["o_orderkey", "o_custkey", "o_totalprice"]
+    st = ["o_orderstatus", "o_orderpriority"]
+    tsc = ["o_orderdate"]
+    old = pf.profile_table(o.where(F.col("o_orderkey") % 2 == 0), num, st, tsc)
+    new = pf.profile_table(o.where(F.col("o_orderkey") % 2 == 1), num, st, tsc)
+    return pf.profile_drift(old, new)
+
+
+def q_skew_join_auto(spark, sf_dir):
+    """Hybrid auto-salted join (operators/skew.py::salted_join_auto):
+    measure first (one heavy-hitters partial agg on the probe side),
+    salt ONLY the hot keys -- cold rows take the plain equi-join, hot
+    rows the salted one with build replication restricted to the hot
+    slice. Results are identical to a plain inner join, so the oracle
+    is the plain join (the salt is invisible in the result) --
+    upgrading the r6-era property test to a value-hashed driver row."""
+    from sparkbigdatatextanalysis_spark.operators import skew
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    cust = _scan(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = skew.salted_join_auto(
+        ev, cust, "user_id", "c_custkey", n_salts=8, salt_from="event_id"
+    )
+    return out.select("event_id", "user_id", "c_mktsegment", "value")
+
+
+def q_incremental_semantic_flags(spark, sf_dir):
+    """Daily-batch semantic dedup vs accumulated representative state
+    (operators/dedup.py::incremental_semantic_dedup), driver-gated end
+    to end like its hash (X111) and fingerprint (X112) siblings:
+    history = the even-vec_id half's assignments (the all-reps state
+    configuration -- every history vector kept as a representative, so
+    the oracle replay needs no history keep pass), batch = the odd
+    half; centroids = the SHARED pinned ivf_cents model state (same
+    literals as ann_topk_ivf / dedup_semantic, so three keys pin the
+    same k-means). The oracle replays the deterministic k-means CTEs,
+    the round-9 argmax assignment, and both probes (same-cluster
+    history match / smaller-id batch match) with the bit-identical dot
+    fold. persist_assignments=False: zero cache residue + honest bench
+    repeats (bench.py's incremental_semantic_batch times the persisted
+    production shape with prebuilt history)."""
+    emb = _emb(spark, sf_dir)
+    cents = _cached(
+        spark, sf_dir, "ivf_cents", lambda: ann_ops.kmeans_centroids(emb)
+    )
+    hist = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    hr = dd.incremental_semantic_dedup(
+        hist, None, EMBED_NEAR_DUP_THRESHOLD, cents, persist_assignments=False
+    )
+    res = dd.incremental_semantic_dedup(
+        batch,
+        hr.assignments,
+        EMBED_NEAR_DUP_THRESHOLD,
+        cents,
+        persist_assignments=False,
+    )
+    return res.result.select(
+        "vec_id", "cluster", "near_dup_history", "near_dup_batch", "keep"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
-    # checks the FIRST 50 declared keys. Round-6 window (the rotation
-    # the r5 comment block promised): slots 1-10 are the ten keys whose
-    # latest driver row is r03 (3 rounds stale -- the staleness maximum,
-    # they MUST gate now), slots 11-15 the five keys NEW this round
-    # (the incremental daily-ingest contracts, the ExactSubstr
-    # subtraction half, Bloom decontamination, and the CMS), and slots
-    # 16-50 re-gate 35 of the 50 keys whose latest row is r04. The
-    # remaining 15 r04-latest keys (first section after the window)
-    # MUST lead the r7 window -- they will be 3 rounds stale by then;
-    # after them rotate the 50 r05-latest keys (2 rounds stale at r7,
-    # 35 fit alongside). Every key is re-verified on every suite run by
+    # checks the FIRST 50 declared keys. Round-7 window (the rotation
+    # the r6 comment block promised): slots 1-15 are the fifteen keys
+    # whose latest driver row is r04 (3 rounds stale -- the staleness
+    # maximum, they MUST gate now), slots 16-20 the five keys NEW this
+    # round (prefix blocking, the Z-order key, profile drift, the
+    # auto-salted join, and incremental semantic dedup), and slots
+    # 21-50 re-gate 30 of the 50 keys whose latest row is r05. The
+    # remaining 20 r05-latest keys (first section after the window)
+    # MUST lead the r8 window -- they will be 3 rounds stale by then;
+    # after them rotate the 50 r06-latest keys (2 rounds stale at r8,
+    # 30 fit alongside; the 20 r06 keys that don't fit then lead r9).
+    # Every key is re-verified on every suite run by
     # tests/test_oracle_parity.py regardless of the window.
     return {
-        # --- latest driver row r03: 3 rounds stale, MUST gate now (10) ---
+        # --- latest driver row r04: 3 rounds stale, MUST gate now (15) ---
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_decode": q_media_decode,
+        "media_frame_sample": q_media_frame_sample,
+        "events_windowed": q_events_windowed,
+        "events_sliding_users": q_events_sliding_users,
+        "pricing_rollup": q_pricing_rollup,
+        "top_parts_by_brand": q_top_parts_by_brand,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
+        "sales_cube": q_sales_cube,
+        "value_percentiles": q_value_percentiles,
+        "customers_no_orders": q_customers_no_orders,
+        # --- new this round (5) ---
+        "docs_prefix_blocking": q_docs_prefix_blocking,
+        "events_zorder_key": q_events_zorder_key,
+        "orders_profile_drift": q_orders_profile_drift,
+        "skew_join_auto": q_skew_join_auto,
+        "incremental_semantic_flags": q_incremental_semantic_flags,
+        # --- latest driver row r05: re-gate 30 of 50 (slots 21-50) ---
+        "scan_gold_pairs": q_scan_gold_pairs,
+        "dot_product": q_dot_product,
+        "str_strip_quotes": q_str_strip_quotes,
+        "tokenize": q_tokenize,
+        "docs_line_dedup": q_docs_line_dedup,
+        "docs_token_budget": q_docs_token_budget,
+        "docs_bm25_topk": q_docs_bm25_topk,
+        "dedup_best_rep": q_dedup_best_rep,
+        "docs_substring_dedup": q_docs_substring_dedup,
+        "docs_bm25_batch": q_docs_bm25_batch,
+        "docs_chunk_windows": q_docs_chunk_windows,
+        "embeddings_quantized": q_embeddings_quantized,
+        "dedup_semantic": q_dedup_semantic,
+        "docs_domain_caps": q_docs_domain_caps,
+        "dedup_near_clusters": q_dedup_near_clusters,
+        "tpch_q2_like": q_tpch_q2_like,
+        "tpch_q3_like": q_tpch_q3_like,
+        "tpch_q4_like": q_tpch_q4_like,
+        "tpch_q5_like": q_tpch_q5_like,
+        "tpch_q7_like": q_tpch_q7_like,
+        "tpch_q16_like": q_tpch_q16_like,
+        "tpch_q18_like": q_tpch_q18_like,
+        "curation_pipeline": q_curation_pipeline,
+        "events_hourly_from_minutely": q_events_hourly_from_minutely,
+        "docs_split_sample": q_docs_split_sample,
+        "text_repetition": q_text_repetition,
+        "events_value_zscore": q_events_value_zscore,
+        "vocab_top_tokens": q_vocab_top_tokens,
+        "train_test_ngram_overlap": q_train_test_ngram_overlap,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
+        # ---- end of the 50-key gate window ----
+        # --- r05-latest leftovers (20): MUST lead the r8 window ---
+        "events_latest_per_user": q_events_latest_per_user,
+        "funnel_conversion": q_funnel_conversion,
+        "table_profile": q_table_profile,
+        "corpus_bigrams": q_corpus_bigrams,
+        "events_rolling_1h": q_events_rolling_1h,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "merge_upsert_events": q_merge_upsert_events,
+        "events_gapfill": q_events_gapfill,
+        "orders_corr": q_orders_corr,
+        "embedding_centroids": q_embedding_centroids,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "skew_join_events": q_skew_join_events,
+        "user_running_stats": q_user_running_stats,
+        "events_anomaly": q_events_anomaly,
+        "scd2_history": q_scd2_history,
+        "winsorize_values": q_winsorize_values,
+        "scan_concat": q_scan_concat,
+        "tfidf_vectors": q_tfidf_vectors,
+        "fast_cosine_join": q_fast_cosine_join,
+        # --- latest driver row r06: freshest, rotate after the above (50) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
@@ -2250,13 +2433,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "events_interarrival": q_events_interarrival,
         "orders_status_breakdown": q_orders_status_breakdown,
-        # --- new this round (5) ---
         "docs_substring_clean": q_docs_substring_clean,
         "incremental_dedup_flags": q_incremental_dedup_flags,
         "incremental_spans_batch": q_incremental_spans_batch,
         "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
         "tokens_cms_estimates": q_tokens_cms_estimates,
-        # --- latest driver row r04: re-gate 35 of 50 (slots 16-50) ---
         "events_json_props": q_events_json_props,
         "docs_pack_sequences": q_docs_pack_sequences,
         "approx_distinct_users": q_approx_distinct_users,
@@ -2292,74 +2473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
-        # ---- end of the 50-key gate window ----
-        # --- r04-latest leftovers (15): MUST lead the r7 window ---
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "media_decode": q_media_decode,
-        "media_frame_sample": q_media_frame_sample,
-        "events_windowed": q_events_windowed,
-        "events_sliding_users": q_events_sliding_users,
-        "pricing_rollup": q_pricing_rollup,
-        "top_parts_by_brand": q_top_parts_by_brand,
-        "asof_join_events": q_asof_join_events,
-        "range_join_events": q_range_join_events,
-        "sales_cube": q_sales_cube,
-        "value_percentiles": q_value_percentiles,
-        "customers_no_orders": q_customers_no_orders,
-        # --- latest driver row r05: freshest, rotate after the above (50) ---
-        "scan_gold_pairs": q_scan_gold_pairs,
-        "dot_product": q_dot_product,
-        "str_strip_quotes": q_str_strip_quotes,
-        "tokenize": q_tokenize,
-        "docs_line_dedup": q_docs_line_dedup,
-        "docs_token_budget": q_docs_token_budget,
-        "docs_bm25_topk": q_docs_bm25_topk,
-        "dedup_best_rep": q_dedup_best_rep,
-        "docs_substring_dedup": q_docs_substring_dedup,
-        "docs_bm25_batch": q_docs_bm25_batch,
-        "docs_chunk_windows": q_docs_chunk_windows,
-        "embeddings_quantized": q_embeddings_quantized,
-        "dedup_semantic": q_dedup_semantic,
-        "docs_domain_caps": q_docs_domain_caps,
-        "dedup_near_clusters": q_dedup_near_clusters,
-        "tpch_q2_like": q_tpch_q2_like,
-        "tpch_q3_like": q_tpch_q3_like,
-        "tpch_q4_like": q_tpch_q4_like,
-        "tpch_q5_like": q_tpch_q5_like,
-        "tpch_q7_like": q_tpch_q7_like,
-        "tpch_q16_like": q_tpch_q16_like,
-        "tpch_q18_like": q_tpch_q18_like,
-        "curation_pipeline": q_curation_pipeline,
-        "events_hourly_from_minutely": q_events_hourly_from_minutely,
-        "docs_split_sample": q_docs_split_sample,
-        "text_repetition": q_text_repetition,
-        "events_value_zscore": q_events_value_zscore,
-        "vocab_top_tokens": q_vocab_top_tokens,
-        "train_test_ngram_overlap": q_train_test_ngram_overlap,
-        "docs_unigram_logprob": q_docs_unigram_logprob,
-        "events_latest_per_user": q_events_latest_per_user,
-        "funnel_conversion": q_funnel_conversion,
-        "table_profile": q_table_profile,
-        "corpus_bigrams": q_corpus_bigrams,
-        "events_rolling_1h": q_events_rolling_1h,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "merge_upsert_events": q_merge_upsert_events,
-        "events_gapfill": q_events_gapfill,
-        "orders_corr": q_orders_corr,
-        "embedding_centroids": q_embedding_centroids,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        "skew_join_events": q_skew_join_events,
-        "user_running_stats": q_user_running_stats,
-        "events_anomaly": q_events_anomaly,
-        "scd2_history": q_scd2_history,
-        "winsorize_values": q_winsorize_values,
-        "scan_concat": q_scan_concat,
-        "tfidf_vectors": q_tfidf_vectors,
-        "fast_cosine_join": q_fast_cosine_join,
     }
 
 
@@ -4414,5 +4527,168 @@ def oracle_sql() -> dict[str, str]:
                     OR (bx.doc_id IN (SELECT doc_id FROM nh))
                     OR (bx.doc_id IN (SELECT doc_id FROM nb))) AS keep
         FROM bx
+    """
+    # prefix blocking: RE2's \p{L}/\p{N} classes match Java's, so the
+    # normalization is byte-identical; one key per doc -> the a < b
+    # bucket self-join emits each pair exactly once on both engines
+    sqls["docs_prefix_blocking"] = r"""
+        WITH k AS (
+          SELECT doc_id AS id,
+                 substr(regexp_replace(lower(text), '[^\p{L}\p{N}]', '', 'g'),
+                        1, 12) AS block_key
+          FROM documents
+        ),
+        kk AS (SELECT id, block_key FROM k WHERE length(block_key) > 0)
+        SELECT a.id AS a_id, b.id AS b_id, a.block_key
+        FROM kk a JOIN kk b ON a.block_key = b.block_key AND a.id < b.id
+    """
+    # Z-order key replay: identical double arithmetic (one division, one
+    # multiplication, floor) on identical min/max, then the Morton
+    # interleave as 32 integer shift/mask terms -- bit-for-bit equal, so
+    # the output hashes exactly with no rounding anywhere.
+    _z_terms = " + ".join(
+        f"(((g{i} >> {b}) & 1) << {b * 2 + i})"
+        for i in range(2)
+        for b in range(16)
+    )
+    sqls["events_zorder_key"] = f"""
+        WITH st AS (
+          SELECT min(user_id::DOUBLE) AS lo0, max(user_id::DOUBLE) AS hi0,
+                 min(value::DOUBLE) AS lo1, max(value::DOUBLE) AS hi1
+          FROM events
+        ),
+        g AS (
+          SELECT event_id,
+                 coalesce(floor((CASE WHEN hi0 > lo0
+                     THEN (user_id::DOUBLE - lo0) / (hi0 - lo0)
+                     ELSE 0.0 END) * 65535), 0)::BIGINT AS g0,
+                 coalesce(floor((CASE WHEN hi1 > lo1
+                     THEN (value::DOUBLE - lo1) / (hi1 - lo1)
+                     ELSE 0.0 END) * 65535), 0)::BIGINT AS g1
+          FROM events CROSS JOIN st
+        )
+        SELECT event_id, ({_z_terms})::BIGINT AS zkey FROM g
+    """
+    # profile drift: compose two table_profile replays through the same
+    # full-outer join + ratio/range logic as operators/profile.py
+    _pd_num = ["o_orderkey", "o_custkey", "o_totalprice"]
+    _pd_str = ["o_orderstatus", "o_orderpriority"]
+    _pd_ts = ["o_orderdate"]
+
+    def _prof_half_sql(pred: str) -> str:
+        parts = []
+        for c in [*_pd_num, *_pd_str, *_pd_ts]:
+            if c in _pd_num:
+                mn, mx = f"min({c})::DOUBLE", f"max({c})::DOUBLE"
+                ms, xs = "NULL::VARCHAR", "NULL::VARCHAR"
+            elif c in _pd_ts:
+                mn, mx = "NULL::DOUBLE", "NULL::DOUBLE"
+                ms = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+                xs = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+            else:
+                mn, mx = "NULL::DOUBLE", "NULL::DOUBLE"
+                ms, xs = f"min({c})", f"max({c})"
+            parts.append(f"""
+              SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+                     (count(*) - count({c}))::BIGINT AS n_nulls,
+                     count(DISTINCT {c})::BIGINT AS n_distinct,
+                     {mn} AS min_num, {mx} AS max_num,
+                     {ms} AS min_str, {xs} AS max_str
+              FROM orders WHERE {pred}""")
+        return " UNION ALL ".join(parts)
+
+    sqls["orders_profile_drift"] = f"""
+        WITH po AS ({_prof_half_sql('o_orderkey % 2 = 0')}),
+        pn AS ({_prof_half_sql('o_orderkey % 2 = 1')}),
+        j AS (
+          SELECT coalesce(po.col_name, pn.col_name) AS col_name,
+                 po.n_rows AS nr_o, po.n_nulls AS nn_o, po.n_distinct AS nd_o,
+                 po.min_num AS mn_o, po.max_num AS mx_o,
+                 po.min_str AS ms_o, po.max_str AS xs_o,
+                 pn.n_rows AS nr_n, pn.n_nulls AS nn_n, pn.n_distinct AS nd_n,
+                 pn.min_num AS mn_n, pn.max_num AS mx_n,
+                 pn.min_str AS ms_n, pn.max_str AS xs_n
+          FROM po FULL OUTER JOIN pn ON po.col_name = pn.col_name
+        ),
+        d AS (
+          SELECT col_name,
+                 CASE WHEN nr_o IS NULL THEN 'added'
+                      WHEN nr_n IS NULL THEN 'removed'
+                      ELSE 'both' END AS status,
+                 CASE WHEN nr_o > 0 THEN nn_o / nr_o END AS nro,
+                 CASE WHEN nr_n > 0 THEN nn_n / nr_n END AS nrn,
+                 CASE WHEN nd_o > 0 THEN abs(nd_n - nd_o) / nd_o
+                      WHEN nd_o = 0 AND nd_n > 0 THEN 'infinity'::DOUBLE
+                 END AS ndrel,
+                 ((mn_o IS NOT NULL AND mn_n IS NOT NULL
+                   AND (mn_n < mn_o OR mx_n > mx_o))
+                  OR (ms_o IS NOT NULL AND ms_n IS NOT NULL
+                      AND (ms_n < ms_o OR xs_n > xs_o))) AS rmv,
+                 ((nr_o = 0 AND nr_n > 0) OR (nr_o > 0 AND nr_n = 0)) AS eflip
+          FROM j
+        )
+        SELECT col_name, status,
+               round(nro, 6) AS null_ratio_old,
+               round(nrn, 6) AS null_ratio_new,
+               round(nrn - nro, 6) AS null_ratio_delta,
+               round(ndrel, 6) AS distinct_rel_change,
+               coalesce(rmv, FALSE) AS range_moved,
+               (status <> 'both' OR coalesce(eflip, FALSE)
+                OR abs(coalesce(nrn - nro, 0.0)) > 0.05
+                OR coalesce(ndrel, 0.0) > 0.5
+                OR coalesce(rmv, FALSE)) AS alert
+        FROM d
+    """
+    # The measurement + salting must be invisible: oracle is the plain join.
+    sqls["skew_join_auto"] = """
+        SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """
+    # incremental semantic: same k-means + assignment CTEs as
+    # dedup_semantic (three keys now pin the same centroid literals),
+    # then the two probes -- any same-cluster history (even) match /
+    # any smaller-id same-cluster batch (odd) match -- with the
+    # bit-identical dot fold and unrounded threshold comparisons.
+    sqls["incremental_semantic_flags"] = f"""
+        WITH {_EMB_NORM_SQL},
+        {_KMEANS_CTES},
+        cents AS (SELECT c_id, cv, cn FROM {_KMEANS_FINAL}),
+        ascore AS (
+          SELECT a.vec_id AS id, c_id,
+                 round({_emb_dot_sql("a.v", "cv")} / (a.norm * cn), 9) AS cos
+          FROM nv a CROSS JOIN cents
+        ),
+        assign AS (
+          SELECT id, c_id AS cluster FROM (
+            SELECT id, c_id,
+                   row_number() OVER (
+                     PARTITION BY id ORDER BY cos DESC, c_id) AS rn
+            FROM ascore
+          ) WHERE rn = 1
+        ),
+        av AS (
+          SELECT s.id, s.cluster, nv.v, nv.norm
+          FROM assign s JOIN nv ON nv.vec_id = s.id
+        ),
+        bat AS (SELECT * FROM av WHERE id % 2 = 1),
+        hist AS (SELECT * FROM av WHERE id % 2 = 0),
+        nh AS (
+          SELECT DISTINCT b.id FROM bat b
+          JOIN hist h ON h.cluster = b.cluster
+          WHERE {_emb_dot_sql("b.v", "h.v")} / (b.norm * h.norm)
+                >= {EMBED_NEAR_DUP_THRESHOLD}
+        ),
+        nb AS (
+          SELECT DISTINCT b.id FROM bat b
+          JOIN bat a2 ON a2.cluster = b.cluster AND a2.id < b.id
+          WHERE {_emb_dot_sql("a2.v", "b.v")} / (a2.norm * b.norm)
+                >= {EMBED_NEAR_DUP_THRESHOLD}
+        )
+        SELECT b.id AS vec_id, b.cluster::BIGINT AS cluster,
+               (b.id IN (SELECT id FROM nh)) AS near_dup_history,
+               (b.id IN (SELECT id FROM nb)) AS near_dup_batch,
+               NOT ((b.id IN (SELECT id FROM nh))
+                    OR (b.id IN (SELECT id FROM nb))) AS keep
+        FROM bat b
     """
     return sqls
