@@ -249,6 +249,30 @@ BUDGETS = {
     # is the _tok fan-out + the token count agg, with the estimate a
     # join-free per-row min over the literal counter rows
     "tokens_cms_estimates": (2, 0),
+    # --- r7 additions ---
+    # prefix blocking: one map-only key projection + the block-key
+    # self-join; at this scale one side broadcasts (0 shuffles seen)
+    # but at 100 TB neither side may -- allow the two join exchanges,
+    # floor nothing
+    "docs_prefix_blocking": (2, 0),
+    # z-order key: ONE single-row min/max agg exchange; the stats join
+    # is explicitly broadcast-pinned (a 1-row table), so it takes a
+    # floor -- the interleave itself is map-only
+    "events_zorder_key": (1, 1),
+    # profile drift: two exact-count-distinct profile aggs (Expand,
+    # partial+final each) + the two sides of the tiny full-outer join
+    "orders_profile_drift": (6, 0),
+    # hybrid auto-salted join: the heavy-hitters measurement agg + the
+    # hot/cold semi/anti splits of both inputs + the two joins, all
+    # flattened cache-free. The hot-key set is explicitly
+    # broadcast-pinned and feeds all four splits -> floor 4; the
+    # build-side broadcasts beyond that are AQE's size call
+    "skew_join_auto": (12, 4),
+    # incremental semantic: both halves' literal-centroid assignments
+    # are map-only; exchanges are the history-probe cluster join, the
+    # batch self pair join sides, the two dropped-set distincts and the
+    # two keep outer joins. Broadcasts are data-dependent (AQE): no floor
+    "incremental_semantic_flags": (8, 0),
 }
 
 
