@@ -2331,19 +2331,74 @@ def q_incremental_semantic_flags(spark, sf_dir):
     )
 
 
+def q_value_percentiles_approx(spark, sf_dir):
+    """Mergeable approximate percentiles -- the 100 TB companion of
+    value_percentiles, promoted into the oracle-checked surface the way
+    approx_distinct_users promoted HLL: exact percentile() needs each
+    group fully sorted, while percentile_approx's Greenwald-Khanna
+    summaries are bounded-size mergeable partial aggs (map-side
+    combine, no per-group sort). The raw estimates are implementation-
+    specific, but their ACCURACY is not: GK at accuracy=10000
+    guarantees the returned value's rank is within 1e-4 of the target,
+    so the query measures each estimate's empirical rank in one
+    counting pass (the estimates broadcast back -- rows = #event
+    types) and emits "rank within 0.02 of target" booleans (200x the
+    deterministic bound -- this is not a probabilistic sketch, so the
+    flag cannot flake), which the oracle pins to 1 alongside the exact
+    group counts. A broken/degraded summary still fails the hash."""
+    ev = _events(spark, sf_dir)
+    est = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("_apx")
+        )
+        .select(
+            "event_type",
+            F.col("_apx")[0].alias("_e50"),
+            F.col("_apx")[1].alias("_e90"),
+            F.col("_apx")[2].alias("_e99"),
+        )
+    )
+    ranks = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") <= F.col("_e50")).cast("long")).alias("_r50"),
+            F.sum((F.col("value") <= F.col("_e90")).cast("long")).alias("_r90"),
+            F.sum((F.col("value") <= F.col("_e99")).cast("long")).alias("_r99"),
+        )
+    )
+
+    def ok(r, target):
+        return (
+            (F.abs(F.col(r) / F.col("n_events") - target) <= 0.02)
+            .cast("long")
+        )
+
+    return ranks.select(
+        "event_type",
+        "n_events",
+        ok("_r50", 0.5).alias("p50_rank_ok"),
+        ok("_r90", 0.9).alias("p90_rank_ok"),
+        ok("_r99", 0.99).alias("p99_rank_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-7 window (the rotation
     # the r6 comment block promised): slots 1-15 are the fifteen keys
     # whose latest driver row is r04 (3 rounds stale -- the staleness
-    # maximum, they MUST gate now), slots 16-20 the five keys NEW this
+    # maximum, they MUST gate now), slots 16-21 the six keys NEW this
     # round (prefix blocking, the Z-order key, profile drift, the
-    # auto-salted join, and incremental semantic dedup), and slots
-    # 21-50 re-gate 30 of the 50 keys whose latest row is r05. The
-    # remaining 20 r05-latest keys (first section after the window)
-    # MUST lead the r8 window -- they will be 3 rounds stale by then;
-    # after them rotate the 50 r06-latest keys (2 rounds stale at r8,
-    # 30 fit alongside; the 20 r06 keys that don't fit then lead r9).
+    # auto-salted join, incremental semantic dedup, and the
+    # approx-percentile accuracy gate), and slots 22-50 re-gate 29 of
+    # the 50 keys whose latest row is r05. The remaining 21 r05-latest
+    # keys (first section after the window) MUST lead the r8 window --
+    # they will be 3 rounds stale by then; after them rotate the 50
+    # r06-latest keys (2 rounds stale at r8, 29 fit alongside; the 21
+    # r06 keys that don't fit then lead r9).
     # Every key is re-verified on every suite run by
     # tests/test_oracle_parity.py regardless of the window.
     return {
@@ -2363,13 +2418,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": q_sales_cube,
         "value_percentiles": q_value_percentiles,
         "customers_no_orders": q_customers_no_orders,
-        # --- new this round (5) ---
+        # --- new this round (6) ---
         "docs_prefix_blocking": q_docs_prefix_blocking,
         "events_zorder_key": q_events_zorder_key,
         "orders_profile_drift": q_orders_profile_drift,
         "skew_join_auto": q_skew_join_auto,
         "incremental_semantic_flags": q_incremental_semantic_flags,
-        # --- latest driver row r05: re-gate 30 of 50 (slots 21-50) ---
+        "value_percentiles_approx": q_value_percentiles_approx,
+        # --- latest driver row r05: re-gate 29 of 50 (slots 22-50) ---
         "scan_gold_pairs": q_scan_gold_pairs,
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -2399,9 +2455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_zscore": q_events_value_zscore,
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_test_ngram_overlap": q_train_test_ngram_overlap,
-        "docs_unigram_logprob": q_docs_unigram_logprob,
         # ---- end of the 50-key gate window ----
-        # --- r05-latest leftovers (20): MUST lead the r8 window ---
+        # --- r05-latest leftovers (21): MUST lead the r8 window ---
+        "docs_unigram_logprob": q_docs_unigram_logprob,
         "events_latest_per_user": q_events_latest_per_user,
         "funnel_conversion": q_funnel_conversion,
         "table_profile": q_table_profile,
@@ -4638,6 +4694,19 @@ def oracle_sql() -> dict[str, str]:
                 OR coalesce(ndrel, 0.0) > 0.5
                 OR coalesce(rmv, FALSE)) AS alert
         FROM d
+    """
+    # approx percentiles: the GK estimates are implementation-specific
+    # but their rank accuracy is deterministic -- the query emits
+    # "empirical rank within 0.02 of target" booleans (200x the
+    # accuracy=10000 bound, so a correct summary cannot flip them) and
+    # the oracle pins them to 1 next to the exact group counts, the
+    # approx_distinct_users promotion applied to quantiles.
+    sqls["value_percentiles_approx"] = """
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               1::BIGINT AS p50_rank_ok,
+               1::BIGINT AS p90_rank_ok,
+               1::BIGINT AS p99_rank_ok
+        FROM events GROUP BY event_type
     """
     # The measurement + salting must be invisible: oracle is the plain join.
     sqls["skew_join_auto"] = """

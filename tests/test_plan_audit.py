@@ -273,6 +273,10 @@ BUDGETS = {
     # batch self pair join sides, the two dropped-set distincts and the
     # two keep outer joins. Broadcasts are data-dependent (AQE): no floor
     "incremental_semantic_flags": (8, 0),
+    # approx percentiles: the GK summary agg (partial+final) + the rank
+    # counting agg; the estimates table is explicitly broadcast back
+    # (rows = #event types) -> floor 1
+    "value_percentiles_approx": (3, 1),
 }
 
 
