@@ -2385,20 +2385,81 @@ def q_value_percentiles_approx(spark, sf_dir):
     )
 
 
+def q_pair_jaccard_estimates(spark, sf_dir):
+    """MinHash accuracy surface over the LSH candidate pairs -- the
+    threshold-tuning table a dedup operator reads before picking its
+    cut: per candidate pair, the signature-agreement Jaccard ESTIMATE
+    (fraction of the k minhash components that agree -- the unbiased
+    MinHash estimator) next to the EXACT shingle-set Jaccard. Both are
+    deterministic integer-ratio arithmetic, so both hash exactly: this
+    pins the estimator itself, not just a bound. The shingle table is
+    a cached pipeline point (it feeds the signature build, both sides
+    of the intersection join and the set sizes -- four consumers);
+    the intersection join runs only on the LSH-bounded candidate set,
+    never all pairs."""
+    pairs = _mh_pairs(spark, sf_dir)
+    sh = _cached(
+        spark,
+        sf_dir,
+        "pair_jaccard_sh",
+        lambda: dd.shingle_hashes(_docs(spark, sf_dir, wide=True)),
+    )
+    sigs = dd.minhash_signatures(sh)
+    ea = sigs.select(F.col("id").alias("a_id"), "i", F.col("sig").alias("_sa"))
+    eb = sigs.select(F.col("id").alias("b_id"), "i", F.col("sig").alias("_sb"))
+    est = (
+        pairs.join(ea, "a_id")
+        .join(eb, ["b_id", "i"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            (
+                F.sum((F.col("_sa") == F.col("_sb")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("_est")
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
+    sa = sh.select(F.col("id").alias("a_id"), "sh")
+    sb2 = sh.select(F.col("id").alias("b_id"), "sh")
+    inter = (
+        pairs.join(sa, "a_id")
+        .join(sb2, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    na = sizes.select(F.col("id").alias("a_id"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("id").alias("b_id"), F.col("_n").alias("_nb"))
+    i0 = F.coalesce(F.col("_i"), F.lit(0).cast("long"))
+    return (
+        est.join(inter, ["a_id", "b_id"], "left")
+        .join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round("_est", 6).alias("jaccard_est"),
+            F.round(
+                i0 / (F.col("_na") + F.col("_nb") - i0), 6
+            ).alias("jaccard_exact"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-7 window (the rotation
     # the r6 comment block promised): slots 1-15 are the fifteen keys
     # whose latest driver row is r04 (3 rounds stale -- the staleness
-    # maximum, they MUST gate now), slots 16-21 the six keys NEW this
+    # maximum, they MUST gate now), slots 16-22 the seven keys NEW this
     # round (prefix blocking, the Z-order key, profile drift, the
-    # auto-salted join, incremental semantic dedup, and the
-    # approx-percentile accuracy gate), and slots 22-50 re-gate 29 of
-    # the 50 keys whose latest row is r05. The remaining 21 r05-latest
-    # keys (first section after the window) MUST lead the r8 window --
-    # they will be 3 rounds stale by then; after them rotate the 50
-    # r06-latest keys (2 rounds stale at r8, 29 fit alongside; the 21
-    # r06 keys that don't fit then lead r9).
+    # auto-salted join, incremental semantic dedup, the
+    # approx-percentile accuracy gate, and the MinHash-estimator
+    # accuracy table), and slots 23-50 re-gate 28 of the 50 keys whose
+    # latest row is r05. The remaining 22 r05-latest keys (first
+    # section after the window) MUST lead the r8 window -- they will
+    # be 3 rounds stale by then; after them rotate the 50 r06-latest
+    # keys (2 rounds stale at r8, 28 fit alongside; the 22 r06 keys
+    # that don't fit then lead r9).
     # Every key is re-verified on every suite run by
     # tests/test_oracle_parity.py regardless of the window.
     return {
@@ -2425,7 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_auto": q_skew_join_auto,
         "incremental_semantic_flags": q_incremental_semantic_flags,
         "value_percentiles_approx": q_value_percentiles_approx,
-        # --- latest driver row r05: re-gate 29 of 50 (slots 22-50) ---
+        "pair_jaccard_estimates": q_pair_jaccard_estimates,
+        # --- latest driver row r05: re-gate 28 of 50 (slots 23-50) ---
         "scan_gold_pairs": q_scan_gold_pairs,
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -2454,9 +2516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "events_value_zscore": q_events_value_zscore,
         "vocab_top_tokens": q_vocab_top_tokens,
-        "train_test_ngram_overlap": q_train_test_ngram_overlap,
         # ---- end of the 50-key gate window ----
-        # --- r05-latest leftovers (21): MUST lead the r8 window ---
+        # --- r05-latest leftovers (22): MUST lead the r8 window ---
+        "train_test_ngram_overlap": q_train_test_ngram_overlap,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "events_latest_per_user": q_events_latest_per_user,
         "funnel_conversion": q_funnel_conversion,
@@ -4694,6 +4756,49 @@ def oracle_sql() -> dict[str, str]:
                 OR coalesce(ndrel, 0.0) > 0.5
                 OR coalesce(rmv, FALSE)) AS alert
         FROM d
+    """
+    # MinHash estimator accuracy: candidate pairs from the same band
+    # CTEs as dedup_minhash_lsh; the estimate is the k-component
+    # agreement fraction and the exact value the shingle-set Jaccard --
+    # both integer-ratio arithmetic, so both hash exactly (the
+    # estimator itself is pinned, not a bound)
+    sqls["pair_jaccard_estimates"] = f"""
+        WITH {_DEDUP_BASE}, {_MINHASH_PARAMS_SQL}, {_MINHASH_SIGS_SQL},
+        bands AS (
+          SELECT doc_id, (i // {dd.LSH_ROWS})::INT AS band,
+                 array_to_string(array_agg(sig ORDER BY i), ',') AS key
+          FROM sigs GROUP BY doc_id, band
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b USING (band, key)
+          WHERE a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT p.a_id, p.b_id,
+                 round(sum((sa.sig = sb.sig)::INT)::BIGINT / count(*), 6)
+                   AS jaccard_est
+          FROM pairs p
+          JOIN sigs sa ON sa.doc_id = p.a_id
+          JOIN sigs sb ON sb.doc_id = p.b_id AND sb.i = sa.i
+          GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT p.a_id, p.b_id, count(*) AS n_inter
+          FROM pairs p
+          JOIN shh a ON a.doc_id = p.a_id
+          JOIN shh b ON b.doc_id = p.b_id AND b.sh = a.sh
+          GROUP BY 1, 2
+        )
+        SELECT e.a_id, e.b_id, e.jaccard_est,
+               round(coalesce(i.n_inter, 0)
+                     / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6)
+                 AS jaccard_exact
+        FROM est e
+        LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+        JOIN sizes na ON na.doc_id = e.a_id
+        JOIN sizes nb ON nb.doc_id = e.b_id
     """
     # approx percentiles: the GK estimates are implementation-specific
     # but their rank accuracy is deterministic -- the query emits

@@ -277,6 +277,13 @@ BUDGETS = {
     # counting agg; the estimates table is explicitly broadcast back
     # (rows = #event types) -> floor 1
     "value_percentiles_approx": (3, 1),
+    # MinHash estimator accuracy: cache-free flattening re-expands the
+    # shingle pipeline once per consumer (candidate pairs + signature
+    # est join + intersection sides + set sizes -- the common_token_
+    # pairs precedent); at runtime the _mh_pairs and pair_jaccard_sh
+    # pipeline points are persisted so the real exchange count is a
+    # fraction of this ceiling. Broadcasts are AQE's call: no floor
+    "pair_jaccard_estimates": (40, 0),
 }
 
 
