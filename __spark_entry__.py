@@ -2342,10 +2342,13 @@ def q_value_percentiles_approx(spark, sf_dir):
     guarantees the returned value's rank is within 1e-4 of the target,
     so the query measures each estimate's empirical rank in one
     counting pass (the estimates broadcast back -- rows = #event
-    types) and emits "rank within 0.02 of target" booleans (200x the
-    deterministic bound -- this is not a probabilistic sketch, so the
-    flag cannot flake), which the oracle pins to 1 alongside the exact
-    group counts. A broken/degraded summary still fails the hash."""
+    types) and emits "rank within 0.02 + 1/n of target" booleans (200x
+    the deterministic bound, plus the 1/n rank-quantization term so the
+    flag is provably stable for ANY group size -- the returned element's
+    own rank is quantized to multiples of 1/n; this is not a
+    probabilistic sketch, so the flag cannot flake), which the oracle
+    pins to 1 alongside the exact group counts. A broken/degraded
+    summary still fails the hash."""
     ev = _events(spark, sf_dir)
     est = (
         ev.groupBy("event_type")
@@ -2371,8 +2374,9 @@ def q_value_percentiles_approx(spark, sf_dir):
     )
 
     def ok(r, target):
+        tol = F.lit(0.02) + 1.0 / F.col("n_events")
         return (
-            (F.abs(F.col(r) / F.col("n_events") - target) <= 0.02)
+            (F.abs(F.col(r) / F.col("n_events") - target) <= tol)
             .cast("long")
         )
 
