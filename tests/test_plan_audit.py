@@ -361,33 +361,54 @@ def test_dedup_cluster_chain_budget(spark):
     extra exchanges cannot hide behind the checkpoint -- the same
     treatment as the eager IVF refinement.
 
-    Unlike every other budget in this file, this chain RUNS jobs while
-    being built (the CC fixpoint loop), so the pipeline persists it
-    re-creates MATERIALIZE before the final plan is produced -- and a
-    materialized InMemoryRelation reports its actual byte size, which
-    can (a) cross autoBroadcastJoinThreshold where the fresh-scan
-    estimate does not and (b) make two join subtrees canonically
-    identical so one counted BroadcastExchange collapses into an
-    uncounted ReusedExchange. Both made this pin flaky under full-suite
-    cache state (r5 verdict). Pin the two confs for the audit's
-    duration: a generous fixed broadcast threshold (every side here is
-    KB-scale at sf0.001 under either statistic, so the join strategy no
-    longer depends on WHICH statistic the planner saw) and
-    exchange-reuse off (every broadcast prints at its own site)."""
+    Determinism (the r5 flake, root-caused twice): two confs are pinned
+    for the audit (generous fixed broadcast threshold so KB-scale sides
+    broadcast under EITHER statistic; exchange-reuse off so every
+    broadcast prints at its own site) -- AND the chain is built fresh at
+    shingle n=4. The n matters: Spark's CacheManager substitutes any
+    CANONICALLY-EQUAL cached plan fragment into new plans
+    ("Asked to cache already cached data"), so a chain built at the
+    default n=3 silently picks up whatever n=3 fragments other tests
+    have cached THIS session (_mh_pairs, pair_jaccard's shingle table,
+    bands persists), and the audited shape then depends on suite
+    history and eviction state -- the residual flake r6's conf pin
+    alone did not close (one recurrence in ~5 full-suite runs). No
+    OTHER test caches an n=4 fragment; the one remaining variance is
+    SELF-substitution (a prior dedup_clusters call in the same session
+    leaves its final labels/sym caches behind, and a canonically-equal
+    later call reuses them), measured as 11 exchanges first-call vs 9
+    with fragments resident, broadcasts 3 either way. The bound covers
+    the observed {9..11} range with one exchange of headroom while
+    still failing loudly on the structural regressions this pin exists
+    for (the r3 crossJoin-window shape added dozens of exchanges, and
+    cartesians/row-Python fail at any count)."""
+    from pyspark.sql import functions as F
+
     import __spark_entry__ as em
     from sparkbigdatatextanalysis_spark.operators import components as cc
+    from sparkbigdatatextanalysis_spark.operators import dedup as dd
 
+    docs = em._docs(spark, SF)
+    bands = dd.lsh_band_keys_flat(
+        dd.minhash_signatures_flat(dd.shingle_hashes(docs, n=4))
+    )
+    pa = bands.select("band", "key", F.col("id").alias("a_id"))
+    pb = bands.select("band", "key", F.col("id").alias("b_id"))
+    pairs = (
+        pa.join(pb, ["band", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
         spark.conf.set("spark.sql.exchange.reuse", "false")
-        a = audit_plan(
-            cc.dedup_clusters(em._mh_pairs(spark, SF), em._docs(spark, SF))
-        )
+        a = audit_plan(cc.dedup_clusters(pairs, docs))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.conf.set("spark.sql.exchange.reuse", reuse)
-    assert a.shuffle_exchanges <= 6, a
-    assert a.broadcast_exchanges >= 2, a
+    assert a.shuffle_exchanges <= 12, a
+    assert a.broadcast_exchanges >= 3, a
     assert a.cartesian_products == 0 and a.row_python_stages == 0, a
