@@ -2389,6 +2389,27 @@ def q_value_percentiles_approx(spark, sf_dir):
     )
 
 
+def q_incremental_lines_batch(spark, sf_dir):
+    """Daily-batch line-level dedup vs accumulated line-count history
+    (operators/pipeline.py::incremental_dedup_lines), driver-gated end
+    to end like its hash (X111), fingerprint (X112) and semantic (X115)
+    siblings: history = line_counts of the even-doc_id half, batch =
+    the odd half; a batch line is removed when history + batch count
+    exceeds max_occurrences -- which over this split equals the
+    FULL-corpus count, so the oracle replays the whole-corpus
+    docs_line_dedup pipeline restricted to odd doc_ids (the
+    union-then-restrict equivalence the pytest contract pins, checked
+    value-for-value). Nothing persists: the line explode is one cheap
+    map-only split (contrast the winnowing stage, which earns its
+    persist)."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    d = _docs(spark, sf_dir)
+    hist = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    return pl.incremental_dedup_lines(batch, pl.line_counts(hist)).result
+
+
 def q_pair_jaccard_estimates(spark, sf_dir):
     """MinHash accuracy surface over the LSH candidate pairs -- the
     threshold-tuning table a dedup operator reads before picking its
@@ -2454,16 +2475,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checks the FIRST 50 declared keys. Round-7 window (the rotation
     # the r6 comment block promised): slots 1-15 are the fifteen keys
     # whose latest driver row is r04 (3 rounds stale -- the staleness
-    # maximum, they MUST gate now), slots 16-22 the seven keys NEW this
+    # maximum, they MUST gate now), slots 16-23 the eight keys NEW this
     # round (prefix blocking, the Z-order key, profile drift, the
     # auto-salted join, incremental semantic dedup, the
-    # approx-percentile accuracy gate, and the MinHash-estimator
-    # accuracy table), and slots 23-50 re-gate 28 of the 50 keys whose
-    # latest row is r05. The remaining 22 r05-latest keys (first
-    # section after the window) MUST lead the r8 window -- they will
-    # be 3 rounds stale by then; after them rotate the 50 r06-latest
-    # keys (2 rounds stale at r8, 28 fit alongside; the 22 r06 keys
-    # that don't fit then lead r9).
+    # approx-percentile accuracy gate, the MinHash-estimator accuracy
+    # table, and incremental line dedup), and slots 24-50 re-gate 27
+    # of the 50 keys whose latest row is r05. The remaining 23
+    # r05-latest keys (first section after the window) MUST lead the
+    # r8 window -- they will be 3 rounds stale by then; after them
+    # rotate the 50 r06-latest keys (2 rounds stale at r8, 27 fit
+    # alongside; the 23 r06 keys that don't fit then lead r9).
     # Every key is re-verified on every suite run by
     # tests/test_oracle_parity.py regardless of the window.
     return {
@@ -2491,7 +2512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_semantic_flags": q_incremental_semantic_flags,
         "value_percentiles_approx": q_value_percentiles_approx,
         "pair_jaccard_estimates": q_pair_jaccard_estimates,
-        # --- latest driver row r05: re-gate 28 of 50 (slots 23-50) ---
+        "incremental_lines_batch": q_incremental_lines_batch,
+        # --- latest driver row r05: re-gate 27 of 50 (slots 24-50) ---
         "scan_gold_pairs": q_scan_gold_pairs,
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -2519,9 +2541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_sample": q_docs_split_sample,
         "text_repetition": q_text_repetition,
         "events_value_zscore": q_events_value_zscore,
-        "vocab_top_tokens": q_vocab_top_tokens,
         # ---- end of the 50-key gate window ----
-        # --- r05-latest leftovers (22): MUST lead the r8 window ---
+        # --- r05-latest leftovers (23): MUST lead the r8 window ---
+        "vocab_top_tokens": q_vocab_top_tokens,
         "train_test_ngram_overlap": q_train_test_ngram_overlap,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "events_latest_per_user": q_events_latest_per_user,
@@ -4760,6 +4782,39 @@ def oracle_sql() -> dict[str, str]:
                 OR coalesce(ndrel, 0.0) > 0.5
                 OR coalesce(rmv, FALSE)) AS alert
         FROM d
+    """
+    # incremental lines = union-then-restrict: history count + batch
+    # count over the even/odd split equals the full-corpus line count,
+    # so the oracle is the whole-corpus line-dedup pipeline keeping
+    # only batch (odd) docs -- the X112 contract at line granularity
+    sqls["incremental_lines_batch"] = """
+        WITH l AS (
+          SELECT doc_id,
+                 regexp_split_to_array(coalesce(text, ''), '\\n') AS lines
+          FROM documents
+        ),
+        ex AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(lines) + 1),
+                                       i -> {'i': i, 'line': lines[i]})) AS s
+          FROM l
+        ),
+        idx AS (SELECT doc_id, s.i::INT AS i, s.line AS line FROM ex),
+        dup AS (
+          SELECT line FROM idx WHERE trim(line) <> ''
+          GROUP BY line HAVING count(*) > 1
+        ),
+        marked AS (
+          SELECT i.doc_id, i.i, i.line,
+                 (trim(i.line) = '' OR d.line IS NULL) AS keep
+          FROM idx i LEFT JOIN dup d ON i.line = d.line
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN keep THEN line END,
+                                   chr(10) ORDER BY i), '') AS text_dedup,
+               count(*)::BIGINT AS n_lines,
+               sum((NOT keep)::INT)::BIGINT AS n_removed
+        FROM marked WHERE doc_id % 2 = 1 GROUP BY doc_id
     """
     # MinHash estimator accuracy: candidate pairs from the same band
     # CTEs as dedup_minhash_lsh; the estimate is the k-component

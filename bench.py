@@ -100,6 +100,7 @@ HEADLINE = [
     "incremental_semantic_flags",
     "value_percentiles_approx",
     "pair_jaccard_estimates",
+    "incremental_lines_batch",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

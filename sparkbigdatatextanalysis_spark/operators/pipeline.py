@@ -22,6 +22,7 @@ shaped for 100 TB inputs:
 from __future__ import annotations
 
 import re
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -652,19 +653,54 @@ def dedup_lines(
         )
     if not sep:
         raise ValueError("dedup_lines: sep must be non-empty")
-    lines = docs.select(
+    lines = _exploded_lines(docs, id_col, text_col, sep)
+    dup = (
+        line_counts(docs, id_col, text_col, sep)
+        .where(F.col("cnt") > max_occurrences)
+        .select(F.col("line").alias("_line"), F.lit(True).alias("_dup"))
+    )
+    return _reassemble_kept_lines(lines, dup, id_col, sep)
+
+
+def _exploded_lines(
+    docs: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """(_id, _i, _line): one row per line, original index kept. Shared
+    by the full-corpus and incremental line dedups so the split
+    semantics (literal separator, NULL text = empty doc) cannot
+    drift."""
+    return docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep), -1)
         ).alias("_i", "_line"),
     )
-    dup = (
-        lines.where(F.trim("_line") != "")
-        .groupBy("_line")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > max_occurrences)
-        .select("_line", F.lit(True).alias("_dup"))
+
+
+def line_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(line, cnt): corpus-wide counts of every NON-BLANK line -- the
+    state table :func:`incremental_dedup_lines` probes and merges
+    (sum ``cnt`` on ``line``). One map-only explode + ONE partial-agg
+    count; blank lines are structure, never counted."""
+    return (
+        _exploded_lines(docs, id_col, text_col, sep)
+        .where(F.trim("_line") != "")
+        .groupBy(F.col("_line").alias("line"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _reassemble_kept_lines(
+    lines: DataFrame, dup: DataFrame, id_col: str, sep: str
+) -> DataFrame:
+    """Join the duplicate-line set back and rebuild each doc in original
+    line order -- the shared back half of both line dedups. ``dup`` is
+    (_line, _dup=true)."""
     keep = (F.trim("_line") == "") | F.col("_dup").isNull()
     marked = lines.join(dup, "_line", "left")
     return (
@@ -687,6 +723,76 @@ def dedup_lines(
         .select(
             F.col("_id").alias(id_col), "text_dedup", "n_lines", "n_removed"
         )
+    )
+
+
+class IncrementalLinesResult(NamedTuple):
+    result: DataFrame       # the batch docs' (id, text_dedup, n_lines, n_removed)
+    delta_counts: DataFrame  # (line, cnt) of the batch -- merge into history
+    # by summing cnt on line. Nothing is persisted here (unlike the
+    # spans/bands results): the line explode is one cheap map-only
+    # split, so re-evaluation costs less than the cache residue.
+
+
+def incremental_dedup_lines(
+    batch_docs: DataFrame,
+    history_counts: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 1,
+    sep: str = "\n",
+) -> IncrementalLinesResult:
+    """Daily-batch form of :func:`dedup_lines` against an accumulated
+    corpus -- the line-granularity completion of the incremental
+    contracts (hashes/bands, winnowing fingerprint counts, semantic
+    reps): a batch line is removed when its corpus-wide count --
+    history count PLUS batch count -- exceeds ``max_occurrences``,
+    exactly as if :func:`dedup_lines` had run over history-union-batch
+    and kept only the batch docs (the equivalence a test pins).
+    ``history_counts`` is a (line, cnt) table as produced by
+    :func:`line_counts` (None = empty history = plain batch run);
+    ``delta_counts`` is the batch's own table for the caller to merge
+    (sum cnt on line).
+
+    Like :func:`incremental_duplicate_spans` -- and UNLIKE the
+    hash-set contract -- the merge is NOT rerun-idempotent: history is
+    a COUNT, so re-merging a replayed delta double-counts and a rerun
+    then strips every repeated batch line. Merge only after the
+    batch's outputs commit, or key the merge by batch id.
+
+    Scale shape: the 100 TB side is HISTORY, probed by ONE equi-join
+    on the raw line (store it bucketed on line and the daily run
+    shuffles only the batch's distinct lines); joining on the raw
+    line, not a hash, keeps the operator exact (the dedup_lines
+    collision rationale). History lines never retro-update -- an old
+    doc's line first duplicated by today's batch is cleaned when that
+    doc is next reprocessed, the standard incremental contract.
+    """
+    if max_occurrences < 1:
+        raise ValueError(
+            f"incremental_dedup_lines: max_occurrences must be >= 1, "
+            f"got {max_occurrences}"
+        )
+    if not sep:
+        raise ValueError("incremental_dedup_lines: sep must be non-empty")
+    lines = _exploded_lines(batch_docs, id_col, text_col, sep)
+    bc = line_counts(batch_docs, id_col, text_col, sep)
+    if history_counts is not None:
+        hist = history_counts.select(
+            F.col("line").alias("_hl"), F.col("cnt").alias("_hcnt")
+        )
+        totals = bc.join(hist, bc.line == F.col("_hl"), "left").select(
+            "line",
+            (F.col("cnt") + F.coalesce(F.col("_hcnt"), F.lit(0))).alias("_n"),
+        )
+    else:
+        totals = bc.select("line", F.col("cnt").alias("_n"))
+    dup = (
+        totals.where(F.col("_n") > max_occurrences)
+        .select(F.col("line").alias("_line"), F.lit(True).alias("_dup"))
+    )
+    return IncrementalLinesResult(
+        _reassemble_kept_lines(lines, dup, id_col, sep), bc
     )
 
 

@@ -391,3 +391,83 @@ def test_incremental_semantic_history_probe_shape(spark, sem_corpus):
     plan = r.result._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- incremental line dedup (pipeline.incremental_dedup_lines) -------------
+
+
+LINES_HIST = [
+    (0, "keep me alone\ncookie banner text\n\nunique alpha line"),
+    (2, "cookie banner text\nanother unique beta line"),
+    (4, "totally distinct gamma content\nnav bar boilerplate"),
+]
+LINES_BATCH = [
+    # 'cookie banner text' already twice in history -> removed here;
+    # 'nav bar boilerplate' once in history + once here -> total 2 > 1
+    (1, "cookie banner text\nfresh delta line\n\nnav bar boilerplate"),
+    # within-batch repeat: 'repeated epsilon' twice in one batch
+    (3, "repeated epsilon\nrepeated epsilon\nsingleton zeta"),
+    (5, "entirely new eta document"),
+]
+
+
+def _line_rows(out):
+    return {
+        r["doc_id"]: (r["text_dedup"], r["n_lines"], r["n_removed"])
+        for r in out.collect()
+    }
+
+
+def test_incremental_lines_equal_batch_over_union(spark):
+    """The defining equivalence: incremental(batch, line_counts(history))
+    == dedup_lines(history UNION batch) restricted to batch docs --
+    history count + batch count IS the union count."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    hist = spark.createDataFrame(LINES_HIST, "doc_id LONG, text STRING")
+    batch = spark.createDataFrame(LINES_BATCH, "doc_id LONG, text STRING")
+    full = spark.createDataFrame(
+        LINES_HIST + LINES_BATCH, "doc_id LONG, text STRING"
+    )
+    want = {
+        k: v
+        for k, v in _line_rows(pl.dedup_lines(full)).items()
+        if k % 2 == 1
+    }
+    got = _line_rows(
+        pl.incremental_dedup_lines(batch, pl.line_counts(hist)).result
+    )
+    assert got == want
+    # spot semantics: the history boilerplate vanished, blanks survived
+    assert got[1][0] == "fresh delta line\n"
+    assert got[1][2] == 2
+    # within-batch repeats removed on both occurrences (count 2 > 1)
+    assert got[3][0] == "singleton zeta"
+    assert got[5] == ("entirely new eta document", 1, 0)
+
+
+def test_incremental_lines_none_history_equals_plain_batch(spark):
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    batch = spark.createDataFrame(LINES_BATCH, "doc_id LONG, text STRING")
+    want = _line_rows(pl.dedup_lines(batch))
+    r = pl.incremental_dedup_lines(batch, None)
+    assert _line_rows(r.result) == want
+    # delta counts every non-blank batch line occurrence
+    d = {row["line"]: row["cnt"] for row in r.delta_counts.collect()}
+    assert d["repeated epsilon"] == 2
+    assert d["cookie banner text"] == 1
+
+
+def test_incremental_lines_history_probe_is_equi_join(spark):
+    """The history probe must be a hash equi-join on the raw line (the
+    shape a line-bucketed history elides its exchange for) -- no
+    cartesian, no row-Python."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    hist = spark.createDataFrame(LINES_HIST, "doc_id LONG, text STRING")
+    batch = spark.createDataFrame(LINES_BATCH, "doc_id LONG, text STRING")
+    r = pl.incremental_dedup_lines(batch, pl.line_counts(hist))
+    plan = r.result._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

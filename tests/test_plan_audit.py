@@ -277,6 +277,11 @@ BUDGETS = {
     # counting agg; the estimates table is explicitly broadcast back
     # (rows = #event types) -> floor 1
     "value_percentiles_approx": (3, 1),
+    # incremental line dedup: batch line-count agg + the history-probe
+    # equi-join + the per-doc reassembly agg; history/dup sides
+    # broadcast at this scale but take no floor (at 100 TB the bucketed
+    # history must NOT broadcast -- AQE decides)
+    "incremental_lines_batch": (4, 0),
     # MinHash estimator accuracy: cache-free flattening re-expands the
     # shingle pipeline once per consumer (candidate pairs + signature
     # est join + intersection sides + set sizes -- the common_token_
