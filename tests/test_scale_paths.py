@@ -456,3 +456,81 @@ def test_sketch_probes_reject_reserved_column_collisions(spark):
         pl.bloom_contamination(sh.withColumn("_hit", F.lit(1)), bits)
     with _pytest.raises(ValueError, match="bloom_contamination"):
         pl.bloom_contamination(sh.withColumn("_p0", F.lit(1)), bits)
+
+
+def test_incremental_semantic_survives_degenerate_history_cluster(spark):
+    """The daily-ingest twin of the SemDeDup skew stress: HISTORY holds
+    one hot cluster (200 identical committed representatives -- the
+    re-encoded-boilerplate archive) and the daily batch probes it. The
+    history probe must stay a cluster-bounded equi-join -- no cartesian,
+    no row-Python, bounded time -- every batch vector landing in the hot
+    cluster must flag near_dup_history, and vectors in other clusters
+    must be untouched by the hot cluster's |batch_c| x |hist_c| term."""
+    import random
+    import time
+
+    from sparkbigdatatextanalysis_spark.operators import ann, dedup
+    from sparkbigdatatextanalysis_spark.plans import audit_plan
+
+    rng = random.Random(17)
+    dim, n_rand, n_hot = 32, 600, 200
+    hot_vec = [1.0] * dim
+    hist_rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(n_rand)
+    ] + [(n_rand + i, list(hot_vec)) for i in range(n_hot)]
+    hist = spark.createDataFrame(hist_rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = ann.kmeans_centroids(hist)
+
+    # batch: 20 copies of the hot vector (must all drop vs history) and
+    # 30 fresh Gaussians (must all keep -- dim-32 Gaussians never reach
+    # cos >= 0.99 of anything, seeded)
+    batch_rows = [
+        (10_000 + i, list(hot_vec)) for i in range(20)
+    ] + [
+        (20_000 + i, [rng.gauss(0.0, 1.0) for _ in range(dim)])
+        for i in range(30)
+    ]
+    batch = spark.createDataFrame(batch_rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    hr = dedup.incremental_semantic_dedup(
+        hist, None, 0.99, cents, persist_assignments=False
+    )
+    r = dedup.incremental_semantic_dedup(
+        batch, hr.assignments, 0.99, cents, persist_assignments=False
+    )
+    a = audit_plan(r.result)
+    assert a.cartesian_products == 0 and a.row_python_stages == 0
+
+    t0 = time.time()
+    out = {row["vec_id"]: row for row in r.result.collect()}
+    elapsed = time.time() - t0
+    assert len(out) == 50
+    hot_ids = [i for i in out if i < 20_000]
+    fresh_ids = [i for i in out if i >= 20_000]
+    assert all(out[i]["near_dup_history"] and not out[i]["keep"] for i in hot_ids)
+    assert all(out[i]["keep"] for i in fresh_ids)
+    # the hot batch copies also pair among themselves (min-id batch rule)
+    assert sum(out[i]["near_dup_batch"] for i in hot_ids) == len(hot_ids) - 1
+    assert elapsed < 120, f"degenerate history probe took {elapsed:.1f}s"
+
+
+def test_incremental_semantic_empty_batch_and_empty_corpus(spark):
+    """Degenerate inputs must produce empty frames, not errors: an empty
+    daily batch (holiday), and an empty-corpus history build."""
+    from sparkbigdatatextanalysis_spark.operators import ann, dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = ann.kmeans_centroids(emb, n_centroids=4)
+    empty = emb.where("vec_id < 0")
+    r = dedup.incremental_semantic_dedup(
+        empty, None, 0.9, cents, persist_assignments=False
+    )
+    assert r.result.count() == 0 and r.delta_reps.count() == 0
+    # empty history reps frame (not None) behaves like no history
+    hr = dedup.incremental_semantic_dedup(
+        emb, r.delta_reps, 0.9, cents, persist_assignments=False
+    )
+    assert hr.result.count() == 20
