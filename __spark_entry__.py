@@ -2340,15 +2340,19 @@ def q_value_percentiles_approx(spark, sf_dir):
     combine, no per-group sort). The raw estimates are implementation-
     specific, but their ACCURACY is not: GK at accuracy=10000
     guarantees the returned value's rank is within 1e-4 of the target,
-    so the query measures each estimate's empirical rank in one
-    counting pass (the estimates broadcast back -- rows = #event
-    types) and emits "rank within 0.02 + 1/n of target" booleans (200x
-    the deterministic bound, plus the 1/n rank-quantization term so the
-    flag is provably stable for ANY group size -- the returned element's
-    own rank is quantized to multiples of 1/n; this is not a
-    probabilistic sketch, so the flag cannot flake), which the oracle
-    pins to 1 alongside the exact group counts. A broken/degraded
-    summary still fails the hash."""
+    so the query measures each estimate's empirical rank BRACKET in
+    one counting pass (the estimates broadcast back -- rows = #event
+    types): a tied element's true rank is any point in
+    [count(value < est), count(value <= est)], so the flag passes when
+    that bracket comes within 0.02 + 1/n of the target (200x the
+    deterministic bound, plus the 1/n rank-quantization term). The
+    bracket form makes the flag stable even when one value carries
+    heavy tie mass in a group (where the max-rank measurement alone
+    could exceed the tolerance for a CORRECT summary on regenerated
+    data); this is not a probabilistic sketch, so within those
+    assumptions the flag does not flake. The oracle pins the booleans
+    to 1 alongside the exact group counts; a broken/degraded summary
+    still fails the hash."""
     ev = _events(spark, sf_dir)
     est = (
         ev.groupBy("event_type")
@@ -2362,30 +2366,35 @@ def q_value_percentiles_approx(spark, sf_dir):
             F.col("_apx")[2].alias("_e99"),
         )
     )
-    ranks = (
-        ev.join(F.broadcast(est), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum((F.col("value") <= F.col("_e50")).cast("long")).alias("_r50"),
-            F.sum((F.col("value") <= F.col("_e90")).cast("long")).alias("_r90"),
-            F.sum((F.col("value") <= F.col("_e99")).cast("long")).alias("_r99"),
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for p in (50, 90, 99):
+        aggs.append(
+            F.sum((F.col("value") < F.col(f"_e{p}")).cast("long")).alias(
+                f"_lo{p}"
+            )
         )
+        aggs.append(
+            F.sum((F.col("value") <= F.col(f"_e{p}")).cast("long")).alias(
+                f"_hi{p}"
+            )
+        )
+    ranks = ev.join(F.broadcast(est), "event_type").groupBy("event_type").agg(
+        *aggs
     )
 
-    def ok(r, target):
+    def ok(p, target):
         tol = F.lit(0.02) + 1.0 / F.col("n_events")
-        return (
-            (F.abs(F.col(r) / F.col("n_events") - target) <= tol)
-            .cast("long")
-        )
+        lo = F.col(f"_lo{p}") / F.col("n_events")
+        hi = F.col(f"_hi{p}") / F.col("n_events")
+        # pass unless the whole bracket sits outside target +/- tol
+        return ((hi >= target - tol) & (lo <= target + tol)).cast("long")
 
     return ranks.select(
         "event_type",
         "n_events",
-        ok("_r50", 0.5).alias("p50_rank_ok"),
-        ok("_r90", 0.9).alias("p90_rank_ok"),
-        ok("_r99", 0.99).alias("p99_rank_ok"),
+        ok(50, 0.5).alias("p50_rank_ok"),
+        ok(90, 0.9).alias("p90_rank_ok"),
+        ok(99, 0.99).alias("p99_rank_ok"),
     )
 
 
@@ -2472,77 +2481,20 @@ def q_pair_jaccard_estimates(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
-    # checks the FIRST 50 declared keys. Round-7 window (the rotation
-    # the r6 comment block promised): slots 1-15 are the fifteen keys
-    # whose latest driver row is r04 (3 rounds stale -- the staleness
-    # maximum, they MUST gate now), slots 16-23 the eight keys NEW this
-    # round (prefix blocking, the Z-order key, profile drift, the
-    # auto-salted join, incremental semantic dedup, the
-    # approx-percentile accuracy gate, the MinHash-estimator accuracy
-    # table, and incremental line dedup), and slots 24-50 re-gate 27
-    # of the 50 keys whose latest row is r05. The remaining 23
-    # r05-latest keys (first section after the window) MUST lead the
-    # r8 window -- they will be 3 rounds stale by then; after them
-    # rotate the 50 r06-latest keys (2 rounds stale at r8, 27 fit
-    # alongside; the 23 r06 keys that don't fit then lead r9).
-    # Every key is re-verified on every suite run by
-    # tests/test_oracle_parity.py regardless of the window.
+    # checks the FIRST 50 declared keys. Round-8 window (the rotation
+    # the r7 comment block promised): slots 1-23 are the twenty-three
+    # keys whose latest driver row is r05 (3 rounds stale -- the
+    # staleness maximum, they MUST gate now), the next section holds
+    # keys NEW this round, and the remaining slots re-gate the oldest
+    # of the 50 keys whose latest row is r06. The r06-latest keys that
+    # don't fit (first section after the window) MUST lead the r9
+    # window -- they will be 3 rounds stale by then; after them rotate
+    # the 50 r07-latest keys (2 rounds stale at r9; the ones that
+    # don't fit then lead r10). Every key is re-verified on every
+    # suite run by tests/test_oracle_parity.py regardless of the
+    # window.
     return {
-        # --- latest driver row r04: 3 rounds stale, MUST gate now (15) ---
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "media_decode": q_media_decode,
-        "media_frame_sample": q_media_frame_sample,
-        "events_windowed": q_events_windowed,
-        "events_sliding_users": q_events_sliding_users,
-        "pricing_rollup": q_pricing_rollup,
-        "top_parts_by_brand": q_top_parts_by_brand,
-        "asof_join_events": q_asof_join_events,
-        "range_join_events": q_range_join_events,
-        "sales_cube": q_sales_cube,
-        "value_percentiles": q_value_percentiles,
-        "customers_no_orders": q_customers_no_orders,
-        # --- new this round (6) ---
-        "docs_prefix_blocking": q_docs_prefix_blocking,
-        "events_zorder_key": q_events_zorder_key,
-        "orders_profile_drift": q_orders_profile_drift,
-        "skew_join_auto": q_skew_join_auto,
-        "incremental_semantic_flags": q_incremental_semantic_flags,
-        "value_percentiles_approx": q_value_percentiles_approx,
-        "pair_jaccard_estimates": q_pair_jaccard_estimates,
-        "incremental_lines_batch": q_incremental_lines_batch,
-        # --- latest driver row r05: re-gate 27 of 50 (slots 24-50) ---
-        "scan_gold_pairs": q_scan_gold_pairs,
-        "dot_product": q_dot_product,
-        "str_strip_quotes": q_str_strip_quotes,
-        "tokenize": q_tokenize,
-        "docs_line_dedup": q_docs_line_dedup,
-        "docs_token_budget": q_docs_token_budget,
-        "docs_bm25_topk": q_docs_bm25_topk,
-        "dedup_best_rep": q_dedup_best_rep,
-        "docs_substring_dedup": q_docs_substring_dedup,
-        "docs_bm25_batch": q_docs_bm25_batch,
-        "docs_chunk_windows": q_docs_chunk_windows,
-        "embeddings_quantized": q_embeddings_quantized,
-        "dedup_semantic": q_dedup_semantic,
-        "docs_domain_caps": q_docs_domain_caps,
-        "dedup_near_clusters": q_dedup_near_clusters,
-        "tpch_q2_like": q_tpch_q2_like,
-        "tpch_q3_like": q_tpch_q3_like,
-        "tpch_q4_like": q_tpch_q4_like,
-        "tpch_q5_like": q_tpch_q5_like,
-        "tpch_q7_like": q_tpch_q7_like,
-        "tpch_q16_like": q_tpch_q16_like,
-        "tpch_q18_like": q_tpch_q18_like,
-        "curation_pipeline": q_curation_pipeline,
-        "events_hourly_from_minutely": q_events_hourly_from_minutely,
-        "docs_split_sample": q_docs_split_sample,
-        "text_repetition": q_text_repetition,
-        "events_value_zscore": q_events_value_zscore,
-        # ---- end of the 50-key gate window ----
-        # --- r05-latest leftovers (23): MUST lead the r8 window ---
+        # --- latest driver row r05: 3 rounds stale, MUST gate now (23) ---
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_test_ngram_overlap": q_train_test_ngram_overlap,
         "docs_unigram_logprob": q_docs_unigram_logprob,
@@ -2566,7 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_concat": q_scan_concat,
         "tfidf_vectors": q_tfidf_vectors,
         "fast_cosine_join": q_fast_cosine_join,
-        # --- latest driver row r06: freshest, rotate after the above (50) ---
+        # --- latest driver row r06: re-gate the first 27 (slots 24-50) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
@@ -2594,6 +2546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "cosine_similarity": q_cosine_similarity,
         "tokenize_stopwords": q_tokenize_stopwords,
+        # ---- end of the 50-key gate window ----
+        # --- r06-latest leftovers (23): MUST lead the r9 window ---
         "term_frequencies": q_term_frequencies,
         "idf_dict": q_idf_dict,
         "l2_norm": q_l2_norm,
@@ -2617,6 +2571,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
+        # --- latest driver row r07: freshest, rotate after the above (50) ---
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_decode": q_media_decode,
+        "media_frame_sample": q_media_frame_sample,
+        "events_windowed": q_events_windowed,
+        "events_sliding_users": q_events_sliding_users,
+        "pricing_rollup": q_pricing_rollup,
+        "top_parts_by_brand": q_top_parts_by_brand,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
+        "sales_cube": q_sales_cube,
+        "value_percentiles": q_value_percentiles,
+        "customers_no_orders": q_customers_no_orders,
+        "docs_prefix_blocking": q_docs_prefix_blocking,
+        "events_zorder_key": q_events_zorder_key,
+        "orders_profile_drift": q_orders_profile_drift,
+        "skew_join_auto": q_skew_join_auto,
+        "incremental_semantic_flags": q_incremental_semantic_flags,
+        "value_percentiles_approx": q_value_percentiles_approx,
+        "pair_jaccard_estimates": q_pair_jaccard_estimates,
+        "incremental_lines_batch": q_incremental_lines_batch,
+        "scan_gold_pairs": q_scan_gold_pairs,
+        "dot_product": q_dot_product,
+        "str_strip_quotes": q_str_strip_quotes,
+        "tokenize": q_tokenize,
+        "docs_line_dedup": q_docs_line_dedup,
+        "docs_token_budget": q_docs_token_budget,
+        "docs_bm25_topk": q_docs_bm25_topk,
+        "dedup_best_rep": q_dedup_best_rep,
+        "docs_substring_dedup": q_docs_substring_dedup,
+        "docs_bm25_batch": q_docs_bm25_batch,
+        "docs_chunk_windows": q_docs_chunk_windows,
+        "embeddings_quantized": q_embeddings_quantized,
+        "dedup_semantic": q_dedup_semantic,
+        "docs_domain_caps": q_docs_domain_caps,
+        "dedup_near_clusters": q_dedup_near_clusters,
+        "tpch_q2_like": q_tpch_q2_like,
+        "tpch_q3_like": q_tpch_q3_like,
+        "tpch_q4_like": q_tpch_q4_like,
+        "tpch_q5_like": q_tpch_q5_like,
+        "tpch_q7_like": q_tpch_q7_like,
+        "tpch_q16_like": q_tpch_q16_like,
+        "tpch_q18_like": q_tpch_q18_like,
+        "curation_pipeline": q_curation_pipeline,
+        "events_hourly_from_minutely": q_events_hourly_from_minutely,
+        "docs_split_sample": q_docs_split_sample,
+        "text_repetition": q_text_repetition,
+        "events_value_zscore": q_events_value_zscore,
     }
 
 

@@ -592,20 +592,39 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    # Cold (first-run) timings go on their OWN earlier line: the driver
-    # captures only the tail of stdout and parses the LAST line, so the
-    # final line must stay compact (summary + warm per-query map only).
+    # The driver captures only a bounded TAIL of stdout (~2 KiB) and
+    # parses the last complete JSON line, so line order is load-bearing:
+    # cold timings first, then the full per-query line, then a COMPACT
+    # summary line LAST (no per-query dict -- r7's per-query line
+    # outgrew the tail window and head-truncated, losing the headline
+    # total; the summary line stays a few hundred bytes at any entry
+    # count, so the last complete line is always parseable).
     print(json.dumps({"queries_cold": cold, "sf": sf_val}))
     sys.stdout.flush()
     settle_meta["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "witness_queries": witness,
+                "settle": settle_meta,
+                "sf": sf_val,
+            }
+        )
+    )
+    sys.stdout.flush()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_summary",
+                "value": total,
+                "unit": "sec",
+                "n_entries": len(timings),
+                "witness": witness,
                 "settle": settle_meta,
                 "sf": sf_val,
             }

@@ -215,7 +215,10 @@ def bloom_contamination(
     bpw = BLOOM_BITS_PER_WORD
     k = len(BLOOM_AB)
     reserved = [
-        s for i in range(k) for s in (f"_p{i}", f"_w{i}", f"_b{i}", f"_wb{i}")
+        s
+        for i in range(k)
+        # _ww{i} is the broadcast-path join scratch name
+        for s in (f"_p{i}", f"_w{i}", f"_b{i}", f"_wb{i}", f"_ww{i}")
     ] + ["_hit"]
     clash = [c for c in reserved if c in shingles.columns]
     if clash:

@@ -305,6 +305,7 @@ def cms_estimate(
     reserved = (
         [f"_c{i}" for i in range(depth)]
         + [f"_e{i}" for i in range(depth)]
+        + [f"_cc{i}" for i in range(depth)]  # broadcast-path join scratch
         + ["cms_est"]
     )
     clash = [c for c in reserved if c in keys.columns]
