@@ -561,6 +561,23 @@ def q_media_frame_sample(spark, sf_dir):
     return out.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_hash")
 
 
+def q_media_ahash_pairs(spark, sf_dir):
+    """Perceptual near-dup media pairs (operators/multimodal.py::
+    media_near_dup_pairs): 64-bit average hash over the deterministic
+    8x8 fake thumbnail (payload bytes cropped/zero-padded to 64 --
+    the codec-less branch of resize_images), bucketed by the same
+    4x16-bit chunk pigeonhole as text SimHash, exact Hamming <= 3
+    filter. Every stage is integer/float64-exact arithmetic the oracle
+    replays: pixel_i = codepoint of text[i] (ASCII payloads) or 0 past
+    the end, mean = sum/64 (exact in float64), bit_i = pixel_i > mean
+    packed row-major into (sim_hi, sim_lo) 32-bit halves."""
+    media = mm.docs_as_media(_docs(spark, sf_dir, wide=True))
+    out = mm.media_near_dup_pairs(media, max_hamming=3)
+    return out.select(
+        "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with ts normalized to plain TIMESTAMP (the parquet has
     shipped as both TIMESTAMP(NANOS)->int64 and timestamp[us]->NTZ;
@@ -1090,6 +1107,49 @@ def q_dedup_near_clusters(spark, sf_dir):
     sum(is_kept) is the post-dedup corpus size. Oracle computes the same
     components with a recursive reachability CTE."""
     return _dedup_clusters(spark, sf_dir)
+
+
+def q_dedup_near_clusters_star(spark, sf_dir):
+    """The SAME clustering contract as dedup_near_clusters computed by
+    the alternating large-star/small-star algorithm (Kiveris et al.,
+    SoCC 2014; operators/components.py::connected_components_star) --
+    O(log n) rounds instead of O(diameter), the right CC when chains or
+    hubs push the near-dup graph's diameter up. Components are labeled
+    by min node id exactly like the propagation form, so the one
+    recursive-reachability CTE oracle adjudicates BOTH algorithms
+    (until r8 only a property test said they agree)."""
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    return _cached(
+        spark,
+        sf_dir,
+        "dedup_clusters_star",
+        lambda: cc.dedup_clusters(
+            _mh_pairs(spark, sf_dir), _docs(spark, sf_dir), algorithm="star"
+        ).localCheckpoint(eager=True),
+        persist=False,  # the eager checkpoint already holds the blocks
+    )
+
+
+def q_events_session_native(spark, sf_dir):
+    """Spark's built-in session operator (F.session_window) driving the
+    same gap sessionization as events_sessionize -- gated as its own key
+    so the NATIVE operator's semantics are oracle-adjudicated, not just
+    property-tested against the expression form. Contract differences
+    the oracle replays: no session_idx ordinal (sessions are identified
+    by their extent), and a gap of EXACTLY 30 minutes starts a new
+    session (session windows are half-open [start, last+gap)), hence
+    `>=` where the expression-path oracle has `>`."""
+    from sparkbigdatatextanalysis_spark.streaming import sessionize as sz
+
+    out = sz.sessionize_native(_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
 
 
 def q_skew_join_events(spark, sf_dir):
@@ -2518,7 +2578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_concat": q_scan_concat,
         "tfidf_vectors": q_tfidf_vectors,
         "fast_cosine_join": q_fast_cosine_join,
-        # --- latest driver row r06: re-gate the first 27 (slots 24-50) ---
+        # --- new this round (3) ---
+        "media_ahash_pairs": q_media_ahash_pairs,
+        "dedup_near_clusters_star": q_dedup_near_clusters_star,
+        "events_session_native": q_events_session_native,
+        # --- latest driver row r06: re-gate the first 24 (slots 27-50) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
@@ -2543,11 +2607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_bins": q_events_value_bins,
         "docs_curation_rules": q_docs_curation_rules,
         "docs_hashed_embeddings": q_docs_hashed_embeddings,
+        # ---- end of the 50-key gate window ----
+        # --- r06-latest leftovers (26): MUST lead the r9 window ---
         "ann_topk_ivf": q_ann_topk_ivf,
         "cosine_similarity": q_cosine_similarity,
         "tokenize_stopwords": q_tokenize_stopwords,
-        # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (23): MUST lead the r9 window ---
         "term_frequencies": q_term_frequencies,
         "idf_dict": q_idf_dict,
         "l2_norm": q_l2_norm,
@@ -4928,5 +4992,72 @@ def oracle_sql() -> dict[str, str]:
                NOT ((b.id IN (SELECT id FROM nh))
                     OR (b.id IN (SELECT id FROM nb))) AS keep
         FROM bat b
+    """
+    # aHash near-dup pairs: replay the codec-less resize contract
+    # (crop/zero-pad the ASCII payload to 64 pixels), the exact-float64
+    # mean threshold (sum of <=64 ints / 64 is exact in float64 on both
+    # engines), the row-major bit pack into 32-bit halves (each half
+    # sums to < 2^32, so no sign-bit shift on either engine), then the
+    # same 4x16-bit chunk pigeonhole + Hamming filter as
+    # dedup_simhash_pairs.
+    sqls["media_ahash_pairs"] = """
+        WITH pix AS (
+          SELECT doc_id, i,
+                 CASE WHEN i < length(text)
+                      THEN ascii(substr(text, (i + 1)::INT, 1))
+                      ELSE 0 END AS p
+          FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+        ),
+        m AS (SELECT doc_id, sum(p)::DOUBLE / 64 AS mean FROM pix GROUP BY doc_id),
+        sigs AS (
+          SELECT pix.doc_id AS id,
+                 sum(CASE WHEN i >= 32 AND p > mean
+                          THEN (1::BIGINT << (i - 32)::INT) ELSE 0 END)::BIGINT AS sim_hi,
+                 sum(CASE WHEN i < 32 AND p > mean
+                          THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS sim_lo
+          FROM pix JOIN m USING (doc_id) GROUP BY pix.doc_id
+        ),
+        ch AS (
+          SELECT id, sim_hi, sim_lo, c.chunk,
+                 CASE WHEN c.chunk < 2
+                      THEN (sim_lo >> (c.chunk * 16)) & 65535
+                      ELSE (sim_hi >> ((c.chunk - 2) * 16)) & 65535
+                 END AS ckey
+          FROM sigs CROSS JOIN (SELECT range AS chunk FROM range(0, 4)) c
+        )
+        SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+               (bit_count(xor(a.sim_hi, b.sim_hi))
+                + bit_count(xor(a.sim_lo, b.sim_lo)))::BIGINT AS hamming
+        FROM ch a JOIN ch b USING (chunk, ckey)
+        WHERE a.id < b.id
+          AND (bit_count(xor(a.sim_hi, b.sim_hi))
+               + bit_count(xor(a.sim_lo, b.sim_lo))) <= 3
+    """
+    # The star algorithm must produce byte-identical labels to the
+    # propagation form, so the one recursive CTE adjudicates both.
+    sqls["dedup_near_clusters_star"] = sqls["dedup_near_clusters"]
+    # Native session_window twin: same expression-form replay as
+    # events_sessionize minus the ordinal, with `>=` on the gap (a gap
+    # of exactly 30 min splits under the half-open native windows).
+    sqls["events_session_native"] = """
+        WITH e AS (
+          SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events
+        ),
+        m AS (
+          SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                          OR tus - lag(tus) OVER w >= 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ),
+        s AS (
+          SELECT *, sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING
+          ) AS session_idx FROM m
+        )
+        SELECT user_id,
+               strftime(min(make_timestamp(tus)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(make_timestamp(tus)), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM s GROUP BY user_id, session_idx
     """
     return sqls

@@ -101,6 +101,12 @@ HEADLINE = [
     "value_percentiles_approx",
     "pair_jaccard_estimates",
     "incremental_lines_batch",
+    # r8 additions: the three formerly pytest-only operators promoted to
+    # driver keys (perceptual aHash near-dup pairs, large-star/small-star
+    # connected components, the native session_window twin)
+    "media_ahash_pairs",
+    "dedup_near_clusters_star",
+    "events_session_native",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION
