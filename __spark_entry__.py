@@ -2210,6 +2210,41 @@ def q_docs_bloom_decontaminate(spark, sf_dir):
     return pl.bloom_contamination(sh.where(bucket < 80), bits)
 
 
+def q_embeddings_decontaminate(spark, sf_dir):
+    """Embedding-space (paraphrase) decontamination
+    (operators/pipeline.py::embedding_decontamination) -- the semantic
+    member of the contamination family: exact n-grams (X49) and Bloom
+    n-grams (X113) catch verbatim leaks only; this one probes each
+    TRAIN vector (buckets < 80, same deterministic hash split) against
+    the same-cluster PROTECTED vectors (buckets >= 90) and emits
+    (cluster, n_probe_hits, max_cos, contaminated). Centroids = the
+    SHARED pinned ivf_cents model state, so a fourth key now pins the
+    same k-means; the oracle replays the assignment CTEs and the
+    cluster-probe join with the bit-identical dot fold (threshold
+    comparisons unrounded, max_cos rounded on both sides)."""
+    from sparkbigdatatextanalysis_spark.functions.hashing import string_hash31
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    emb = _emb(spark, sf_dir)
+    cents = _cached(
+        spark, sf_dir, "ivf_cents", lambda: ann_ops.kmeans_centroids(emb)
+    )
+    bucket = string_hash31(F.col("vec_id").cast("string")) % 100
+    out = pl.embedding_decontamination(
+        emb.where(bucket < 80),
+        emb.where(bucket >= 90),
+        EMBED_NEAR_DUP_THRESHOLD,
+        cents,
+    )
+    return out.select(
+        "vec_id",
+        "cluster",
+        "n_probe_hits",
+        F.round("max_cos", 6).alias("max_cos"),
+        "contaminated",
+    )
+
+
 def q_tokens_cms_estimates(spark, sf_dir):
     """Count-min-sketch token frequencies (operators/stats.py::
     cms_build + cms_estimate) -- the counting member of the sketch
@@ -2578,11 +2613,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_concat": q_scan_concat,
         "tfidf_vectors": q_tfidf_vectors,
         "fast_cosine_join": q_fast_cosine_join,
-        # --- new this round (3) ---
+        # --- new this round (4) ---
         "media_ahash_pairs": q_media_ahash_pairs,
         "dedup_near_clusters_star": q_dedup_near_clusters_star,
         "events_session_native": q_events_session_native,
-        # --- latest driver row r06: re-gate the first 24 (slots 27-50) ---
+        "embeddings_decontaminate": q_embeddings_decontaminate,
+        # --- latest driver row r06: re-gate the first 23 (slots 28-50) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
@@ -2606,9 +2642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shuffle_shards": q_docs_shuffle_shards,
         "events_value_bins": q_events_value_bins,
         "docs_curation_rules": q_docs_curation_rules,
-        "docs_hashed_embeddings": q_docs_hashed_embeddings,
         # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (26): MUST lead the r9 window ---
+        # --- r06-latest leftovers (27): MUST lead the r9 window ---
+        "docs_hashed_embeddings": q_docs_hashed_embeddings,
         "ann_topk_ivf": q_ann_topk_ivf,
         "cosine_similarity": q_cosine_similarity,
         "tokenize_stopwords": q_tokenize_stopwords,
@@ -5059,5 +5095,49 @@ def oracle_sql() -> dict[str, str]:
                strftime(max(make_timestamp(tus)), '%Y-%m-%d %H:%M:%S') AS session_end,
                count(*) AS n_events, round(sum(value), 6) AS sum_value
         FROM s GROUP BY user_id, session_idx
+    """
+    # Embedding-space decontamination: the same k-means + assignment
+    # CTEs as dedup_semantic / incremental_semantic_flags (a FOURTH key
+    # pinning the same centroid literals), then the cluster-probe join
+    # of train (hash buckets < 80) against protected (buckets >= 90)
+    # with the bit-identical dot fold; threshold comparisons unrounded,
+    # max_cos rounded 6 on both sides.
+    sqls["embeddings_decontaminate"] = f"""
+        WITH {_EMB_NORM_SQL},
+        {_KMEANS_CTES},
+        cents AS (SELECT c_id, cv, cn FROM {_KMEANS_FINAL}),
+        ascore AS (
+          SELECT a.vec_id AS id, c_id,
+                 round({_emb_dot_sql("a.v", "cv")} / (a.norm * cn), 9) AS cos
+          FROM nv a CROSS JOIN cents
+        ),
+        assign AS (
+          SELECT id, c_id AS cluster FROM (
+            SELECT id, c_id,
+                   row_number() OVER (
+                     PARTITION BY id ORDER BY cos DESC, c_id) AS rn
+            FROM ascore
+          ) WHERE rn = 1
+        ),
+        av AS (
+          SELECT s.id, s.cluster, nv.v, nv.norm,
+                 {string_hash31_sql("s.id::VARCHAR")} % 100 AS bucket
+          FROM assign s JOIN nv ON nv.vec_id = s.id
+        ),
+        tr AS (SELECT * FROM av WHERE bucket < 80),
+        pr AS (SELECT * FROM av WHERE bucket >= 90),
+        hits AS (
+          SELECT t.id,
+                 sum(({_emb_dot_sql("t.v", "p.v")} / (t.norm * p.norm)
+                      >= {EMBED_NEAR_DUP_THRESHOLD})::BIGINT)::BIGINT AS n_probe_hits,
+                 round(max({_emb_dot_sql("t.v", "p.v")} / (t.norm * p.norm)), 6) AS max_cos
+          FROM tr t JOIN pr p ON p.cluster = t.cluster
+          GROUP BY t.id
+        )
+        SELECT t.id AS vec_id, t.cluster::BIGINT AS cluster,
+               coalesce(h.n_probe_hits, 0)::BIGINT AS n_probe_hits,
+               h.max_cos,
+               coalesce(h.n_probe_hits, 0) > 0 AS contaminated
+        FROM tr t LEFT JOIN hits h ON h.id = t.id
     """
     return sqls

@@ -107,6 +107,7 @@ HEADLINE = [
     "media_ahash_pairs",
     "dedup_near_clusters_star",
     "events_session_native",
+    "embeddings_decontaminate",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

@@ -290,6 +290,83 @@ def bloom_contamination(
     )
 
 
+def embedding_decontamination(
+    train_emb: DataFrame,
+    protected_emb: DataFrame,
+    threshold: float,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space (paraphrase) decontamination -- the semantic
+    complement of :func:`contamination_overlap` (exact n-grams) and
+    :func:`bloom_contamination` (Bloom n-grams), both of which only
+    catch VERBATIM leaks: a paraphrased benchmark item shares no
+    3-gram with its source and sails through both, but lands next to
+    it in embedding space. Composes the engine's existing pieces: any
+    (id, embedding) frames (e.g. text bridged through
+    ``vectors.hashed_doc_embeddings``), the pinned k-means model state
+    of ``ann.kmeans_centroids``, and the cluster-probe equi-join of
+    ``dedup.incremental_semantic_dedup`` (the protected side IS that
+    contract's representative-state shape).
+
+    Per TRAIN vector: ``cluster`` (argmax assignment against the
+    literal centroids), ``n_probe_hits`` (same-cluster protected
+    vectors with cos >= ``threshold``), ``max_cos`` (max cosine over
+    same-cluster probes; NULL when the cluster holds none), and
+    ``contaminated`` = n_probe_hits > 0. Every train vector comes out
+    (left join) -- "clean" is the answer the pipeline acts on.
+
+    Like SemDeDup's pair join, the same-cluster restriction is the
+    recall/cost dial: a leak whose embedding crosses a cluster
+    boundary is missed, and raising k shrinks per-cluster cost while
+    widening that miss window (mitigate with multi-probe assignment if
+    recall dominates).
+
+    Scale shape: both assignments are map-only literal-centroid argmax
+    (zero exchanges); the probe is ONE equi-join on the cluster id --
+    the protected side (benchmark test sets: tiny) broadcasts, so the
+    100 TB train side never shuffles at all; then one partial-agg
+    groupBy(train id). Identical join shape to the incremental
+    semantic dedup probe, proven cartesian-free under a degenerate
+    cluster in SCALE.md.
+    """
+    from .ann import _assign_from_lit, _cents_lit, _collect_cents, _norm_vecs
+    from .dedup import _dot
+
+    lit = _cents_lit(_collect_cents(cents))
+    tr = _assign_from_lit(
+        _norm_vecs(train_emb, id_col, vec_col), lit, extra_cols=("v", "norm")
+    )
+    pr = _assign_from_lit(
+        _norm_vecs(protected_emb, id_col, vec_col), lit, extra_cols=("v", "norm")
+    )
+    probes = pr.select(
+        "cluster", F.col("v").alias("_pv"), F.col("norm").alias("_pn")
+    )
+    cos = _dot(F.col("v"), F.col("_pv")) / (F.col("norm") * F.col("_pn"))
+    hits = (
+        tr.join(F.broadcast(probes), "cluster")
+        .select("id", cos.alias("_cos"))
+        .groupBy("id")
+        .agg(
+            F.sum((F.col("_cos") >= threshold).cast("long")).alias("_n_hits"),
+            F.max("_cos").alias("_max_cos"),
+        )
+    )
+    out = tr.select("id", F.col("cluster").cast("long").alias("cluster")).join(
+        hits, "id", "left"
+    )
+    n = F.coalesce(F.col("_n_hits"), F.lit(0).cast("long"))
+    return out.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        n.alias("n_probe_hits"),
+        F.col("_max_cos").alias("max_cos"),
+        (n > 0).alias("contaminated"),
+    )
+
+
 def pack_sequences(
     doc_tokens: DataFrame,
     budget: int = 512,

@@ -948,3 +948,102 @@ def test_cms_width_one_degenerates_to_total(spark):
     table = st.cms_build(counts, width=1)
     got = st.cms_estimate(counts, table).collect()
     assert all(r["cms_est"] == 10 for r in got)
+
+
+# --- embedding-space decontamination ----------------------------------------
+
+
+def test_embedding_decontamination_catches_paraphrase_ngram_misses(spark):
+    """The composition the operator exists for: a word-REORDERED copy of
+    a protected doc shares no 3-gram with it (exact/Bloom n-gram
+    decontamination both pass it) but its hashed embedding is identical
+    (the hashing trick is order-invariant), so the embedding path flags
+    it. An unrelated doc stays clean on both paths."""
+    from sparkbigdatatextanalysis_spark.functions import text as tf
+    from sparkbigdatatextanalysis_spark.operators import (
+        ann,
+        dedup as dd,
+        pipeline as pl,
+        vectors as vec,
+    )
+
+    protected_texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "completely different benchmark item about orbital mechanics",
+    ]
+    train_texts = [
+        # paraphrase leak: same bag of words (reversed order), so no
+        # forward 3-gram survives but the order-invariant hashed
+        # embedding is identical
+        "tonight dog lazy the over jumps fox brown quick the",
+        "unrelated training document covering medieval agriculture yields",
+    ]
+    prot = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=t) for i, t in enumerate(protected_texts)]
+    )
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(train_texts)]
+    )
+
+    def embed(df):
+        toks = df.select(
+            F.col("doc_id").alias("id"), tf.tokenize("text").alias("tokens")
+        )
+        return vec.hashed_doc_embeddings(toks, dim=16).select(
+            F.col("id").alias("vec_id"), "embedding"
+        )
+
+    tr_emb, pr_emb = embed(train), embed(prot)
+    cents = ann.kmeans_centroids(tr_emb.unionByName(pr_emb), n_centroids=2)
+    out = {
+        r["vec_id"]: r
+        for r in pl.embedding_decontamination(
+            tr_emb, pr_emb, 0.95, cents
+        ).collect()
+    }
+    assert len(out) == 2
+    assert out[0]["contaminated"] and out[0]["n_probe_hits"] == 1
+    assert out[0]["max_cos"] == pytest.approx(1.0)
+    assert not out[1]["contaminated"] and out[1]["n_probe_hits"] == 0
+
+    # the verbatim-only paths MISS the same leak: zero shared 3-grams
+    sh = dd.shingle_hashes(train.unionByName(prot))
+    ngram = {
+        r["doc_id"]: r
+        for r in pl.contamination_overlap(
+            sh, F.col("id") >= 100, F.col("id") < 100
+        ).collect()
+    }
+    assert ngram[0]["n_contaminated"] == 0
+    bits = pl.bloom_bits(sh.where(F.col("id") >= 100).select("id", "sh").distinct())
+    bloom = {
+        r["doc_id"]: r
+        for r in pl.bloom_contamination(
+            sh.where(F.col("id") < 100).select("id", "sh").distinct(), bits
+        ).collect()
+    }
+    assert not bloom[0]["contaminated"]
+
+
+def test_embedding_decontamination_empty_cluster_and_left_join(spark):
+    """Train vectors whose cluster holds no protected probes come out
+    with n_probe_hits 0, NULL max_cos, contaminated False -- never
+    dropped."""
+    from sparkbigdatatextanalysis_spark.operators import ann, pipeline as pl
+
+    train = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.05])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    prot = spark.createDataFrame(
+        [(100, [0.99, 0.01])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    cents = ann.kmeans_centroids(train.unionByName(prot), n_centroids=2)
+    out = {
+        r["vec_id"]: r
+        for r in pl.embedding_decontamination(train, prot, 0.9, cents).collect()
+    }
+    assert len(out) == 2
+    assert out[0]["contaminated"] and out[0]["max_cos"] is not None
+    assert not out[1]["contaminated"]
+    assert out[1]["n_probe_hits"] == 0 and out[1]["max_cos"] is None
