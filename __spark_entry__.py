@@ -2514,6 +2514,60 @@ def q_incremental_lines_batch(spark, sf_dir):
     return pl.incremental_dedup_lines(batch, pl.line_counts(hist)).result
 
 
+def q_incremental_ingest_verdict(spark, sf_dir):
+    """The composed nightly-ingest key (operators/pipeline.py::
+    incremental_ingest_verdict): ONE keep/drop verdict per batch doc
+    with per-family audit columns, chaining all four gated incremental
+    contracts -- hashes/bands (X111), winnowing spans (X112), raw lines
+    (X118) and semantic reps (X115, embeddings keyed by doc id; docs
+    past the embedded prefix carry NULL semantic flags and count as
+    clean) -- over the same even(history)/odd(batch) split each of them
+    gates individually. The oracle nests their four oracle queries as
+    derived tables joined on doc_id, the way curation_pipeline nests
+    its three. Nothing persists (zero cache residue); bench.py's
+    incremental_ingest_batch times the persisted prebuilt-history
+    production shape."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    d = _docs(spark, sf_dir, wide=True)
+    hist = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    hh = hist.select(F.sha2(F.col("text"), 256).alias("content_hash")).distinct()
+    hb = dd.lsh_band_keys_flat(
+        dd.minhash_signatures_flat(dd.shingle_hashes(hist))
+    ).select("band", "key")
+    hc = (
+        dd.winnow_fingerprints(hist)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hl = pl.line_counts(hist)
+    emb = _emb(spark, sf_dir)
+    cents = _cached(
+        spark, sf_dir, "ivf_cents", lambda: ann_ops.kmeans_centroids(emb)
+    )
+    hr = dd.incremental_semantic_dedup(
+        emb.where(F.col("vec_id") % 2 == 0),
+        None,
+        EMBED_NEAR_DUP_THRESHOLD,
+        cents,
+        persist_assignments=False,
+    )
+    res = pl.incremental_ingest_verdict(
+        batch,
+        hh,
+        hb,
+        hc,
+        hl,
+        emb.where(F.col("vec_id") % 2 == 1),
+        hr.assignments,
+        cents,
+        EMBED_NEAR_DUP_THRESHOLD,
+        persist_intermediates=False,
+    )
+    return res.result
+
+
 def q_pair_jaccard_estimates(spark, sf_dir):
     """MinHash accuracy surface over the LSH candidate pairs -- the
     threshold-tuning table a dedup operator reads before picking its
@@ -2613,12 +2667,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_concat": q_scan_concat,
         "tfidf_vectors": q_tfidf_vectors,
         "fast_cosine_join": q_fast_cosine_join,
-        # --- new this round (4) ---
+        # --- new this round (5) ---
         "media_ahash_pairs": q_media_ahash_pairs,
         "dedup_near_clusters_star": q_dedup_near_clusters_star,
         "events_session_native": q_events_session_native,
         "embeddings_decontaminate": q_embeddings_decontaminate,
-        # --- latest driver row r06: re-gate the first 23 (slots 28-50) ---
+        "incremental_ingest_verdict": q_incremental_ingest_verdict,
+        # --- latest driver row r06: re-gate the first 22 (slots 29-50) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
@@ -2641,9 +2696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_shuffle_shards": q_docs_shuffle_shards,
         "events_value_bins": q_events_value_bins,
-        "docs_curation_rules": q_docs_curation_rules,
         # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (27): MUST lead the r9 window ---
+        # --- r06-latest leftovers (28): MUST lead the r9 window ---
+        "docs_curation_rules": q_docs_curation_rules,
         "docs_hashed_embeddings": q_docs_hashed_embeddings,
         "ann_topk_ivf": q_ann_topk_ivf,
         "cosine_similarity": q_cosine_similarity,
@@ -5139,5 +5194,41 @@ def oracle_sql() -> dict[str, str]:
                h.max_cos,
                coalesce(h.n_probe_hits, 0) > 0 AS contaminated
         FROM tr t LEFT JOIN hits h ON h.id = t.id
+    """
+    # The composed nightly-ingest verdict: nest the four incremental
+    # contracts' own oracles as derived tables joined on doc_id (the
+    # curation_pipeline nesting pattern), so the composition cannot
+    # drift from the individually-gated forms.
+    sqls["incremental_ingest_verdict"] = f"""
+        WITH fl AS ({sqls["incremental_dedup_flags"]}),
+        spb AS (
+          SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+                 sum(span_end - span_start + 1)::BIGINT AS dup_span_chars
+          FROM ({sqls["incremental_spans_batch"]}) GROUP BY doc_id
+        ),
+        lnb AS (
+          SELECT doc_id, n_lines, n_removed AS n_lines_removed
+          FROM ({sqls["incremental_lines_batch"]})
+        ),
+        semb AS (
+          SELECT vec_id, near_dup_history AS sem_dup_history,
+                 near_dup_batch AS sem_dup_batch
+          FROM ({sqls["incremental_semantic_flags"]})
+        )
+        SELECT fl.doc_id, fl.content_hash,
+               fl.exact_dup_history, fl.exact_dup_batch,
+               fl.near_dup_history, fl.near_dup_batch,
+               coalesce(spb.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+               coalesce(spb.dup_span_chars, 0)::BIGINT AS dup_span_chars,
+               lnb.n_lines, lnb.n_lines_removed,
+               semb.sem_dup_history, semb.sem_dup_batch,
+               NOT (fl.exact_dup_history OR fl.exact_dup_batch
+                    OR fl.near_dup_history OR fl.near_dup_batch
+                    OR coalesce(semb.sem_dup_history, false)
+                    OR coalesce(semb.sem_dup_batch, false)) AS keep
+        FROM fl
+        LEFT JOIN spb USING (doc_id)
+        JOIN lnb USING (doc_id)
+        LEFT JOIN semb ON semb.vec_id = fl.doc_id
     """
     return sqls

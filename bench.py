@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_near_clusters_star",
     "events_session_native",
     "embeddings_decontaminate",
+    "incremental_ingest_verdict",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION
@@ -449,6 +450,59 @@ def bench_incremental_semantic(spark, sf_dir):
     return res.result
 
 
+def _lines_history(spark, sf_dir):
+    """One-time accumulated line-count state (even-doc_id half),
+    persisted and materialized -- what a daily incremental line-dedup
+    run starts from."""
+    from pyspark.sql import functions as FF
+
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    key = ("lines_history", sf_dir)
+    if key not in _SETUP_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hl = pl.line_counts(docs.where(FF.col("doc_id") % 2 == 0)).persist()
+        hl.count()
+        _SETUP_CACHE[key] = hl
+    return _SETUP_CACHE[key]
+
+
+def bench_incremental_ingest(spark, sf_dir):
+    """The composed nightly-ingest verdict vs prebuilt corpus state
+    (operators/pipeline.py::incremental_ingest_verdict): all four
+    history tables (hashes+bands, fingerprint counts, line counts,
+    semantic reps) prebuilt and persisted once; timed path = the daily
+    batch through all four probes into one keep/drop verdict -- the
+    production twin of the gated incremental_ingest_verdict key (which
+    builds history inline so the whole contract stays oracle-
+    checkable)."""
+    from pyspark.sql import functions as FF
+
+    from sparkbigdatatextanalysis_spark.functions.lineage import release
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    hh, hb = _dedup_history(spark, sf_dir)
+    hc = _spans_history(spark, sf_dir)
+    hl = _lines_history(spark, sf_dir)
+    reps, cents = _semantic_history(spark, sf_dir)
+    for name in ("ingest_bands_prev", "ingest_fp_prev", "ingest_assign_prev"):
+        prev = _SETUP_CACHE.pop((name, sf_dir), None)
+        if prev is not None:
+            release(prev)
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
+    batch = docs.where(FF.col("doc_id") % 2 == 1)
+    batch_emb = entry_mod._emb(spark, sf_dir).where(FF.col("vec_id") % 2 == 1)
+    res = pl.incremental_ingest_verdict(
+        batch, hh, hb, hc, hl, batch_emb, reps, cents,
+        entry_mod.EMBED_NEAR_DUP_THRESHOLD,
+    )
+    _SETUP_CACHE[("ingest_bands_prev", sf_dir)] = res.bands
+    _SETUP_CACHE[("ingest_fp_prev", sf_dir)] = res.fingerprints
+    _SETUP_CACHE[("ingest_assign_prev", sf_dir)] = res.assignments
+    return res.result
+
+
 def bench_bm25_batch_100q(spark, sf_dir):
     """Batch BM25 at a realistic batch size (r5 verdict item 6): 100
     generated 2-3-term queries over the corpus vocabulary, scored in ONE
@@ -487,6 +541,7 @@ EXTRA = {
     "incremental_spans_prebuilt": bench_incremental_spans,
     "substring_dedup_persisted": bench_substring_dedup_persisted,
     "incremental_semantic_batch": bench_incremental_semantic,
+    "incremental_ingest_batch": bench_incremental_ingest,
     "bm25_batch_100q": bench_bm25_batch_100q,
 }
 
@@ -532,6 +587,7 @@ def main() -> None:
     _dedup_history(spark, SF_DIR)
     _spans_history(spark, SF_DIR)
     _semantic_history(spark, SF_DIR)
+    _lines_history(spark, SF_DIR)
 
     # Quiesce before timing: flush dirty pages left by whatever ran
     # before (test suites, data generation) and let writeback drain --

@@ -876,6 +876,154 @@ def incremental_dedup_lines(
     )
 
 
+class IncrementalIngestResult(NamedTuple):
+    result: DataFrame  # per-batch-doc verdict + per-family audit columns
+    # Persisted handles (when persist_intermediates=True) -- release()
+    # each after materializing, exactly like the individual contracts:
+    bands: DataFrame          # IncrementalDedupResult.bands
+    fingerprints: DataFrame   # IncrementalSpansResult.fingerprints
+    assignments: DataFrame | None  # IncrementalSemanticResult.assignments
+
+
+def incremental_ingest_verdict(
+    batch_docs: DataFrame,
+    hist_hashes: DataFrame | None,
+    hist_bands: DataFrame | None,
+    hist_span_counts: DataFrame | None,
+    hist_line_counts: DataFrame | None,
+    batch_emb: DataFrame | None = None,
+    hist_reps: DataFrame | None = None,
+    cents: DataFrame | None = None,
+    sem_threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist_intermediates: bool = True,
+) -> IncrementalIngestResult:
+    """The nightly-ingest composition: ONE keep/drop verdict per batch
+    document with per-family audit columns, chaining all four
+    incremental dedup contracts over the same batch-vs-history split --
+    document hashes + MinHash bands (:func:`..operators.dedup.
+    incremental_dedup`), winnowing fingerprint spans
+    (:func:`..operators.dedup.incremental_duplicate_spans`), raw lines
+    (:func:`incremental_dedup_lines`), and semantic representatives
+    (:func:`..operators.dedup.incremental_semantic_dedup`, optional:
+    pass the batch's (vec_id=doc id, embedding) table, the accumulated
+    rep state, and the PINNED centroids). This is the query a real
+    ingest runs nightly; the individual contracts stay the API for
+    state maintenance (their deltas are what gets merged back).
+
+    Output per batch doc: ``content_hash``, the four X111 flags, span
+    audit (``n_dup_spans``, ``dup_span_chars`` -- 0 when clean), line
+    audit (``n_lines``, ``n_lines_removed``), semantic flags
+    (``sem_dup_history``/``sem_dup_batch`` -- NULL when the doc has no
+    embedding), and ``keep`` = no exact/near/semantic dup (NULL
+    semantic flags count as clean; span/line findings CLEAN a doc
+    rather than drop it, so they audit, not veto).
+
+    Scale shape: each family touches the 100 TB history exactly once
+    through its one bucketable equi-join (content hash / (band, key) /
+    fingerprint hash / raw line / cluster id); the four arms then join
+    batch-sized frames on the doc id. Rerun safety is each family's
+    own: hash/band and semantic probes are idempotent, span and line
+    COUNT merges are not (see the respective docstrings) -- commit
+    outputs before merging deltas.
+    """
+    from .dedup import (
+        incremental_dedup,
+        incremental_duplicate_spans,
+        incremental_semantic_dedup,
+    )
+
+    base = incremental_dedup(
+        batch_docs,
+        hist_hashes,
+        hist_bands,
+        id_col,
+        text_col,
+        persist_bands=persist_intermediates,
+    )
+    sp = incremental_duplicate_spans(
+        batch_docs,
+        hist_span_counts,
+        id_col=id_col,
+        text_col=text_col,
+        persist_fingerprints=persist_intermediates,
+    )
+    sp_agg = sp.spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_span_chars"
+        ),
+    )
+    ln = incremental_dedup_lines(
+        batch_docs, hist_line_counts, id_col, text_col
+    ).result.select(
+        id_col, "n_lines", F.col("n_removed").alias("n_lines_removed")
+    )
+    if batch_emb is not None:
+        if cents is None:
+            raise ValueError(
+                "incremental_ingest_verdict: batch_emb requires cents "
+                "(the pinned centroid model state)"
+            )
+        sem_res = incremental_semantic_dedup(
+            batch_emb,
+            hist_reps,
+            sem_threshold,
+            cents,
+            persist_assignments=persist_intermediates,
+        )
+        sem = sem_res.result.select(
+            F.col("vec_id").alias("_sem_id"),
+            F.col("near_dup_history").alias("sem_dup_history"),
+            F.col("near_dup_batch").alias("sem_dup_batch"),
+        )
+        assignments = sem_res.assignments
+    else:
+        sem = None
+        assignments = None
+    out = (
+        base.result.drop("keep")
+        .join(sp_agg, id_col, "left")
+        .join(ln, id_col)
+    )
+    if sem is not None:
+        out = out.join(sem, out[id_col] == F.col("_sem_id"), "left").drop(
+            "_sem_id"
+        )
+    else:
+        out = out.withColumn(
+            "sem_dup_history", F.lit(None).cast("boolean")
+        ).withColumn("sem_dup_batch", F.lit(None).cast("boolean"))
+    out = out.select(
+        id_col,
+        "content_hash",
+        "exact_dup_history",
+        "exact_dup_batch",
+        "near_dup_history",
+        "near_dup_batch",
+        F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+        F.coalesce("dup_span_chars", F.lit(0).cast("long")).alias(
+            "dup_span_chars"
+        ),
+        "n_lines",
+        "n_lines_removed",
+        "sem_dup_history",
+        "sem_dup_batch",
+        (
+            ~(
+                F.col("exact_dup_history")
+                | F.col("exact_dup_batch")
+                | F.col("near_dup_history")
+                | F.col("near_dup_batch")
+                | F.coalesce("sem_dup_history", F.lit(False))
+                | F.coalesce("sem_dup_batch", F.lit(False))
+            )
+        ).alias("keep"),
+    )
+    return IncrementalIngestResult(out, base.bands, sp.fingerprints, assignments)
+
+
 def cap_per_domain(
     df: DataFrame,
     cap: int,

@@ -471,3 +471,111 @@ def test_incremental_lines_history_probe_is_equi_join(spark):
     plan = r.result._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- the composed nightly-ingest verdict -------------------------------------
+
+
+def test_incremental_ingest_verdict_equals_its_four_contracts(spark):
+    """The composition must be exactly the join of the four individually
+    tested contracts -- no drift, no policy surprises."""
+    from sparkbigdatatextanalysis_spark.operators import ann, pipeline as pl
+
+    hist_docs = spark.createDataFrame(DAY1, "doc_id LONG, text STRING")
+    batch_docs = spark.createDataFrame(DAY2, "doc_id LONG, text STRING")
+    hh = hist_docs.select(F.sha2(F.col("text"), 256).alias("content_hash")).distinct()
+    hb = dd.lsh_band_keys_flat(
+        dd.minhash_signatures_flat(dd.shingle_hashes(hist_docs))
+    ).select("band", "key")
+    hc = (
+        dd.winnow_fingerprints(hist_docs)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hl = pl.line_counts(hist_docs)
+    # embeddings keyed by doc id: doc 14 is an exact semantic copy of
+    # history doc 3's vector; docs 12/13 are a within-batch semantic pair
+    vecs = {
+        1: [1.0, 0.0, 0.0], 2: [0.0, 1.0, 0.0], 3: [0.0, 0.0, 1.0],
+        10: [0.7, 0.7, 0.0], 12: [0.6, 0.0, 0.8], 13: [0.6, 0.02, 0.8],
+        14: [0.0, 0.0, 1.0],
+    }
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    hist_emb = emb.where(F.col("vec_id") < 10)
+    batch_emb = emb.where(F.col("vec_id") >= 10)
+    cents = ann.kmeans_centroids(emb, n_centroids=2)
+    hr = dd.incremental_semantic_dedup(
+        hist_emb, None, 0.95, cents, persist_assignments=False
+    )
+    res = pl.incremental_ingest_verdict(
+        batch_docs, hh, hb, hc, hl, batch_emb, hr.assignments, cents, 0.95,
+        persist_intermediates=False,
+    )
+    got = {r["doc_id"]: r.asDict() for r in res.result.collect()}
+    assert set(got) == {10, 11, 12, 13, 14}
+
+    # arm 1: hash/band flags equal incremental_dedup's
+    flags = {
+        r["doc_id"]: r
+        for r in dd.incremental_dedup(
+            batch_docs, hh, hb, persist_bands=False
+        ).result.collect()
+    }
+    for i, r in got.items():
+        for c in ("content_hash", "exact_dup_history", "exact_dup_batch",
+                  "near_dup_history", "near_dup_batch"):
+            assert r[c] == flags[i][c], (i, c)
+    assert got[10]["exact_dup_history"] and got[13]["exact_dup_batch"]
+    assert got[11]["near_dup_history"]
+
+    # arm 2: span audit equals the aggregated incremental spans
+    sp = dd.incremental_duplicate_spans(
+        batch_docs, hc, persist_fingerprints=False
+    ).spans.collect()
+    by_doc: dict = {}
+    for r in sp:
+        a = by_doc.setdefault(r["doc_id"], [0, 0])
+        a[0] += 1
+        a[1] += r["span_end"] - r["span_start"] + 1
+    for i, r in got.items():
+        n, chars = by_doc.get(i, (0, 0))
+        assert r["n_dup_spans"] == n and r["dup_span_chars"] == chars, i
+
+    # arm 3: line audit equals incremental_dedup_lines
+    ln = {
+        r["doc_id"]: r
+        for r in pl.incremental_dedup_lines(batch_docs, hl).result.collect()
+    }
+    for i, r in got.items():
+        assert r["n_lines"] == ln[i]["n_lines"]
+        assert r["n_lines_removed"] == ln[i]["n_removed"]
+    assert got[10]["n_lines_removed"] == 1  # its only line is history's
+
+    # arm 4: semantic flags equal incremental_semantic_dedup's (NULL for
+    # the embedding-less doc 11)
+    sem = {
+        r["vec_id"]: r
+        for r in dd.incremental_semantic_dedup(
+            batch_emb, hr.assignments, 0.95, cents, persist_assignments=False
+        ).result.collect()
+    }
+    for i, r in got.items():
+        if i in sem:
+            assert r["sem_dup_history"] == sem[i]["near_dup_history"]
+            assert r["sem_dup_batch"] == sem[i]["near_dup_batch"]
+        else:
+            assert r["sem_dup_history"] is None and r["sem_dup_batch"] is None
+    assert got[14]["sem_dup_history"]  # vector copy of history doc 3
+    assert got[11]["sem_dup_history"] is None
+
+    # verdict: any exact/near/semantic dup drops; spans/lines only audit
+    for i, r in got.items():
+        expect = not (
+            r["exact_dup_history"] or r["exact_dup_batch"]
+            or r["near_dup_history"] or r["near_dup_batch"]
+            or bool(r["sem_dup_history"]) or bool(r["sem_dup_batch"])
+        )
+        assert r["keep"] == expect, i
+    assert not got[10]["keep"] and not got[14]["keep"] and got[12]["keep"]
