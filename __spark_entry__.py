@@ -1527,6 +1527,104 @@ def q_tpch_q7_like(spark, sf_dir):
     )
 
 
+def q_tpch_q6_like(spark, sf_dir):
+    """TPC-H Q6-shaped forecasting-revenue-change query: one filtered
+    single-pass aggregation over lineitem, zero joins -- the purest
+    predicate-pushdown/column-pruning showcase (the scan reads 4 of 11
+    columns and every filter reaches the parquet reader as a
+    PushedFilter; at 100 TB with date-partitioned layout the year
+    predicate prunes partitions before any I/O)."""
+    li = _scan(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(28,10)"
+                )
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q10_like(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: top 20 customers by
+    revenue lost to returns (l_returnflag = 'R') in one quarter.
+    Orders filters to the quarter BEFORE its join (predicate below the
+    join), customer broadcasts, lineitem shuffles once on the agg key.
+    Round-then-rank with c_custkey tie-break on both sides."""
+    c = _scan(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = _scan(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _scan(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(28,10)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "c_nationkey")
+    )
+
+
+def q_tpch_q14_like(spark, sf_dir):
+    """TPC-H Q14-shaped promotion-effect query: the PROMO share of one
+    month's revenue -- a conditional aggregation over the lineitem-part
+    join (part broadcasts; the month filter prunes lineitem before the
+    join). The ratio divides two identically-ordered DECIMAL sums, so
+    one round(6) on the final scalar is exact cross-engine."""
+    p = _scan(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _scan(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(28,10)")
+            )).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_tpch_q16_like(spark, sf_dir):
     """TPC-H Q16-shaped supplier-count query: distinct suppliers able to
     ship each (brand, type, size) part class, excluding complained-about
@@ -2673,7 +2771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_native": q_events_session_native,
         "embeddings_decontaminate": q_embeddings_decontaminate,
         "incremental_ingest_verdict": q_incremental_ingest_verdict,
-        # --- latest driver row r06: re-gate the first 22 (slots 29-50) ---
+        "tpch_q6_like": q_tpch_q6_like,
+        "tpch_q10_like": q_tpch_q10_like,
+        "tpch_q14_like": q_tpch_q14_like,
+        # --- latest driver row r06: re-gate the first 19 (slots 32-50) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
@@ -2693,11 +2794,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": q_docs_pack_sequences,
         "approx_distinct_users": q_approx_distinct_users,
         "events_anomaly_sql": q_events_anomaly_sql,
+        # ---- end of the 50-key gate window ----
+        # --- r06-latest leftovers (31): MUST lead the r9 window ---
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_shuffle_shards": q_docs_shuffle_shards,
         "events_value_bins": q_events_value_bins,
-        # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (28): MUST lead the r9 window ---
         "docs_curation_rules": q_docs_curation_rules,
         "docs_hashed_embeddings": q_docs_hashed_embeddings,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3877,6 +3978,46 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY ts DESC, event_id DESC) AS rn
           FROM events
         ) WHERE rn = 1
+    """
+    sqls["tpch_q6_like"] = """
+        SELECT (round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 4))::DOUBLE
+                 AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+    # round-then-rank with the custkey tie-break on BOTH sides (the
+    # top_parts_by_brand discipline) keeps the top-20 cut deterministic.
+    sqls["tpch_q10_like"] = """
+        WITH rev AS (
+          SELECT o_custkey,
+                 (round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 4))::DOUBLE
+                   AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-04-01'
+          GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, revenue, c_acctbal, c_nationkey
+        FROM rev JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+    sqls["tpch_q14_like"] = """
+        SELECT round(100.0
+                 * (sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+                             ELSE CAST(0 AS DECIMAL(28,10)) END))::DOUBLE
+                 / (sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))))::DOUBLE,
+               6) AS promo_revenue_pct,
+               count(*)::BIGINT AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'
     """
     sqls["tpch_q4_like"] = """
         SELECT o_orderpriority, count(*)::BIGINT AS n_orders

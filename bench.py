@@ -109,6 +109,9 @@ HEADLINE = [
     "events_session_native",
     "embeddings_decontaminate",
     "incremental_ingest_verdict",
+    "tpch_q6_like",
+    "tpch_q10_like",
+    "tpch_q14_like",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION
