@@ -2666,6 +2666,33 @@ def q_incremental_ingest_verdict(spark, sf_dir):
     return res.result
 
 
+def q_history_merge_replay(spark, sf_dir):
+    """Rerun-idempotent keyed history merge (operators/pipeline.py::
+    merge_counts_keyed) -- closes the documented replay caveat of the
+    span/line count contracts by construction: history rows remember
+    which batch contributed them, and a merge appends the delta via one
+    anti-join against the tiny batch manifest, so a crash-replayed
+    merge unions zero rows. The key merges the odd half's line counts
+    into the even half's state TWICE with the same batch id and emits
+    the probe-time group-sum view; the oracle is the full-corpus line
+    counts -- if the replay were not a no-op, every odd-half line's
+    count would double and the hash would fail."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    d = _docs(spark, sf_dir)
+    hist0 = (
+        pl.line_counts(d.where(F.col("doc_id") % 2 == 0))
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .select("batch_id", "line", "cnt")
+    )
+    delta = pl.line_counts(d.where(F.col("doc_id") % 2 == 1))
+    m1 = pl.merge_counts_keyed(hist0, delta, 1)
+    m2 = pl.merge_counts_keyed(m1.history, delta, 1, m1.manifest)
+    return m2.history.groupBy("line").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
 def q_pair_jaccard_estimates(spark, sf_dir):
     """MinHash accuracy surface over the LSH candidate pairs -- the
     threshold-tuning table a dedup operator reads before picking its
@@ -2774,7 +2801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_like": q_tpch_q6_like,
         "tpch_q10_like": q_tpch_q10_like,
         "tpch_q14_like": q_tpch_q14_like,
-        # --- latest driver row r06: re-gate the first 19 (slots 32-50) ---
+        "history_merge_replay": q_history_merge_replay,
+        # --- latest driver row r06: re-gate the first 18 (slots 33-50) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
@@ -2793,9 +2821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "docs_pack_sequences": q_docs_pack_sequences,
         "approx_distinct_users": q_approx_distinct_users,
-        "events_anomaly_sql": q_events_anomaly_sql,
         # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (31): MUST lead the r9 window ---
+        # --- r06-latest leftovers (32): MUST lead the r9 window ---
+        "events_anomaly_sql": q_events_anomaly_sql,
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_shuffle_shards": q_docs_shuffle_shards,
         "events_value_bins": q_events_value_bins,
@@ -3978,6 +4006,17 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY ts DESC, event_id DESC) AS rn
           FROM events
         ) WHERE rn = 1
+    """
+    # Rerun-idempotence pinned by the oracle: the Spark side merges the
+    # same delta TWICE; the oracle is the single-merge (= full-corpus)
+    # line-count table, so a double-count fails the hash.
+    sqls["history_merge_replay"] = """
+        WITH l AS (
+          SELECT unnest(regexp_split_to_array(coalesce(text, ''), '\\n')) AS line
+          FROM documents
+        )
+        SELECT line, count(*)::BIGINT AS cnt
+        FROM l WHERE trim(line) <> '' GROUP BY line
     """
     sqls["tpch_q6_like"] = """
         SELECT (round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 4))::DOUBLE

@@ -112,6 +112,7 @@ HEADLINE = [
     "tpch_q6_like",
     "tpch_q10_like",
     "tpch_q14_like",
+    "history_merge_replay",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

@@ -1024,6 +1024,71 @@ def incremental_ingest_verdict(
     return IncrementalIngestResult(out, base.bands, sp.fingerprints, assignments)
 
 
+class KeyedMergeResult(NamedTuple):
+    history: DataFrame   # (batch_id, *key, cnt) -- the updated state
+    manifest: DataFrame  # one row per merged batch id -- the tiny guard
+
+
+def merge_counts_keyed(
+    history: DataFrame,
+    delta: DataFrame,
+    batch_id: int,
+    manifest: DataFrame | None = None,
+    batch_col: str = "batch_id",
+) -> KeyedMergeResult:
+    """Rerun-IDEMPOTENT merge of a count delta into history state -- the
+    missing half of the span (X112) and line (X118) incremental
+    contracts, whose plain sum-on-merge double-counts a replayed delta
+    (their documented caveat defers to exactly this: "key the history
+    merge by a batch id so replayed merges deduplicate").
+
+    ``history`` is the keyed state table (``batch_col``, *key columns*,
+    cnt) -- each row remembers WHICH batch contributed it; ``delta`` is
+    one batch's un-keyed count table (e.g. :func:`line_counts` output
+    or ``IncrementalSpansResult.delta_counts``). The merge appends the
+    delta tagged with ``batch_id`` ONLY if that batch id has not been
+    merged before -- one anti-join against the batch manifest, fully
+    declarative (no driver-side branching), so a crash-replayed merge
+    unions zero rows and the probe-time view
+    ``history.groupBy(*keys).sum(cnt)`` is exact after any number of
+    replays. Probes group-sum away the batch column, so probe cost is
+    one extra partial agg over state that now grows per (batch, key)
+    instead of per key -- compact batches periodically if key overlap
+    across days is high.
+
+    ``manifest`` is the one-row-per-merged-batch guard table; pass the
+    previous merge's returned manifest (tiny -- one row per day) to keep
+    the guard O(days). ``None`` derives it from history itself with a
+    distinct -- a full history scan, acceptable ONLY when history is
+    stored partitioned by ``batch_col`` (the listing is then metadata);
+    at 100 TB pass the manifest.
+    """
+    if batch_col in delta.columns:
+        raise ValueError(
+            f"merge_counts_keyed: delta already has column {batch_col!r}"
+        )
+    m = (
+        manifest
+        if manifest is not None
+        else history.select(batch_col).distinct()
+    )
+    tagged = delta.withColumn(batch_col, F.lit(batch_id).cast("long"))
+    fresh = tagged.join(
+        F.broadcast(m.where(F.col(batch_col) == batch_id)),
+        batch_col,
+        "left_anti",
+    )
+    new_hist = history.unionByName(fresh.select(*history.columns))
+    new_manifest = (
+        m.unionByName(
+            m.sparkSession.range(1).select(
+                F.lit(batch_id).cast("long").alias(batch_col)
+            )
+        ).distinct()
+    )
+    return KeyedMergeResult(new_hist, new_manifest)
+
+
 def cap_per_domain(
     df: DataFrame,
     cap: int,

@@ -579,3 +579,101 @@ def test_incremental_ingest_verdict_equals_its_four_contracts(spark):
         )
         assert r["keep"] == expect, i
     assert not got[10]["keep"] and not got[14]["keep"] and got[12]["keep"]
+
+
+def test_incremental_ingest_verdict_plan_shape(spark):
+    """The composed verdict inherits each arm's scale shape: no
+    cartesian anywhere, no row-Python, and the semantic probe side
+    broadcast (the batch never shuffles against history reps)."""
+    from sparkbigdatatextanalysis_spark.operators import ann, pipeline as pl
+
+    hist_docs = spark.createDataFrame(DAY1, "doc_id LONG, text STRING")
+    batch_docs = spark.createDataFrame(DAY2, "doc_id LONG, text STRING")
+    hh = hist_docs.select(F.sha2(F.col("text"), 256).alias("content_hash")).distinct()
+    hb = dd.lsh_band_keys_flat(
+        dd.minhash_signatures_flat(dd.shingle_hashes(hist_docs))
+    ).select("band", "key")
+    hc = (
+        dd.winnow_fingerprints(hist_docs)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hl = pl.line_counts(hist_docs)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+         for i in (1, 2, 3, 10, 12, 13, 14)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = ann.kmeans_centroids(emb, n_centroids=2)
+    hr = dd.incremental_semantic_dedup(
+        emb.where(F.col("vec_id") < 10), None, 0.95, cents,
+        persist_assignments=False,
+    )
+    res = pl.incremental_ingest_verdict(
+        batch_docs, hh, hb, hc, hl,
+        emb.where(F.col("vec_id") >= 10), hr.assignments, cents, 0.95,
+        persist_intermediates=False,
+    )
+    plan = res.result._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_embedding_decontamination_plan_shape(spark):
+    """The decontamination probe must be ONE broadcast equi-join on the
+    cluster id (protected side broadcast -- the 100 TB train side never
+    shuffles for the probe): no cartesian, no row-Python."""
+    from sparkbigdatatextanalysis_spark.operators import ann, pipeline as pl
+
+    train = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    prot = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    cents = ann.kmeans_centroids(train, n_centroids=2)
+    out = pl.embedding_decontamination(train, prot, 0.9, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+# --- rerun-idempotent keyed history merge ------------------------------------
+
+
+def test_merge_counts_keyed_replay_is_noop(spark):
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    hist = spark.createDataFrame(
+        [(0, "alpha", 2), (0, "beta", 1)], "batch_id LONG, line STRING, cnt LONG"
+    )
+    delta = spark.createDataFrame(
+        [("alpha", 3), ("gamma", 1)], "line STRING, cnt LONG"
+    )
+    m1 = pl.merge_counts_keyed(hist, delta, 1)
+    m2 = pl.merge_counts_keyed(m1.history, delta, 1, m1.manifest)  # replay
+    m3 = pl.merge_counts_keyed(m2.history, delta, 1)  # replay, derived manifest
+    view = {
+        r["line"]: r["cnt"]
+        for r in m3.history.groupBy("line").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert view == {"alpha": 5, "beta": 1, "gamma": 1}
+    # a genuinely NEW batch id with the same content does merge
+    m4 = pl.merge_counts_keyed(m3.history, delta, 2, m3.manifest)
+    view4 = {
+        r["line"]: r["cnt"]
+        for r in m4.history.groupBy("line").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert view4 == {"alpha": 8, "beta": 1, "gamma": 2}
+    assert sorted(r["batch_id"] for r in m4.manifest.collect()) == [0, 1, 2]
+
+
+def test_merge_counts_keyed_guards(spark):
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    hist = spark.createDataFrame([(0, "a", 1)], "batch_id LONG, line STRING, cnt LONG")
+    bad_delta = spark.createDataFrame([(1, "a", 1)], "batch_id LONG, line STRING, cnt LONG")
+    with pytest.raises(ValueError, match="batch_id"):
+        pl.merge_counts_keyed(hist, bad_delta, 1)

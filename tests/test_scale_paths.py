@@ -534,3 +534,49 @@ def test_incremental_semantic_empty_batch_and_empty_corpus(spark):
         emb, r.delta_reps, 0.9, cents, persist_assignments=False
     )
     assert hr.result.count() == 20
+
+
+def test_embedding_decontamination_survives_degenerate_protected_cluster(spark):
+    """Decontamination twin of the degenerate-cluster stresses: the
+    PROTECTED side holds one hot cluster (200 identical benchmark
+    vectors -- a test set full of re-encoded boilerplate) and the train
+    side probes it. The probe must stay a broadcast cluster equi-join
+    (no cartesian, no row-Python, bounded time); train copies of the
+    hot vector must flag contaminated with n_probe_hits = 200, and
+    train vectors in other clusters must be untouched by the hot
+    cluster's |train_c| x |protected_c| term."""
+    import random
+    import time
+
+    from sparkbigdatatextanalysis_spark.operators import ann, pipeline as pl
+    from sparkbigdatatextanalysis_spark.plans import audit_plan
+
+    rng = random.Random(23)
+    dim, n_rand, n_hot = 32, 600, 200
+    hot_vec = [1.0] * dim
+    train_rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(n_rand)
+    ] + [(n_rand + i, list(hot_vec)) for i in range(20)]
+    train = spark.createDataFrame(train_rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    prot = spark.createDataFrame(
+        [(10_000 + i, list(hot_vec)) for i in range(n_hot)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = ann.kmeans_centroids(train)
+    out_df = pl.embedding_decontamination(train, prot, 0.99, cents)
+    a = audit_plan(out_df)
+    assert a.cartesian_products == 0 and a.row_python_stages == 0
+
+    t0 = time.time()
+    out = {r["vec_id"]: r for r in out_df.collect()}
+    elapsed = time.time() - t0
+    assert len(out) == n_rand + 20
+    hot_ids = [i for i in out if i >= n_rand]
+    assert all(
+        out[i]["contaminated"] and out[i]["n_probe_hits"] == n_hot
+        for i in hot_ids
+    )
+    # dim-32 seeded Gaussians never reach cos >= 0.99 of the all-ones
+    # probe; vectors in probe-less clusters carry NULL max_cos
+    assert all(not out[i]["contaminated"] for i in range(n_rand))
+    assert elapsed < 120, f"degenerate protected probe took {elapsed:.1f}s"
