@@ -2758,13 +2758,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checks the FIRST 50 declared keys. Round-8 window (the rotation
     # the r7 comment block promised): slots 1-23 are the twenty-three
     # keys whose latest driver row is r05 (3 rounds stale -- the
-    # staleness maximum, they MUST gate now), the next section holds
-    # keys NEW this round, and the remaining slots re-gate the oldest
-    # of the 50 keys whose latest row is r06. The r06-latest keys that
-    # don't fit (first section after the window) MUST lead the r9
-    # window -- they will be 3 rounds stale by then; after them rotate
-    # the 50 r07-latest keys (2 rounds stale at r9; the ones that
-    # don't fit then lead r10). Every key is re-verified on every
+    # staleness maximum, they MUST gate now), slots 24-32 the nine keys
+    # NEW this round (aHash near-dup pairs, star CC, the native
+    # session_window twin, embedding-space decontamination, the
+    # composed nightly-ingest verdict, TPC-H Q6/Q10/Q14, and the
+    # rerun-idempotent keyed history merge), and slots 33-50 re-gate
+    # the first 18 of the 50 keys whose latest row is r06. The 32
+    # r06-latest keys that don't fit (first section after the window)
+    # MUST lead the r9 window -- they will be 3 rounds stale by then;
+    # the remaining slots then rotate the oldest r07-latest keys (the
+    # ones that don't fit lead r10). Every key is re-verified on every
     # suite run by tests/test_oracle_parity.py regardless of the
     # window.
     return {
@@ -2792,7 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_concat": q_scan_concat,
         "tfidf_vectors": q_tfidf_vectors,
         "fast_cosine_join": q_fast_cosine_join,
-        # --- new this round (5) ---
+        # --- new this round (9) ---
         "media_ahash_pairs": q_media_ahash_pairs,
         "dedup_near_clusters_star": q_dedup_near_clusters_star,
         "events_session_native": q_events_session_native,

@@ -289,6 +289,38 @@ BUDGETS = {
     # pipeline points are persisted so the real exchange count is a
     # fraction of this ceiling. Broadcasts are AQE's call: no floor
     "pair_jaccard_estimates": (40, 0),
+    # --- r8 additions ---
+    # aHash pairs: the Arrow resize/hash stages are map-only; exchanges
+    # are the chunked signature distinct + the bucket join sides, one
+    # side broadcast at this scale (AQE's call: no floor)
+    "media_ahash_pairs": (3, 0),
+    # star CC: audited plan is the eager localCheckpoint read (the
+    # per-round star exchanges run inside the loop, pinned by the
+    # chain-budget test like the label twin)
+    "dedup_near_clusters_star": (0, 0),
+    # the native session operator: ONE shuffle on user_id, like the
+    # expression twin
+    "events_session_native": (1, 0),
+    # decontamination: both literal-centroid assignments map-only;
+    # exchanges are the hits agg + keep outer join sides; the protected
+    # probe side is explicitly broadcast-pinned -> floor 1
+    "embeddings_decontaminate": (5, 1),
+    # the composed ingest verdict: cache-free flattening re-expands the
+    # batch pipelines once per consumer (the pair_jaccard_estimates
+    # precedent); the gated entry runs unpersisted for zero residue and
+    # the production twin (bench incremental_ingest_batch) persists,
+    # so the real count is a fraction of this ceiling. Broadcasts are
+    # AQE's call: no floor
+    "incremental_ingest_verdict": (42, 0),
+    # Q6: one single-row global agg exchange, zero joins
+    "tpch_q6_like": (1, 0),
+    # Q10: the revenue agg exchange; customer dim explicitly broadcast
+    "tpch_q10_like": (1, 1),
+    # Q14: one single-row agg exchange over the broadcast part join
+    "tpch_q14_like": (1, 1),
+    # keyed merge: the two line-count aggs + the group-sum view; the
+    # one-row manifest guard is explicitly broadcast -> floor 1
+    "history_merge_replay": (3, 1),
 }
 
 
