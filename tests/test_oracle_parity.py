@@ -36,6 +36,17 @@ def _duck(sql: str) -> pd.DataFrame:
         con.close()
 
 
+def _null_or_str(v) -> str:
+    # the driver's normalization: SQL NULL -> "NULL" regardless of how
+    # the client lib surfaced it (Spark gives None in an object column,
+    # DuckDB gives float nan for a NULL-carrying BOOLEAN) -- without
+    # this a nullable boolean column canonicalizes to 'None' vs 'nan'
+    # and a value-identical result mismatches on representation
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "NULL"
+    return str(v)
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -47,7 +58,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(dt):
             df[c] = df[c].astype("float64")
         else:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(_null_or_str)
     df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
     return df
 
