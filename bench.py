@@ -128,6 +128,7 @@ HEADLINE = [
     "incremental_spans_prebuilt",
     "substring_dedup_persisted",
     "incremental_semantic_batch",
+    "incremental_ingest_batch",
     "bm25_batch_100q",
 ]
 
