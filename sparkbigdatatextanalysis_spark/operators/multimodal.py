@@ -152,18 +152,88 @@ RESIZE_SCHEMA = StructType(
 )
 
 
+def parse_pnm(payload: bytes):
+    """Decode a binary PGM (``P5``) / PPM (``P6``) payload to an HxW
+    uint8 GRAYSCALE numpy array, or return None if the bytes are not a
+    well-formed single-byte-maxval PNM image (wrong magic, malformed
+    header, maxval > 255, or a payload/raster size mismatch).
+
+    PNM is the simplest open raster family (plain header + raw bytes),
+    so this is a REAL codec in ~30 lines of numpy -- no imaging
+    library. PPM color collapses to luma with integer BT.601 weights
+    ((299R + 587G + 114B) // 1000), exactly reproducible anywhere.
+    """
+    import numpy as np
+
+    if not (payload[:2] in (b"P5", b"P6")):
+        return None
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens with '#' comments; ONE whitespace byte then the raster
+    i, toks = 2, []
+    n = len(payload)
+    while len(toks) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            toks.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(toks) < 3 or i >= n or not payload[i : i + 1].isspace():
+        return None
+    w, h, maxval = toks
+    i += 1  # the single whitespace separating header from raster
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    ch = 1 if payload[:2] == b"P5" else 3
+    if n - i != w * h * ch:
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    if ch == 1:
+        return px.reshape(h, w)
+    rgb = px.reshape(h, w, 3).astype(np.int32)
+    return (
+        (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+    ).astype(np.uint8)
+
+
+def _nearest_resize(img, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample to (height, width), PIL's center
+    convention (src = floor((dst + 0.5) * scale)) so the real-PIL
+    branch and this one agree on the same input."""
+    import numpy as np
+
+    h, w = img.shape
+    ys = np.minimum(((np.arange(height) + 0.5) * (h / height)).astype(int), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * (w / width)).astype(int), w - 1)
+    return img[np.ix_(ys, xs)].tobytes()
+
+
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize stage: output payload is always exactly ``width*height``
-    bytes (the contract both branches preserve).
+    bytes (the contract every branch preserves).
 
-    Real path (PIL importable): decode the payload as an image, convert
-    to 8-bit grayscale, resize with nearest-neighbor (deterministic
-    across PIL versions, unlike antialiased kernels), and emit the raw
-    pixel bytes. Payloads PIL cannot decode fall back to the
-    deterministic byte-level fake (crop/right-pad to width*height), so a
-    mixed batch of real images and opaque blobs still yields one row per
-    input -- the same per-row degrade-don't-fail policy a production
-    decode stage needs.
+    Three branches, best codec first, per row:
+
+    * PIL importable (absent in this container): decode anything PIL
+      reads, 8-bit grayscale, nearest-neighbor (deterministic across
+      PIL versions, unlike antialiased kernels).
+    * PNM payloads (``P5`` grayscale / ``P6`` color): REAL decode via
+      :func:`parse_pnm` + the same center-convention nearest-neighbor
+      resample -- a genuine library-free codec path, so the stage is
+      fully real for uncompressed rasters even in codec-less
+      environments.
+    * anything else: the deterministic byte-level fake (crop/right-pad
+      to width*height), so a mixed batch of images and opaque blobs
+      still yields one row per input -- the per-row degrade-don't-fail
+      policy a production decode stage needs.
     """
 
     def _resize_real(p: bytes, target: int) -> bytes:  # pragma: no cover
@@ -183,10 +253,15 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
         import pandas as pd
 
         target = width * height
-        if HAVE_PIL:  # pragma: no cover - codec not in this container
-            base = lambda p: _resize_real(p, target)  # noqa: E731
-        else:
-            base = lambda p: bytes(p[:target]).ljust(target, b"\x00")  # noqa: E731
+
+        def base(p: bytes) -> bytes:
+            if HAVE_PIL:  # pragma: no cover - codec not in this container
+                return _resize_real(p, target)
+            img = parse_pnm(bytes(p))
+            if img is not None:
+                return _nearest_resize(img, width, height)
+            return bytes(p[:target]).ljust(target, b"\x00")
+
         # NULL payload -> zero-filled thumbnail, keeping the per-row
         # degrade-don't-fail policy (bytes(None) would throw away the
         # whole Arrow batch) and the exactly-width*height contract.

@@ -217,3 +217,84 @@ def test_media_near_dup_self_consistent_on_corpus(spark):
         assert r["hamming"] <= 3
         assert (r["a_id"], r["b_id"]) not in seen
         seen.add((r["a_id"], r["b_id"]))
+
+
+# --- the PNM real-codec resize path ------------------------------------------
+
+
+def _pgm(w, h, px):
+    return b"P5\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def _ppm(w, h, rgb):
+    return b"P6 %d %d 255\n" % (w, h) + bytes(rgb)
+
+
+def test_parse_pnm_goldens():
+    import numpy as np
+
+    img = mm.parse_pnm(_pgm(3, 2, [0, 10, 20, 30, 40, 50]))
+    assert img.shape == (2, 3) and img.tolist() == [[0, 10, 20], [30, 40, 50]]
+    # PPM collapses to integer BT.601 luma
+    rgb = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    img = mm.parse_pnm(_ppm(2, 2, rgb))
+    assert img.tolist() == [
+        [299 * 255 // 1000, 587 * 255 // 1000],
+        [114 * 255 // 1000, 255],
+    ]
+    # header comments are skipped
+    commented = b"P5 # a comment\n2 2 # dims\n255\n" + bytes([1, 2, 3, 4])
+    assert mm.parse_pnm(commented).tolist() == [[1, 2], [3, 4]]
+    # malformed inputs: wrong magic, short raster, maxval > 255
+    assert mm.parse_pnm(b"P4\n2 2\n255\n....") is None
+    assert mm.parse_pnm(_pgm(4, 4, range(15))) is None
+    assert mm.parse_pnm(b"P5\n2 2\n65535\n" + bytes(8)) is None
+    assert mm.parse_pnm(b"") is None
+
+
+def test_resize_decodes_pnm_and_falls_back_per_row(spark):
+    """The resize stage REALLY decodes PNM payloads (nearest-neighbor,
+    PIL center convention) while opaque bytes in the same batch still
+    take the crop/pad fake -- per-row degrade-don't-fail."""
+    import numpy as np
+
+    # 4x4 gradient PGM -> 2x2 nearest picks src index floor((d+.5)*2)=1,3
+    px = list(range(0, 160, 10))
+    pgm = _pgm(4, 4, px)
+    blob = bytes(range(7))
+    media = spark.createDataFrame(
+        [(1, bytearray(pgm)), (2, bytearray(blob))],
+        "media_id LONG, payload BINARY",
+    )
+    out = {r["media_id"]: r for r in mm.resize_images(media, 2, 2).collect()}
+    src = np.array(px, dtype=np.uint8).reshape(4, 4)
+    assert bytes(out[1]["payload"]) == src[np.ix_([1, 3], [1, 3])].tobytes()
+    assert bytes(out[2]["payload"]) == blob[:4]
+    assert all(r["width"] == 2 and r["height"] == 2 for r in out.values())
+
+
+def test_ahash_invariant_across_pnm_encodings(spark):
+    """The SAME image shipped as PGM and as gray PPM must produce the
+    SAME aHash signature -- the decode path, not the container bytes,
+    defines perceptual identity (the property the fake-codec path
+    cannot give)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    pgm = _pgm(16, 16, img.flatten().tolist())
+    # gray PPM: R=G=B -> integer luma = the same gray value
+    rgb = np.repeat(img.flatten(), 3)
+    ppm = _ppm(16, 16, rgb.tolist())
+    assert bytes(pgm) != bytes(ppm)
+    media = spark.createDataFrame(
+        [(1, bytearray(pgm)), (2, bytearray(ppm))],
+        "media_id LONG, payload BINARY",
+    )
+    sigs = {r["media_id"]: (r["sim_hi"], r["sim_lo"])
+            for r in mm.average_hash(media).collect()}
+    assert sigs[1] == sigs[2]
+    # and the near-dup operator pairs the two encodings at Hamming 0
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in mm.media_near_dup_pairs(media).collect()}
+    assert pairs == {(1, 2): 0}
