@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkbigdatatextanalysis_spark.functions.hashing import (
+    HASH_BASE,
     MERSENNE31,
     char_fold_hash_sql,
     string_hash31_sql,
@@ -559,6 +560,27 @@ def q_media_frame_sample(spark, sf_dir):
     media = mm.docs_as_media(_docs(spark, sf_dir, wide=True))
     out = mm.sample_frames(media, frame_bytes=16, every_n=4)
     return out.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_hash")
+
+
+def q_media_resize_stats(spark, sf_dir):
+    """The resize stage (operators/multimodal.py::resize_images)
+    driver-gated through its byte-stats composition: resize every
+    text-as-binary payload to an 8x8 thumbnail (these payloads are not
+    PNM, so they deterministically take the crop/zero-pad branch --
+    the PNM real-codec branch is pinned by pytest goldens), then run
+    the decode stage over the thumbnails. n_bytes pins the size
+    contract (64 always); mean/hash pin the resized bytes exactly
+    (pixel_i = codepoint of text[i], 0 past the end -- the same
+    integer replay as media_ahash_pairs)."""
+    media = mm.docs_as_media(_docs(spark, sf_dir, wide=True))
+    resized = mm.resize_images(media, width=8, height=8)
+    out = mm.decode_features(resized)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "byte_hash",
+    )
 
 
 def q_media_ahash_pairs(spark, sf_dir):
@@ -2758,12 +2780,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checks the FIRST 50 declared keys. Round-8 window (the rotation
     # the r7 comment block promised): slots 1-23 are the twenty-three
     # keys whose latest driver row is r05 (3 rounds stale -- the
-    # staleness maximum, they MUST gate now), slots 24-32 the nine keys
-    # NEW this round (aHash near-dup pairs, star CC, the native
-    # session_window twin, embedding-space decontamination, the
+    # staleness maximum, they MUST gate now), slots 24-33 the ten keys
+    # NEW this round (aHash near-dup pairs, resize stats, star CC, the
+    # native session_window twin, embedding-space decontamination, the
     # composed nightly-ingest verdict, TPC-H Q6/Q10/Q14, and the
-    # rerun-idempotent keyed history merge), and slots 33-50 re-gate
-    # the first 18 of the 50 keys whose latest row is r06. The 32
+    # rerun-idempotent keyed history merge), and slots 34-50 re-gate
+    # the first 17 of the 50 keys whose latest row is r06. The 33
     # r06-latest keys that don't fit (first section after the window)
     # MUST lead the r9 window -- they will be 3 rounds stale by then;
     # the remaining slots then rotate the oldest r07-latest keys (the
@@ -2795,8 +2817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_concat": q_scan_concat,
         "tfidf_vectors": q_tfidf_vectors,
         "fast_cosine_join": q_fast_cosine_join,
-        # --- new this round (9) ---
+        # --- new this round (10) ---
         "media_ahash_pairs": q_media_ahash_pairs,
+        "media_resize_stats": q_media_resize_stats,
         "dedup_near_clusters_star": q_dedup_near_clusters_star,
         "events_session_native": q_events_session_native,
         "embeddings_decontaminate": q_embeddings_decontaminate,
@@ -2805,7 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_like": q_tpch_q10_like,
         "tpch_q14_like": q_tpch_q14_like,
         "history_merge_replay": q_history_merge_replay,
-        # --- latest driver row r06: re-gate the first 18 (slots 33-50) ---
+        # --- latest driver row r06: re-gate the first 17 (slots 34-50) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
@@ -2823,9 +2846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_cms_estimates": q_tokens_cms_estimates,
         "events_json_props": q_events_json_props,
         "docs_pack_sequences": q_docs_pack_sequences,
-        "approx_distinct_users": q_approx_distinct_users,
         # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (32): MUST lead the r9 window ---
+        # --- r06-latest leftovers (33): MUST lead the r9 window ---
+        "approx_distinct_users": q_approx_distinct_users,
         "events_anomaly_sql": q_events_anomaly_sql,
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_shuffle_shards": q_docs_shuffle_shards,
@@ -5266,6 +5289,30 @@ def oracle_sql() -> dict[str, str]:
                NOT ((b.id IN (SELECT id FROM nh))
                     OR (b.id IN (SELECT id FROM nb))) AS keep
         FROM bat b
+    """
+    # Resize stats: the crop/zero-pad thumbnail's byte stats in integer
+    # arithmetic -- the char fold runs over the PIXEL list (codepoint or
+    # zero pad) in order, so the padded zeros participate exactly as
+    # the Python fold sees them.
+    sqls["media_resize_stats"] = f"""
+        WITH pix AS (
+          SELECT doc_id, i,
+                 CASE WHEN i < length(text)
+                      THEN ascii(substr(text, (i + 1)::INT, 1))
+                      ELSE 0 END AS p
+          FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+        ),
+        agg AS (
+          SELECT doc_id,
+                 round(sum(p)::DOUBLE / 64, 6) AS mean_byte,
+                 list(p::BIGINT ORDER BY i) AS ps
+          FROM pix GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id, 64::BIGINT AS n_bytes, mean_byte,
+               list_reduce(list_prepend(0::BIGINT, ps),
+                           (acc, c) -> (acc * {HASH_BASE} + c) % {MERSENNE31})
+                 AS byte_hash
+        FROM agg
     """
     # aHash near-dup pairs: replay the codec-less resize contract
     # (crop/zero-pad the ASCII payload to 64 pixels), the exact-float64

@@ -105,6 +105,7 @@ HEADLINE = [
     # driver keys (perceptual aHash near-dup pairs, large-star/small-star
     # connected components, the native session_window twin)
     "media_ahash_pairs",
+    "media_resize_stats",
     "dedup_near_clusters_star",
     "events_session_native",
     "embeddings_decontaminate",

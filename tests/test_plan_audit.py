@@ -290,6 +290,9 @@ BUDGETS = {
     # fraction of this ceiling. Broadcasts are AQE's call: no floor
     "pair_jaccard_estimates": (40, 0),
     # --- r8 additions ---
+    # resize stats: two chained Arrow map stages (resize, decode) + the
+    # scan fan-out repartition; no join at all
+    "media_resize_stats": (1, 0),
     # aHash pairs: the Arrow resize/hash stages are map-only; exchanges
     # are the chunked signature distinct + the bucket join sides, one
     # side broadcast at this scale (AQE's call: no floor)

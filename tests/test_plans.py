@@ -82,9 +82,11 @@ def test_no_row_python_udf_anywhere(spark):
     allowed_python = {
         "media_decode",
         "media_frame_sample",
-        # r8: the aHash signature rides the same Arrow resize stage as
-        # the other multimodal operators (codecs are Python by nature)
+        # r8: the aHash signature and the resize stats ride the same
+        # Arrow resize stage as the other multimodal operators (codecs
+        # are Python by nature)
         "media_ahash_pairs",
+        "media_resize_stats",
         "ann_topk_lsh",
         "dedup_embedding_lsh",
     }
