@@ -1671,6 +1671,421 @@ def q_tpch_q16_like(spark, sf_dir):
     )
 
 
+def q_tpch_q1_like(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: the canonical single-pass wide
+    aggregation over lineitem (8 aggregates, 2 grouping keys, and the
+    shipdate predicate pushed to the parquet scan, which reads 7 of 11
+    columns). Sums ride as DECIMAL(28,10) so partial-agg merge order
+    cannot perturb them; the averages derive from the ALREADY-ROUNDED
+    double sums divided by the exact count (never avg() over raw
+    doubles), so every output digit is engine- and partitioning-
+    independent. The group domain is 6 rows -- map-side combine
+    collapses 100 TB to six partials per task before the one tiny
+    shuffle."""
+    li = _scan(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+
+    def dsum(expr, name):
+        return (
+            F.round(F.sum(expr.cast("decimal(28,10)")), 4)
+            .cast("double")
+            .alias(name)
+        )
+
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        dsum(F.col("l_discount"), "sum_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias(
+            "avg_price"
+        ),
+        F.round(F.col("sum_disc") / F.col("count_order"), 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q_tpch_q8_like(spark, sf_dir):
+    """TPC-H Q8-shaped national market share: of the revenue one
+    region's customers spent on one part type across 1996-1997, the
+    share supplied by NATION_5, per order year. nation plays TWO roles
+    (customer side restricts the market, supplier side labels the
+    numerator) -- two independently-aliased broadcast dims, so the only
+    real shuffle is the lineitem-orders orderkey join; the share is a
+    conditional-over-total ratio of two identically-grouped DECIMAL
+    sums, one final round(6)."""
+    nat = _scan(spark, sf_dir, "nation")
+    reg = _scan(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cust_nations = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    c = (
+        _scan(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    o = (
+        _scan(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    p = (
+        _scan(spark, sf_dir, "part")
+        .where(F.col("p_type") == "LARGE")
+        .select("p_partkey")
+    )
+    s = (
+        _scan(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = (
+        _scan(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(28,10)")
+            .alias("rev"),
+        )
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return j.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("rev")).otherwise(
+                    F.lit(0).cast("decimal(28,10)")
+                )
+            ).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.sum("rev"), 4).cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q13_like(spark, sf_dir):
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly k qualifying orders (urgent priority
+    excluded, standing in for the comment NOT LIKE filter), INCLUDING
+    zero-order customers -- the left-outer + double-aggregation shape.
+    The first aggregation keys on the uniform custkey (one shuffle over
+    the big side); the second groups a per-customer table by a domain
+    of at most max-orders-per-customer values, so it is effectively
+    free at any scale."""
+    c = _scan(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _scan(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey")
+    )
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q15_like(spark, sf_dir):
+    """TPC-H Q15-shaped top supplier: the supplier(s) achieving the
+    maximum revenue in one quarter. Revenue per supplier is one
+    partial-aggregated groupBy on the small supplier key; the max is a
+    scalar broadcast back (the standard decorrelation of Q15's view +
+    scalar subquery), and the equality cut compares the ROUNDED
+    decimal-sum revenue, so 'ties with the max' is exact cross-engine.
+    rev is persisted: it feeds both the scalar max and the final
+    filter."""
+    li = _scan(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,10)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q17_like(spark, sf_dir):
+    """TPC-H Q17-shaped small-quantity-order revenue: average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    not filled, for one brand. The correlated avg subquery is
+    decorrelated into per-part (count, sum_qty) partials joined back;
+    the 20%-of-average comparison is algebraically CLEARED OF DIVISION
+    (5 * qty * n < sum_qty -- all integral-valued doubles, exact in
+    both engines), so no avg() rounding can flip a row across the
+    threshold. Brand-filtered part broadcasts; li persists because it
+    feeds both the stats agg and the final filter."""
+    p = (
+        _scan(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = (
+        _scan(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "l_quantity", "l_extendedprice")
+        .persist()
+    )
+    stats = li.groupBy(F.col("p_partkey").alias("sp_key")).agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.sum(F.col("l_quantity").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+    small = li.join(
+        F.broadcast(stats), F.col("p_partkey") == F.col("sp_key")
+    ).where(
+        F.lit(5.0) * F.col("l_quantity") * F.col("n_li") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,10)")), 4
+            ).cast("double")
+            / F.lit(7.0),
+            6,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q19_like(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    brand/size/quantity clauses -- the pushdown torture test. The
+    common bounds (quantity in [1, 30]) are factored OUT of the OR so a
+    usable conjunct still reaches the lineitem parquet scan; the
+    brand/size conjuncts ride the broadcast part dim; the residual
+    disjunction evaluates post-join, where Catalyst keeps it inside
+    whole-stage codegen."""
+    p = _scan(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = (
+        _scan(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(clause).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,10)"
+                )
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q22_like(spark, sf_dir):
+    """TPC-H Q22-shaped global sales opportunity: positive-balance
+    customers in three market segments (standing in for the phone-
+    prefix country filter), richer than the filtered group's average
+    positive balance, who never placed an order. The scalar average
+    broadcasts (one crossJoin); 'never ordered' is a left ANTI join
+    shuffled once on the uniform custkey; the threshold compares
+    (decimal sum)::double / count -- a single IEEE-exact division,
+    identical cross-engine. cand persists: it feeds both the scalar
+    average and the threshold filter."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE"]
+    c = (
+        _scan(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin(segs))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .persist()
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(28,10)")), 4).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    o = _scan(spark, sf_dir, "orders").select("o_custkey")
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    never = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return never.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(28,10)")), 4)
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
+def q_user_retention_cohorts(spark, sf_dir):
+    """Cohort retention -- the canonical product-analytics query: users
+    grouped by first-activity week (their cohort); for each
+    (cohort_week, weeks elapsed) the count of cohort users active that
+    week and the retained share. Both week columns are Monday-truncated
+    in BOTH engines, so the day difference is an exact multiple of 7.
+    Scale: the first-activity agg and the distinct-active-week set
+    shuffle once each on the uniform user key and join on that same
+    key; the cohort-size table (one row per week) broadcasts; the final
+    aggregation's domain is weeks x offsets -- tiny at any corpus
+    size."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    # persist: feeds the per-user join AND the cohort-size aggregate
+    first = first.persist()
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    j = active.join(first, "user_id").select(
+        "cohort_week",
+        (F.datediff("active_week", "cohort_week") / 7)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    agg = j.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return agg.join(F.broadcast(sizes), "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention_pct"
+        ),
+    )
+
+
+def q_orders_rfm_segments(spark, sf_dir):
+    """RFM segmentation with percentile-cut quartiles: per purchasing
+    customer, recency (days since last order vs the corpus max date),
+    frequency (order count), monetary (decimal order-value sum), each
+    cut into quartiles at the EXACT interpolated 25/50/75 percentiles.
+    Deliberately NOT ntile(): a global ntile is a single-partition sort
+    that dies at 100 TB. The boundaries come from ONE scalar percentile
+    aggregation broadcast back, and assignment is a map-only comparison
+    -- the same plan shape at any scale. Boundary comparisons use
+    strict > on the rounded metrics, so the cut is deterministic
+    cross-engine."""
+    o = _scan(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mx = o.agg(F.max("o_orderdate").alias("max_date"))
+    per = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff("max_date", "o_orderdate"))
+            .cast("long")
+            .alias("r_days"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 4
+            )
+            .cast("double")
+            .alias("monetary"),
+        )
+        .persist()  # feeds the percentile scalar AND the assignment
+    )
+    cuts = per.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {q})"), 6).alias(
+                f"{c}_q{int(q * 100)}"
+            )
+            for c in ("r_days", "freq", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def quart(c):
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c}_q25")).cast("int")
+            + (F.col(c) > F.col(f"{c}_q50")).cast("int")
+            + (F.col(c) > F.col(f"{c}_q75")).cast("int")
+        ).cast("long")
+
+    out = per.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "r_days",
+        "freq",
+        "monetary",
+        quart("r_days").alias("r_q"),
+        quart("freq").alias("f_q"),
+        quart("monetary").alias("m_q"),
+    )
+    return out.withColumn(
+        "segment",
+        F.concat(F.lit("R"), "r_q", F.lit("F"), "f_q", F.lit("M"), "m_q"),
+    )
+
+
 def q_merge_upsert_events(spark, sf_dir):
     """MERGE INTO (lakehouse upsert): the per-user latest-event snapshot
     of the first half of the month merged with the second half's
@@ -2837,6 +3252,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": q_orders_by_month,
         "text_normalize": q_text_normalize,
         "orders_grouping_sets": q_orders_grouping_sets,
+        # --- new this round, second wave (TPC-H + analytics) ---
+        "user_retention_cohorts": q_user_retention_cohorts,
+        "orders_rfm_segments": q_orders_rfm_segments,
+        "tpch_q1_like": q_tpch_q1_like,
+        "tpch_q8_like": q_tpch_q8_like,
+        "tpch_q13_like": q_tpch_q13_like,
+        "tpch_q15_like": q_tpch_q15_like,
+        "tpch_q17_like": q_tpch_q17_like,
+        "tpch_q19_like": q_tpch_q19_like,
+        "tpch_q22_like": q_tpch_q22_like,
+        # ---- end of the 50-key gate window ----
+        # --- r06-latest leftovers (42): MUST lead the r9 window ---
         "events_interarrival": q_events_interarrival,
         "orders_status_breakdown": q_orders_status_breakdown,
         "docs_substring_clean": q_docs_substring_clean,
@@ -2846,8 +3273,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_cms_estimates": q_tokens_cms_estimates,
         "events_json_props": q_events_json_props,
         "docs_pack_sequences": q_docs_pack_sequences,
-        # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (33): MUST lead the r9 window ---
         "approx_distinct_users": q_approx_distinct_users,
         "events_anomaly_sql": q_events_anomaly_sql,
         "docs_mixture_sample": q_docs_mixture_sample,
@@ -4107,6 +4532,202 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer ON c_custkey = o_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
+    """
+    # Averages derive from the ALREADY-ROUNDED double sums / the exact
+    # count (mirroring the Spark side) -- never avg() over raw doubles.
+    sqls["tpch_q1_like"] = """
+        WITH g AS (
+          SELECT l_returnflag, l_linestatus,
+                 (round(sum(CAST(l_quantity AS DECIMAL(28,10))), 4))::DOUBLE AS sum_qty,
+                 (round(sum(CAST(l_extendedprice AS DECIMAL(28,10))), 4))::DOUBLE AS sum_base_price,
+                 (round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 4))::DOUBLE AS sum_disc_price,
+                 (round(sum(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(28,10))), 4))::DOUBLE AS sum_charge,
+                 (round(sum(CAST(l_discount AS DECIMAL(28,10))), 4))::DOUBLE AS sum_disc,
+                 count(*)::BIGINT AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+          GROUP BY 1, 2
+        )
+        SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+               sum_disc_price, sum_charge,
+               round(sum_qty / count_order, 6) AS avg_qty,
+               round(sum_base_price / count_order, 6) AS avg_price,
+               round(sum_disc / count_order, 6) AS avg_disc,
+               count_order
+        FROM g
+    """
+    sqls["tpch_q8_like"] = """
+        WITH cn AS (
+          SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'AMERICA'
+        ),
+        mkt AS (
+          SELECT o_orderkey, year(o_orderdate) AS o_year
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN cn ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+        ),
+        li AS (
+          SELECT l_orderkey, n.n_name AS supp_nation,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)) AS rev
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n ON s_nationkey = n.n_nationkey
+        )
+        SELECT o_year,
+               round((sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                               ELSE CAST(0 AS DECIMAL(28,10)) END))::DOUBLE
+                     / (sum(rev))::DOUBLE, 6) AS mkt_share,
+               (round(sum(rev), 4))::DOUBLE AS total_revenue,
+               count(*)::BIGINT AS n_items
+        FROM li JOIN mkt ON l_orderkey = o_orderkey
+        GROUP BY o_year
+    """
+    sqls["tpch_q13_like"] = """
+        WITH per AS (
+          SELECT c_custkey, count(o_custkey)::BIGINT AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        )
+        SELECT c_count, count(*)::BIGINT AS custdist
+        FROM per GROUP BY c_count
+    """
+    # Equality on the ROUNDED revenue so 'ties with the max' is exact.
+    sqls["tpch_q15_like"] = """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 (round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 4))::DOUBLE
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """
+    # The 20%-of-average threshold is division-free (5*qty*n < sum_qty)
+    # exactly as on the Spark side.
+    sqls["tpch_q17_like"] = """
+        WITH li AS (
+          SELECT p_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#23'
+        ),
+        stats AS (
+          SELECT p_partkey AS sp_key, count(*)::BIGINT AS n_li,
+                 (sum(CAST(l_quantity AS DECIMAL(28,10))))::DOUBLE AS sum_qty
+          FROM li GROUP BY 1
+        )
+        SELECT round((round(sum(CAST(l_extendedprice AS DECIMAL(28,10))), 4))::DOUBLE / 7.0, 6)
+                 AS avg_yearly,
+               count(*)::BIGINT AS n_items
+        FROM li JOIN stats ON p_partkey = sp_key
+        WHERE 5.0 * l_quantity * n_li < sum_qty
+    """
+    sqls["tpch_q19_like"] = """
+        SELECT (round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 4))::DOUBLE
+                 AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity >= 1 AND l_quantity <= 30
+          AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30))
+    """
+    # Both week columns Monday-truncate in both engines, so the day
+    # difference is an exact multiple of 7.
+    sqls["user_retention_cohorts"] = """
+        WITH first AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_week, count(*)::BIGINT AS cohort_size
+          FROM first GROUP BY cohort_week
+        ),
+        active AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+          FROM events
+        ),
+        agg AS (
+          SELECT cohort_week,
+                 (datediff('day', cohort_week, active_week) / 7)::BIGINT
+                   AS week_offset,
+                 count(*)::BIGINT AS n_active
+          FROM active JOIN first USING (user_id)
+          GROUP BY 1, 2
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               week_offset, n_active, cohort_size,
+               round(n_active / cohort_size, 6) AS retention_pct
+        FROM agg JOIN sizes USING (cohort_week)
+    """
+    # Quartiles cut at exact interpolated percentiles (quantile_cont =
+    # Spark's percentile()); assignment by strict > on the rounded
+    # boundary, exactly as the Spark side.
+    sqls["orders_rfm_segments"] = """
+        WITH mx AS (SELECT max(o_orderdate) AS max_date FROM orders),
+        per AS (
+          SELECT o_custkey,
+                 min(datediff('day', o_orderdate, max_date))::BIGINT AS r_days,
+                 count(*)::BIGINT AS freq,
+                 (round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 4))::DOUBLE
+                   AS monetary
+          FROM orders, mx GROUP BY o_custkey
+        ),
+        cuts AS (
+          SELECT round(quantile_cont(r_days, 0.25), 6) AS r_days_q25,
+                 round(quantile_cont(r_days, 0.5), 6) AS r_days_q50,
+                 round(quantile_cont(r_days, 0.75), 6) AS r_days_q75,
+                 round(quantile_cont(freq, 0.25), 6) AS freq_q25,
+                 round(quantile_cont(freq, 0.5), 6) AS freq_q50,
+                 round(quantile_cont(freq, 0.75), 6) AS freq_q75,
+                 round(quantile_cont(monetary, 0.25), 6) AS monetary_q25,
+                 round(quantile_cont(monetary, 0.5), 6) AS monetary_q50,
+                 round(quantile_cont(monetary, 0.75), 6) AS monetary_q75
+          FROM per
+        ),
+        q AS (
+          SELECT o_custkey, r_days, freq, monetary,
+                 (1 + (r_days > r_days_q25)::INT + (r_days > r_days_q50)::INT
+                    + (r_days > r_days_q75)::INT)::BIGINT AS r_q,
+                 (1 + (freq > freq_q25)::INT + (freq > freq_q50)::INT
+                    + (freq > freq_q75)::INT)::BIGINT AS f_q,
+                 (1 + (monetary > monetary_q25)::INT + (monetary > monetary_q50)::INT
+                    + (monetary > monetary_q75)::INT)::BIGINT AS m_q
+          FROM per, cuts
+        )
+        SELECT o_custkey, r_days, freq, monetary, r_q, f_q, m_q,
+               'R' || r_q || 'F' || f_q || 'M' || m_q AS segment
+        FROM q
+    """
+    # The average-balance threshold is (decimal sum)::double / count --
+    # one IEEE-exact division, identical cross-engine.
+    sqls["tpch_q22_like"] = """
+        WITH cand AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal
+          FROM customer
+          WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE')
+        ),
+        avg_bal AS (
+          SELECT (round(sum(CAST(c_acctbal AS DECIMAL(28,10))), 4))::DOUBLE
+                   / count(*) AS avg_bal
+          FROM cand WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+               (round(sum(CAST(c_acctbal AS DECIMAL(28,10))), 4))::DOUBLE AS totacctbal
+        FROM cand, avg_bal
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
     """
     sqls["funnel_conversion"] = """
         WITH s0 AS (

@@ -324,6 +324,32 @@ BUDGETS = {
     # keyed merge: the two line-count aggs + the group-sum view; the
     # one-row manifest guard is explicitly broadcast -> floor 1
     "history_merge_replay": (3, 1),
+    # Q1: one 6-row agg exchange, zero joins
+    "tpch_q1_like": (1, 0),
+    # Q8: the lineitem-orders orderkey join is the only real shuffle
+    # (2 exchanges) + the per-year agg; every dim explicitly broadcasts
+    "tpch_q8_like": (3, 4),
+    # Q13: custkey outer join (2) -- the per-customer agg reuses its
+    # partitioning -- + the tiny distribution agg
+    "tpch_q13_like": (4, 0),
+    # Q15: supplier-revenue agg + the scalar max over the persisted rev;
+    # max scalar and supplier dim explicitly broadcast
+    "tpch_q15_like": (3, 2),
+    # Q17: per-part stats agg + the final single-row agg; part dim and
+    # stats both explicitly broadcast
+    "tpch_q17_like": (2, 2),
+    # Q19: one single-row agg exchange over the broadcast part join
+    "tpch_q19_like": (1, 1),
+    # Q22: scalar avg agg + custkey anti join (2) + segment agg; the
+    # avg threshold explicitly broadcasts
+    "tpch_q22_like": (5, 1),
+    # retention: first-activity agg + distinct-active set + the user
+    # join + the tiny (week, offset) agg; cohort sizes broadcast
+    "user_retention_cohorts": (5, 1),
+    # RFM: scalar max date + per-customer agg + the percentile scalar;
+    # the auditor re-counts the persisted per-customer subtree under
+    # both consumers (executed count is 3); max and cuts broadcast
+    "orders_rfm_segments": (5, 2),
 }
 
 
