@@ -2086,6 +2086,34 @@ def q_orders_rfm_segments(spark, sf_dir):
     )
 
 
+def q_docs_bigram_logprob(spark, sf_dir):
+    """Stupid-Backoff bigram LM scoring (operators/pipeline.py::
+    bigram_backoff_logprob): per doc, the mean transition log-prob under
+    the corpus's own bigram LM, backing off to alpha * unigram for
+    bigrams attested < 2 times -- the sharper perplexity-style quality
+    filter (word-salad of common words scores low on TRANSITIONS).
+    Bigrams form in-row (zip_with); the LM is two partial-aggregated
+    groupBys; scoring is broadcast joins back -- the IDF shape."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    return pl.bigram_backoff_logprob(_tok(spark, sf_dir))
+
+
+def q_docs_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling (operators/pipeline.py::
+    weighted_priority_sample): per language, the 40 docs winning the
+    priority draw key = hash(id)/weight with weight = doc length --
+    longer docs more likely kept, selection reproducible across
+    engines/partitionings/reruns, and the per-group cut is grouped_topk's
+    two-phase prune (never a full per-language sort)."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return pl.weighted_priority_sample(
+        d, "n_chars", k=40, group=["lang"]
+    ).select("doc_id", "lang", "n_chars", "priority", "rank")
+
+
 def q_merge_upsert_events(spark, sf_dir):
     """MERGE INTO (lakehouse upsert): the per-user latest-event snapshot
     of the first half of the month merged with the second half's
@@ -3251,8 +3279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_edit_distance": q_pair_edit_distance,
         "orders_by_month": q_orders_by_month,
         "text_normalize": q_text_normalize,
-        "orders_grouping_sets": q_orders_grouping_sets,
-        # --- new this round, second wave (TPC-H + analytics) ---
+        # --- new this round, second wave (TPC-H + analytics + LM) ---
+        "docs_bigram_logprob": q_docs_bigram_logprob,
+        "docs_weighted_sample": q_docs_weighted_sample,
         "user_retention_cohorts": q_user_retention_cohorts,
         "orders_rfm_segments": q_orders_rfm_segments,
         "tpch_q1_like": q_tpch_q1_like,
@@ -3263,7 +3292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_like": q_tpch_q19_like,
         "tpch_q22_like": q_tpch_q22_like,
         # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (42): MUST lead the r9 window ---
+        # --- r06-latest leftovers (43): MUST lead the r9 window ---
+        "orders_grouping_sets": q_orders_grouping_sets,
         "events_interarrival": q_events_interarrival,
         "orders_status_breakdown": q_orders_status_breakdown,
         "docs_substring_clean": q_docs_substring_clean,
@@ -4641,6 +4671,57 @@ def oracle_sql() -> dict[str, str]:
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30))
+    """
+    # Stupid Backoff: attested (>=2) bigrams score ln(c12/c1); the rest
+    # back off to ln(0.4 * c2 / total). Every per-position score is one
+    # ln() over one exact-integer IEEE division in both engines.
+    sqls["docs_bigram_logprob"] = f"""
+        WITH {_BASE},
+        pos AS (
+          SELECT doc_id, unnest(toks) AS token,
+                 unnest(range(1, len(toks) + 1)) AS pos
+          FROM tok
+        ),
+        bp AS (
+          SELECT a.doc_id, a.token AS w1, b.token AS w2,
+                 a.token || ' ' || b.token AS bigram
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        big AS (
+          SELECT bigram, count(*)::BIGINT AS n_big FROM bp
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        uni AS (SELECT token, count(*)::BIGINT AS n_uni FROM ex GROUP BY 1),
+        tot AS (SELECT sum(n_uni) AS total FROM uni)
+        SELECT bp.doc_id,
+               count(*)::BIGINT AS n_bigrams,
+               sum((big.bigram IS NULL)::INT)::BIGINT AS n_backoff,
+               round(avg(CASE WHEN big.bigram IS NOT NULL
+                              THEN ln(n_big / n_w1)
+                              ELSE ln(0.4 * n_w2 / total) END), 6)
+                 AS avg_logprob
+        FROM bp
+        LEFT JOIN big USING (bigram)
+        JOIN (SELECT token AS w1, n_uni AS n_w1 FROM uni) USING (w1)
+        JOIN (SELECT token AS w2, n_uni AS n_w2 FROM uni) USING (w2)
+        CROSS JOIN tot
+        GROUP BY bp.doc_id
+    """
+    # priority = hash / weight: one IEEE division of two exact integers,
+    # bit-identical cross-engine -- no rounding anywhere.
+    sqls["docs_weighted_sample"] = f"""
+        WITH keyed AS (
+          SELECT doc_id, lang, n_chars,
+                 {string_hash31_sql("'wps:' || doc_id::VARCHAR")}
+                   / greatest(n_chars, 1) AS priority
+          FROM documents
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY priority, doc_id)::BIGINT AS rank
+          FROM keyed
+        )
+        SELECT doc_id, lang, n_chars, priority, rank FROM r WHERE rank <= 40
     """
     # Both week columns Monday-truncate in both engines, so the day
     # difference is an exact multiple of 7.

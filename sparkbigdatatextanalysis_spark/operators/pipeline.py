@@ -507,6 +507,135 @@ def bigram_top_k(tok_df: DataFrame, k: int = 100) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def bigram_backoff_logprob(
+    tok_df: DataFrame,
+    min_count: int = 2,
+    alpha: float = 0.4,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram LM with Stupid Backoff (Brants et al. 2007, "Large Language
+    Models in Machine Translation"): a bigram (w1, w2) attested at least
+    ``min_count`` times scores ln(c(w1 w2) / c(w1)); a rarer one backs
+    off to ln(alpha * c(w2) / total_tokens). The sharper quality signal
+    than :func:`unigram_logprob` -- word-salad that happens to use
+    common words still scores low because its TRANSITIONS are unseen.
+
+    Returns (doc_id, n_bigrams, n_backoff, avg_logprob) with avg rounded
+    to 6 decimals; docs with fewer than 2 tokens are absent (they have
+    no bigram positions).
+
+    Scale: bigrams form IN-ROW (``zip_with`` over the array and its
+    shift -- no positional self-join); the LM is two partial-aggregated
+    groupBys (unigram ~|vocab| rows, attested-bigram table pruned by
+    ``min_count``); scoring is three broadcast equi-joins back onto the
+    bigram stream + one per-doc aggregation -- the IDF-pipeline shape.
+    Pass ``broadcast_lm=False`` to flip the joins to shuffles if the LM
+    tables ever outgrow the broadcast limit. Every per-position score is
+    one ln() over one IEEE division of exact integers, so the only
+    rounding is the final round(avg, 6).
+    """
+    from ..functions.arrays import adjacent_pairs
+
+    ex = tok_df.select("id", F.explode("tokens").alias("token"))
+    # persist: the unigram table feeds the w1 join, the w2 join, and the
+    # total (scalar agg) -- three consumers, one corpus pass
+    uni = ex.groupBy("token").agg(F.count("*").alias("n_uni")).persist()
+    total = uni.agg(F.sum("n_uni").alias("total"))
+    big = (
+        tok_df.where(F.size("tokens") >= 2)
+        .select(
+            F.explode(
+                adjacent_pairs(
+                    F.col("tokens"), lambda a, b: F.concat_ws(" ", a, b)
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_big"))
+        .where(F.col("n_big") >= min_count)
+    )
+    maybe_b = F.broadcast if broadcast_lm else (lambda df: df)
+    pairs = tok_df.where(F.size("tokens") >= 2).select(
+        "id",
+        F.explode(
+            adjacent_pairs(
+                F.col("tokens"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("id", "p.w1", "p.w2")
+    u1 = uni.select(F.col("token").alias("w1"), F.col("n_uni").alias("n_w1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("n_uni").alias("n_w2"))
+    scored = (
+        pairs.withColumn("bigram", F.concat_ws(" ", "w1", "w2"))
+        .join(maybe_b(big), "bigram", "left")
+        .join(maybe_b(u1), "w1")
+        .join(maybe_b(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.col("n_big").isNull().cast("long").alias("backoff"),
+            F.when(
+                F.col("n_big").isNotNull(),
+                F.log(F.col("n_big") / F.col("n_w1")),
+            )
+            .otherwise(F.log(F.lit(alpha) * F.col("n_w2") / F.col("total")))
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("backoff").alias("n_backoff"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group: list[str] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wps:",
+) -> DataFrame:
+    """Deterministic weighted sampling: keep the ``k`` rows with the
+    smallest priority key = hash(id) / weight, per group (or globally
+    with ``group=None``) -- the quality-weighted selection step of
+    corpus construction ("prefer high-quality docs, but keep diversity").
+    A row's selection chance rises with its weight; weight-1 rows
+    compete on the bare hash. This is the integer-exact cousin of the
+    Efraimidis-Spirakis exponential-key reservoir, with the uniform
+    draw fixed by an md5-derived hash instead of rand(), so selection is
+    reproducible across runs, engines, partitionings, and corpus growth
+    (a kept doc stays kept unless outcompeted).
+
+    The key is ONE IEEE division of two exactly-represented integers
+    (31-bit hash / integer weight), so both engines compute the
+    bit-identical double and the top-k cut needs no rounding; ties
+    break on the id. Weights must be >= 1 (clamped).
+
+    Scale: per-group selection is grouped_topk's two-phase prune (the
+    per-(partition, group) pre-rank caps the final window's input at
+    partitions x k rows); global selection is a TakeOrdered limit. The
+    hash + division are map-only.
+    """
+    from .relational import grouped_topk
+
+    w_int = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    keyed = df.withColumn(
+        "priority",
+        string_hash31(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        / w_int,
+    )
+    order = [F.col("priority").asc(), F.col(id_col).asc()]
+    if group:
+        return grouped_topk(keyed, group, order, k)
+    w = Window.orderBy(*order)
+    top = keyed.orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def chunk_tokens(
     tok_df: DataFrame, size: int, stride: int | None = None
 ) -> DataFrame:

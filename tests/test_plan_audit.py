@@ -346,6 +346,14 @@ BUDGETS = {
     # retention: first-activity agg + distinct-active set + the user
     # join + the tiny (week, offset) agg; cohort sizes broadcast
     "user_retention_cohorts": (5, 1),
+    # Stupid Backoff: executed count is 4 (unigram, attested-bigram,
+    # total, per-doc aggs); the auditor re-counts the persisted unigram
+    # subtree under its three consumers and the tok cache under two
+    # (the unigram_logprob precedent); LM tables broadcast back
+    "docs_bigram_logprob": (11, 3),
+    # weighted sampling: map-only key + grouped_topk's two bounded
+    # window exchanges
+    "docs_weighted_sample": (2, 0),
     # RFM: scalar max date + per-customer agg + the percentile scalar;
     # the auditor re-counts the persisted per-customer subtree under
     # both consumers (executed count is 3); max and cuts broadcast

@@ -134,6 +134,73 @@ def test_unigram_logprob_uniform_corpus(spark):
     assert out == {0: (2, round(math.log(0.25), 6)), 1: (2, round(math.log(0.25), 6))}
 
 
+def test_bigram_backoff_scores_hand_computed(spark):
+    # corpus: "a b" appears twice (attested), "b c" once (backs off).
+    # unigram counts: a=2, b=2, c=1; total=5.
+    import math
+
+    tok = spark.createDataFrame(
+        [(0, ["a", "b"]), (1, ["a", "b", "c"])], "id INT, tokens ARRAY<STRING>"
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["n_backoff"], r["avg_logprob"])
+        for r in pl.bigram_backoff_logprob(tok).collect()
+    }
+    lp_ab = math.log(2 / 2)  # c(a b)=2, c(a)=2
+    lp_bc = math.log(0.4 * 1 / 5)  # backoff: alpha * c(c) / total
+    assert out == {
+        0: (1, 0, round(lp_ab, 6)),
+        1: (2, 1, round((lp_ab + lp_bc) / 2, 6)),
+    }
+
+
+def test_bigram_backoff_skips_short_docs_and_matches_shuffle_join(spark):
+    tok = spark.createDataFrame(
+        [(0, ["only"]), (1, []), (2, ["x", "y", "x", "y"])],
+        "id INT, tokens ARRAY<STRING>",
+    )
+    fast = pl.bigram_backoff_logprob(tok).collect()
+    assert {r["doc_id"] for r in fast} == {2}
+    slow = pl.bigram_backoff_logprob(tok, broadcast_lm=False).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_weighted_priority_sample_favors_heavy_weights(spark):
+    # weight 10^6 vs weight 1: with k = half the pool, heavy rows should
+    # essentially all survive (priority ~1e3 vs ~1e9).
+    rows = [(i, "g", 1_000_000 if i < 50 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id INT, g STRING, w INT")
+    kept = {
+        r["doc_id"]
+        for r in pl.weighted_priority_sample(df, "w", k=50, group=["g"]).collect()
+    }
+    assert len(kept) == 50
+    assert sum(1 for i in kept if i < 50) >= 48
+
+
+def test_weighted_priority_sample_deterministic_and_clamped(spark):
+    rows = [(i, "a" if i % 2 else "b", (i % 5) - 2) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id INT, g STRING, w INT")
+    a = {tuple(r) for r in pl.weighted_priority_sample(df, "w", 7, ["g"]).collect()}
+    b = {
+        tuple(r)
+        for r in pl.weighted_priority_sample(
+            df.repartition(11), "w", 7, ["g"]
+        ).collect()
+    }
+    assert a == b and len(a) == 14  # weights <= 0 clamp to 1, never crash
+
+
+def test_weighted_priority_sample_global_topk(spark):
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_id INT, w INT"
+    )
+    out = pl.weighted_priority_sample(df, "w", k=5).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    pri = [r["priority"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert pri == sorted(pri)
+
+
 def test_corpus_construction_end_to_end(spark):
     """Full corpus-construction composition over the real documents
     table: rule filter -> domain mixture -> incremental dedup vs an
