@@ -2086,6 +2086,28 @@ def q_orders_rfm_segments(spark, sf_dir):
     )
 
 
+def q_events_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/components.py::
+    pagerank_fixed_point) over the bipartite user<->event-type activity
+    graph: 3 power-method rounds in exact BIGINT arithmetic (ranks
+    scaled by 10^12, floor-division updates), so the ranks are
+    bit-identical across engines, partitionings, and reruns -- the
+    iterative-numeric complement to the two connected-components
+    operators. Both edge directions are present, so no rank dangles;
+    high-degree event-type hubs accumulate rank, users split it."""
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    b = _events(spark, sf_dir).select("user_id", "event_type").distinct()
+    fwd = b.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), "event_type").alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return cc.pagerank_fixed_point(edges, iterations=3)
+
+
 def q_docs_bigram_logprob(spark, sf_dir):
     """Stupid-Backoff bigram LM scoring (operators/pipeline.py::
     bigram_backoff_logprob): per doc, the mean transition log-prob under
@@ -3278,8 +3300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_pivot": q_user_type_pivot,
         "pair_edit_distance": q_pair_edit_distance,
         "orders_by_month": q_orders_by_month,
-        "text_normalize": q_text_normalize,
         # --- new this round, second wave (TPC-H + analytics + LM) ---
+        "events_pagerank": q_events_pagerank,
         "docs_bigram_logprob": q_docs_bigram_logprob,
         "docs_weighted_sample": q_docs_weighted_sample,
         "user_retention_cohorts": q_user_retention_cohorts,
@@ -3292,7 +3314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_like": q_tpch_q19_like,
         "tpch_q22_like": q_tpch_q22_like,
         # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (43): MUST lead the r9 window ---
+        # --- r06-latest leftovers (44): MUST lead the r9 window ---
+        "text_normalize": q_text_normalize,
         "orders_grouping_sets": q_orders_grouping_sets,
         "events_interarrival": q_events_interarrival,
         "orders_status_breakdown": q_orders_status_breakdown,
@@ -4671,6 +4694,44 @@ def oracle_sql() -> dict[str, str]:
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30))
+    """
+    # Fixed-point PageRank: the 3 power-method rounds unroll into CTEs
+    # with the SAME integer update (floor divisions, BIGINT sums) as
+    # the Spark loop -- bit-exact, no float tolerance anywhere; only
+    # the final float view divides.
+    _pr_iters = []
+    for i in (1, 2, 3):
+        _pr_iters.append(f"""
+        s{i} AS (
+          SELECT e.dst AS node, sum(r // deg)::BIGINT AS s
+          FROM e JOIN deg USING (src) JOIN r{i - 1} p ON p.node = e.src
+          GROUP BY 1
+        ),
+        r{i} AS (
+          SELECT nodes.node,
+                 ((150000000000 // n)
+                  + ((85 * coalesce(s, 0)) // 100))::BIGINT AS r
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN s{i} ON s{i}.node = nodes.node
+        )""")
+    sqls["events_pagerank"] = f"""
+        WITH b AS (
+          SELECT DISTINCT 'u:' || user_id::VARCHAR AS u,
+                          't:' || event_type AS t
+          FROM events
+        ),
+        e AS (SELECT u AS src, t AS dst FROM b
+              UNION ALL SELECT t, u FROM b),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        r0 AS (
+          SELECT node, (1000000000000 // n)::BIGINT AS r
+          FROM nodes CROSS JOIN nn
+        ),{",".join(_pr_iters)}
+        SELECT node, r AS rank_fp,
+               round(r / 1000000000000, 9) AS rank
+        FROM r3
     """
     # Stupid Backoff: attested (>=2) bigrams score ln(c12/c1); the rest
     # back off to ln(0.4 * c2 / total). Every per-position score is one

@@ -260,3 +260,87 @@ def connected_components_star(
         "left",
     ).select("node", F.coalesce("comp", F.col("node")).alias("comp"))
     return out
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    one: int = 10**12,
+    damping_num: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999) in INTEGER
+    arithmetic: ranks are scaled by ``one`` and every update uses exact
+    BIGINT sums and floor division, so the result is bit-identical
+    across engines, partitionings, merge orders, and reruns.
+    Floating-point PageRank sums contributions in shuffle order and
+    drifts in the last ULPs -- a nondeterministic result table at
+    100 TB. The fixed-point form trades ~1/``one`` of per-step
+    precision (the dropped division remainders) for exactness of the
+    SPEC, which is what makes the operator oracle-checkable.
+
+    Update rule per round, for damping d = damping_num/100::
+
+        contrib(edge src->dst) = r(src) DIV out_deg(src)
+        r'(node) = (15 * one DIV 100) DIV n_nodes
+                   + (damping_num * sum(incoming contribs)) DIV 100
+
+    edges: directed (src, dst) pairs, any orderable node type. Dangling
+    nodes (no out-edges) leak their rank, the standard simplified
+    treatment -- add reverse edges or a sink upstream if that matters
+    for the graph at hand.
+
+    Scale: each round is ONE equi-join of the rank table to the static
+    (src, dst, deg) edge table on src plus ONE groupBy(dst) -- shuffle
+    |edges| rows, map-side combined; the node count rides as a
+    broadcast scalar. Lineage is truncated per round with an eager
+    localCheckpoint exactly like connected_components' loop (persist
+    alone grows the logical plan by a join + agg per round).
+
+    Returns (node, rank_fp, rank): the scaled BIGINT rank and its float
+    view rounded to 9 decimals. rank_fp sums to ~one over the graph
+    (minus dropped remainders and dangling leakage).
+    """
+    if iterations < 1:
+        raise ValueError(f"pagerank_fixed_point: iterations must be >= 1, got {iterations}")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # static across rounds: join degree once, persist
+    edeg = edges.join(deg, "src").persist()
+    teleport = (15 * one) // 100
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"CAST({one} AS BIGINT) DIV n").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        contrib = edeg.join(ranks, edeg.src == ranks.node).select(
+            "dst", F.expr("r DIV deg").alias("c")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        new = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.expr(f"CAST({teleport} AS BIGINT) DIV n")
+                    + F.expr(f"({damping_num} * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+                ).alias("r"),
+            )
+        )
+        old = ranks
+        ranks = new.localCheckpoint(eager=True)
+        release(old)
+    nodes.unpersist()
+    edeg.unpersist()
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_fp"),
+        F.round(F.col("r") / F.lit(float(one)), 9).alias("rank"),
+    )

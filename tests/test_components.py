@@ -160,3 +160,70 @@ def test_propagation_loop_releases_checkpoint_blocks(spark):
     after = jsc.getPersistentRDDs().size()
     # allowance: the returned labels table + the persisted sym edges
     assert after - before <= 2, (before, after)
+
+
+# --- fixed-point PageRank ----------------------------------------------------
+
+
+def _pr_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src STRING, dst STRING")
+
+
+def test_pagerank_matches_float_power_method(spark):
+    # 4-node directed graph; the integer fixed-point ranks must track a
+    # float power method to ~1/one per step (remainder drops only).
+    pairs = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("c", "d"),
+    ]
+    out = {
+        r["node"]: r["rank"]
+        for r in cc.pagerank_fixed_point(_pr_edges(spark, pairs), 3).collect()
+    }
+    # float reference with the same update rule and iteration count
+    nodes = sorted({n for p in pairs for n in p})
+    deg = {n: sum(1 for s, _ in pairs if s == n) for n in nodes}
+    r = {n: 1 / len(nodes) for n in nodes}
+    for _ in range(3):
+        s = {n: 0.0 for n in nodes}
+        for a, b in pairs:
+            s[b] += r[a] / deg[a]
+        r = {n: 0.15 / len(nodes) + 0.85 * s[n] for n in nodes}
+    for n in nodes:
+        assert abs(out[n] - r[n]) < 1e-6, (n, out[n], r[n])
+    # hubs beat leaves: c has 3 in-edges, d has 1
+    assert out["c"] > out["d"]
+
+
+def test_pagerank_bit_identical_across_partitionings(spark):
+    pairs = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17)] + [
+        (f"n{(i * 3 + 1) % 17}", f"n{i}") for i in range(17)
+    ]
+    e = _pr_edges(spark, pairs)
+    a = {r["node"]: r["rank_fp"] for r in cc.pagerank_fixed_point(e, 3).collect()}
+    b = {
+        r["node"]: r["rank_fp"]
+        for r in cc.pagerank_fixed_point(e.repartition(13), 3).collect()
+    }
+    assert a == b  # exact BIGINT equality, not approximate
+
+
+def test_pagerank_conserves_scaled_mass(spark):
+    # symmetric graph, no dangling nodes: total rank_fp stays within
+    # n_nodes + n_edges dropped remainders of one per round
+    pairs = [("x", "y"), ("y", "x"), ("y", "z"), ("z", "y")]
+    out = cc.pagerank_fixed_point(_pr_edges(spark, pairs), 3).collect()
+    total = sum(r["rank_fp"] for r in out)
+    one = 10**12
+    assert one * 0.999 < total <= one
+
+
+def test_pagerank_loop_releases_checkpoint_blocks(spark):
+    pairs = [(f"a{i}", f"a{(i + 1) % 9}") for i in range(9)]
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = cc.pagerank_fixed_point(_pr_edges(spark, pairs), 4)
+    assert out.count() == 9
+    after = jsc.getPersistentRDDs().size()
+    # allowance: the returned final ranks checkpoint only (nodes/edeg
+    # are unpersisted before return)
+    assert after - before <= 1, (before, after)

@@ -354,6 +354,10 @@ BUDGETS = {
     # weighted sampling: map-only key + grouped_topk's two bounded
     # window exchanges
     "docs_weighted_sample": (2, 0),
+    # PageRank: audited plan is the final round's eager localCheckpoint
+    # read (per-round join+agg exchanges run inside the loop, lineage-
+    # truncated -- the star-CC precedent)
+    "events_pagerank": (0, 0),
     # RFM: scalar max date + per-customer agg + the percentile scalar;
     # the auditor re-counts the persisted per-customer subtree under
     # both consumers (executed count is 3); max and cuts broadcast
