@@ -3246,11 +3246,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r7 comment block promised): slots 1-23 are the twenty-three
     # keys whose latest driver row is r05 (3 rounds stale -- the
     # staleness maximum, they MUST gate now), slots 24-33 the ten keys
-    # NEW this round (aHash near-dup pairs, resize stats, star CC, the
-    # native session_window twin, embedding-space decontamination, the
-    # composed nightly-ingest verdict, TPC-H Q6/Q10/Q14, and the
-    # rerun-idempotent keyed history merge), and slots 34-50 re-gate
-    # the first 17 of the 50 keys whose latest row is r06. The 33
+    # new in the first wave (aHash near-dup pairs, resize stats, star
+    # CC, the native session_window twin, embedding-space
+    # decontamination, the composed nightly-ingest verdict, TPC-H
+    # Q6/Q10/Q14, the rerun-idempotent keyed history merge), slots
+    # 34-38 re-gate the first five r06-latest keys, and slots 39-50
+    # are the twelve second-wave keys (fixed-point PageRank, bigram
+    # Stupid-Backoff LM, weighted priority sampling, cohort retention,
+    # RFM segmentation, TPC-H Q1/Q8/Q13/Q15/Q17/Q19/Q22). The 45
     # r06-latest keys that don't fit (first section after the window)
     # MUST lead the r9 window -- they will be 3 rounds stale by then;
     # the remaining slots then rotate the oldest r07-latest keys (the
@@ -3299,7 +3302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_except": q_tokens_except,
         "user_type_pivot": q_user_type_pivot,
         "pair_edit_distance": q_pair_edit_distance,
-        "orders_by_month": q_orders_by_month,
         # --- new this round, second wave (TPC-H + analytics + LM) ---
         "events_pagerank": q_events_pagerank,
         "docs_bigram_logprob": q_docs_bigram_logprob,
@@ -3314,7 +3316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_like": q_tpch_q19_like,
         "tpch_q22_like": q_tpch_q22_like,
         # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (44): MUST lead the r9 window ---
+        # --- r06-latest leftovers (45): MUST lead the r9 window ---
+        "orders_by_month": q_orders_by_month,
         "text_normalize": q_text_normalize,
         "orders_grouping_sets": q_orders_grouping_sets,
         "events_interarrival": q_events_interarrival,

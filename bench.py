@@ -114,6 +114,15 @@ HEADLINE = [
     "tpch_q10_like",
     "tpch_q14_like",
     "history_merge_replay",
+    # r8 second wave: the iterative fixed-point PageRank, the bigram
+    # Stupid-Backoff LM scorer, cohort retention, RFM segmentation, and
+    # the widest/narrowest of the seven new TPC-H shapes
+    "events_pagerank",
+    "docs_bigram_logprob",
+    "user_retention_cohorts",
+    "orders_rfm_segments",
+    "tpch_q1_like",
+    "tpch_q8_like",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION
