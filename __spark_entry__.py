@@ -2086,6 +2086,61 @@ def q_orders_rfm_segments(spark, sf_dir):
     )
 
 
+def q_docs_global_rank(spark, sf_dir):
+    """Distributed exact global ranking (operators/relational.py::
+    global_rank): every document's exact position in the corpus-wide
+    (n_chars, doc_id) order WITHOUT the single-partition window a plain
+    row_number() OVER (ORDER BY ...) plans -- percentile range-buckets
+    + prefix-sum offsets + bounded per-bucket windows; the oracle IS
+    the plain single-window row_number, so the two-phase decomposition
+    is proven exact."""
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return rel.global_rank(d, key="n_chars", tiebreaker="doc_id")
+
+
+def q_events_monthly_uniques_sketch(spark, sf_dir):
+    """Mergeable-sketch rollup (the materialized-sketch pattern):
+    per-day Apache DataSketches HLL sketches of distinct users,
+    union-merged into per-month unique estimates WITHOUT re-touching
+    raw events -- at 100 TB/day the monthly-uniques question is
+    answered from a sketch table ~10^6x smaller than the feed, and the
+    same daily sketches re-merge into ANY coarser window (week,
+    quarter) because HLL union is associative. Exact distinct, by
+    contrast, cannot be rolled up from daily exact counts at all
+    (distinct is not summable). Gated like approx_distinct_users:
+    DuckDB's HLL differs, so the hashed columns are the day count, the
+    exact monthly distinct, and the 'merged estimate within 10% of
+    exact' boolean the oracle pins to 1 (default lgConfigK=12 gives
+    rsd ~1.6%, so 10% is a ~6-sigma bound -- a correct sketch cannot
+    realistically flip it, a broken union still fails the hash)."""
+    ev = _events(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("month", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    monthly = daily.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = ev.groupBy("month").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return monthly.join(exact, "month").select(
+        "month",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        )
+        .cast("long")
+        .alias("merged_within_10pct"),
+    )
+
+
 def q_events_pagerank(spark, sf_dir):
     """Fixed-point PageRank (operators/components.py::
     pagerank_fixed_point) over the bipartite user<->event-type activity
@@ -3250,10 +3305,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CC, the native session_window twin, embedding-space
     # decontamination, the composed nightly-ingest verdict, TPC-H
     # Q6/Q10/Q14, the rerun-idempotent keyed history merge), slots
-    # 34-38 re-gate the first five r06-latest keys, and slots 39-50
-    # are the twelve second-wave keys (fixed-point PageRank, bigram
+    # 34-36 re-gate the first three r06-latest keys, and slots 37-50
+    # are the fourteen second-wave keys (distributed global rank, the
+    # mergeable HLL sketch rollup, fixed-point PageRank, bigram
     # Stupid-Backoff LM, weighted priority sampling, cohort retention,
-    # RFM segmentation, TPC-H Q1/Q8/Q13/Q15/Q17/Q19/Q22). The 45
+    # RFM segmentation, TPC-H Q1/Q8/Q13/Q15/Q17/Q19/Q22). The 47
     # r06-latest keys that don't fit (first section after the window)
     # MUST lead the r9 window -- they will be 3 rounds stale by then;
     # the remaining slots then rotate the oldest r07-latest keys (the
@@ -3300,9 +3356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
-        "user_type_pivot": q_user_type_pivot,
-        "pair_edit_distance": q_pair_edit_distance,
         # --- new this round, second wave (TPC-H + analytics + LM) ---
+        "docs_global_rank": q_docs_global_rank,
+        "events_monthly_uniques_sketch": q_events_monthly_uniques_sketch,
         "events_pagerank": q_events_pagerank,
         "docs_bigram_logprob": q_docs_bigram_logprob,
         "docs_weighted_sample": q_docs_weighted_sample,
@@ -3316,7 +3372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_like": q_tpch_q19_like,
         "tpch_q22_like": q_tpch_q22_like,
         # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (45): MUST lead the r9 window ---
+        # --- r06-latest leftovers (47): MUST lead the r9 window ---
+        "user_type_pivot": q_user_type_pivot,
+        "pair_edit_distance": q_pair_edit_distance,
         "orders_by_month": q_orders_by_month,
         "text_normalize": q_text_normalize,
         "orders_grouping_sets": q_orders_grouping_sets,
@@ -4697,6 +4755,29 @@ def oracle_sql() -> dict[str, str]:
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30))
+    """
+    # The two-phase distributed ranking must equal the plain single-
+    # window row_number -- the oracle IS that window.
+    sqls["docs_global_rank"] = """
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT
+                 AS global_rank
+        FROM documents
+    """
+    # The merged-sketch estimate is implementation-specific; the hashed
+    # surface is day counts + exact monthly distincts + the pinned
+    # accuracy boolean (the approx_distinct_users pattern).
+    sqls["events_monthly_uniques_sketch"] = """
+        WITH d AS (
+          SELECT strftime(ts, '%Y-%m') AS month,
+                 strftime(ts, '%Y-%m-%d') AS day, user_id
+          FROM events
+        )
+        SELECT month,
+               count(DISTINCT day)::BIGINT AS n_days,
+               count(DISTINCT user_id)::BIGINT AS exact_users,
+               1::BIGINT AS merged_within_10pct
+        FROM d GROUP BY month
     """
     # Fixed-point PageRank: the 3 power-method rounds unroll into CTEs
     # with the SAME integer update (floor divisions, BIGINT sums) as

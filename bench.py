@@ -123,6 +123,8 @@ HEADLINE = [
     "orders_rfm_segments",
     "tpch_q1_like",
     "tpch_q8_like",
+    "docs_global_rank",
+    "events_monthly_uniques_sketch",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

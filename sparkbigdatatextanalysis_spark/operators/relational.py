@@ -206,6 +206,87 @@ def grouped_topk(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    key: str,
+    tiebreaker: str,
+    n_buckets: int = 32,
+    rank_col: str = "global_rank",
+) -> DataFrame:
+    """Distributed EXACT global ranking: ``row_number() OVER (ORDER BY
+    key, tiebreaker)`` without the single-partition window that plain
+    SQL plans -- the classic 100 TB straggler (every row funnels
+    through ONE task). (key, tiebreaker) must be a total order; key
+    must be non-null.
+
+    Two-phase, the textbook distributed ranking:
+
+    1. n_buckets-1 EXACT interpolated percentile cuts of ``key`` ride
+       back as a broadcast scalar row; each row maps to a bucket by
+       plain comparisons (map-only). All equal keys land in one bucket,
+       so the tiebreaker never needs to cross buckets and bucket ranges
+       respect the global order by construction.
+    2. Per-bucket counts prefix-sum into offsets (n_buckets rows -- the
+       only unbounded-window here runs over that tiny table) and
+       broadcast back; rank = offset + row_number within the bucket.
+
+    The only full-data exchange is the bucket hash shuffle, and every
+    full-size window is bounded by a bucket (~|rows|/n_buckets; key
+    skew concentrates equal keys in one bucket -- raise n_buckets or
+    pre-aggregate if one key dominates). Results are engine- and
+    partitioning-independent: exact percentiles are deterministic, and
+    ranks are defined by the total order alone (the oracle is the plain
+    single-window row_number).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"global_rank: n_buckets must be >= 2, got {n_buckets}")
+    for c in ("_gr_bucket", "_gr_off", rank_col):
+        if c in df.columns:
+            raise ValueError(f"global_rank: input already has column {c!r}")
+    cuts = df.agg(
+        *[
+            F.expr(f"percentile({key}, {i / n_buckets})").alias(f"_gr_c{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    bucket = sum(
+        (F.col(key) > F.col(f"_gr_c{i}")).cast("long")
+        for i in range(1, n_buckets)
+    )
+    bucketed = (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn("_gr_bucket", bucket)
+        .drop(*[f"_gr_c{i}" for i in range(1, n_buckets)])
+        # persist: feeds the per-bucket counts AND the ranked output --
+        # without the barrier the scan + cut comparisons run twice
+        .persist()
+    )
+    offsets = (
+        bucketed.groupBy("_gr_bucket")
+        .agg(F.count(F.lit(1)).alias("_gr_n"))
+        .withColumn(
+            "_gr_off",
+            F.coalesce(
+                F.sum("_gr_n").over(
+                    Window.orderBy("_gr_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_gr_bucket", "_gr_off")
+    )
+    w = Window.partitionBy("_gr_bucket").orderBy(F.col(key).asc(), F.col(tiebreaker).asc())
+    return (
+        bucketed.join(F.broadcast(offsets), "_gr_bucket")
+        .withColumn(
+            rank_col, (F.col("_gr_off") + F.row_number().over(w)).cast("long")
+        )
+        .drop("_gr_bucket", "_gr_off")
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,

@@ -358,6 +358,14 @@ BUDGETS = {
     # read (per-round join+agg exchanges run inside the loop, lineage-
     # truncated -- the star-CC precedent)
     "events_pagerank": (0, 0),
+    # global rank: cuts scalar + bucket counts + the per-bucket window;
+    # the persisted bucketed subtree re-counts under both consumers;
+    # the only single-partition window runs over n_buckets rows. Cuts
+    # and offsets broadcast
+    "docs_global_rank": (5, 3),
+    # sketch rollup: daily-sketch agg + union-merge agg + exact-distinct
+    # agg + the month join
+    "events_monthly_uniques_sketch": (4, 1),
     # RFM: scalar max date + per-customer agg + the percentile scalar;
     # the auditor re-counts the persisted per-customer subtree under
     # both consumers (executed count is 3); max and cuts broadcast

@@ -6,6 +6,7 @@ multiple right rows) plus oracle parity for the new relational queries.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sparkbigdatatextanalysis_spark.operators import relational as rel
@@ -238,3 +239,48 @@ class TestGroupedTopk:
         df = spark.range(3).select(F.col("id").alias("g"), F.col("id").alias("rank"))
         with pytest.raises(ValueError):
             rel.grouped_topk(df, ["g"], [F.col("g")], 1)
+
+
+# --- global_rank -------------------------------------------------------------
+
+
+def test_global_rank_equals_single_window(spark):
+    # heavy ties: only 5 distinct keys over 200 rows, so several
+    # percentile cuts coincide and whole buckets are empty
+    rows = [(i, i % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "id LONG, k LONG")
+    got = {
+        r["id"]: r["global_rank"]
+        for r in rel.global_rank(df, "k", "id", n_buckets=8).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_partition_and_bucket_invariance(spark):
+    rows = [(i, float((i * 37) % 101)) for i in range(150)]
+    df = spark.createDataFrame(rows, "id LONG, k DOUBLE")
+    a = {
+        (r["id"], r["global_rank"])
+        for r in rel.global_rank(df, "k", "id", n_buckets=4).collect()
+    }
+    b = {
+        (r["id"], r["global_rank"])
+        for r in rel.global_rank(
+            df.repartition(13), "k", "id", n_buckets=32
+        ).collect()
+    }
+    assert a == b
+
+
+def test_global_rank_guards(spark):
+    df = spark.createDataFrame([(1, 2)], "id LONG, k LONG")
+    with pytest.raises(ValueError, match="n_buckets"):
+        rel.global_rank(df, "k", "id", n_buckets=1)
+    with pytest.raises(ValueError, match="already has column"):
+        rel.global_rank(df.withColumn("global_rank", F.lit(1)), "k", "id")
