@@ -2086,6 +2086,91 @@ def q_orders_rfm_segments(spark, sf_dir):
     )
 
 
+def q_events_reconcile(spark, sf_dir):
+    """Cross-table reconciliation (operators/profile.py::
+    reconcile_tables): per-day row counts + order-insensitive content
+    checksums of the events table against a deterministically-corrupted
+    replica (one in ~991 rows dropped, one in ~997 event types
+    rewritten) -- the replication/migration audit. Only per-bucket
+    (count, checksum) summary rows ever travel; the checksum is a
+    decimal-exact SUM of md5-derived row hashes, so each side could be
+    computed by a different engine -- which is exactly what the oracle
+    does."""
+    from sparkbigdatatextanalysis_spark.operators import profile as pf
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_id",
+            "user_id",
+            "event_type",
+        )
+    )
+    replica = ev.where(F.col("event_id") % 991 != 5).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 997 == 3, "corrupted").otherwise(
+            F.col("event_type")
+        ),
+    )
+    return pf.reconcile_tables(
+        ev, replica, "day", ["event_id", "user_id", "event_type"]
+    )
+
+
+def q_purchase_attribution(spark, sf_dir):
+    """Last-touch conversion attribution with a 7-day lookback: each
+    purchase attributes to the same user's latest click strictly before
+    it and at most 7 days old (asof_join's merge_asof-style
+    tolerance_sec; the bound applies map-side after the carry window --
+    no extra exchange). Click-less or stale-click purchases keep NULL
+    attribution (left rows survive). The marketing-analytics twin of
+    the point-in-time join."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = rel.asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        right_payload=["click_id", "click_ts"],
+        strict=True,
+        tolerance_sec=7 * 86400,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+def q_dedup_triangle_density(spark, sf_dir):
+    """Per-doc triangle counts over the n-gram-Jaccard candidate graph
+    (operators/components.py::count_triangles): the local-density
+    signal that separates core near-dup clique members (neighbor pairs
+    also connected) from chain artifacts of transitive candidate
+    generation -- the refinement step between pair generation and
+    cluster-representative choice. Degree-ordered compact-forward
+    enumeration (Suri & Vassilvitskii's 'last reducer' fix), so the
+    wedge join is hub-safe at any graph skew."""
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    pairs = dd.ngram_jaccard_pairs(_docs(spark, sf_dir)).select(
+        "a_id", "b_id"
+    )
+    return cc.count_triangles(pairs, "a_id", "b_id")
+
+
 def q_docs_global_rank(spark, sf_dir):
     """Distributed exact global ranking (operators/relational.py::
     global_rank): every document's exact position in the corpus-wide
@@ -3304,13 +3389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new in the first wave (aHash near-dup pairs, resize stats, star
     # CC, the native session_window twin, embedding-space
     # decontamination, the composed nightly-ingest verdict, TPC-H
-    # Q6/Q10/Q14, the rerun-idempotent keyed history merge), slots
-    # 34-36 re-gate the first three r06-latest keys, and slots 37-50
-    # are the fourteen second-wave keys (distributed global rank, the
-    # mergeable HLL sketch rollup, fixed-point PageRank, bigram
-    # Stupid-Backoff LM, weighted priority sampling, cohort retention,
-    # RFM segmentation, TPC-H Q1/Q8/Q13/Q15/Q17/Q19/Q22). The 47
-    # r06-latest keys that don't fit (first section after the window)
+    # Q6/Q10/Q14, the rerun-idempotent keyed history merge), and slots
+    # 34-50 are the seventeen second-wave keys (triangle counting,
+    # last-touch attribution, cross-table reconciliation, distributed
+    # global rank, the mergeable HLL sketch rollup, fixed-point
+    # PageRank, bigram Stupid-Backoff LM, weighted priority sampling,
+    # cohort retention, RFM segmentation, TPC-H Q1/Q8/Q13/Q15/Q17/
+    # Q19/Q22). The 50 r06-latest keys (first section after the window)
     # MUST lead the r9 window -- they will be 3 rounds stale by then;
     # the remaining slots then rotate the oldest r07-latest keys (the
     # ones that don't fit lead r10). Every key is re-verified on every
@@ -3352,11 +3437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_like": q_tpch_q10_like,
         "tpch_q14_like": q_tpch_q14_like,
         "history_merge_replay": q_history_merge_replay,
-        # --- latest driver row r06: re-gate the first 17 (slots 34-50) ---
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "events_sessionize": q_events_sessionize,
-        "tokens_except": q_tokens_except,
         # --- new this round, second wave (TPC-H + analytics + LM) ---
+        "dedup_triangle_density": q_dedup_triangle_density,
+        "purchase_attribution": q_purchase_attribution,
+        "events_reconcile": q_events_reconcile,
         "docs_global_rank": q_docs_global_rank,
         "events_monthly_uniques_sketch": q_events_monthly_uniques_sketch,
         "events_pagerank": q_events_pagerank,
@@ -3372,7 +3456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_like": q_tpch_q19_like,
         "tpch_q22_like": q_tpch_q22_like,
         # ---- end of the 50-key gate window ----
-        # --- r06-latest leftovers (47): MUST lead the r9 window ---
+        # --- r06-latest leftovers (50): MUST lead the r9 window ---
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "events_sessionize": q_events_sessionize,
+        "tokens_except": q_tokens_except,
         "user_type_pivot": q_user_type_pivot,
         "pair_edit_distance": q_pair_edit_distance,
         "orders_by_month": q_orders_by_month,
@@ -4755,6 +4842,116 @@ def oracle_sql() -> dict[str, str]:
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30))
+    """
+    # The oracle computes BOTH sides' checksums itself -- the exact
+    # cross-engine scenario the operator exists for: same \\x01-joined
+    # row strings, same md5-derived hash, decimal-exact sums.
+    sqls["events_reconcile"] = f"""
+        WITH base AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, event_id, user_id,
+                 event_type
+          FROM events WHERE ts IS NOT NULL
+        ),
+        replica AS (
+          SELECT day, event_id, user_id,
+                 CASE WHEN event_id % 997 = 3 THEN 'corrupted'
+                      ELSE event_type END AS event_type
+          FROM base WHERE event_id % 991 <> 5
+        ),
+        sa AS (
+          SELECT day, count(*)::BIGINT AS n_a,
+                 sum({string_hash31_sql(
+                     "event_id::VARCHAR || chr(1) || user_id::VARCHAR"
+                     " || chr(1) || event_type"
+                 )}::DECIMAL(38,0)) AS ck_a
+          FROM base GROUP BY day
+        ),
+        sb AS (
+          SELECT day, count(*)::BIGINT AS n_b,
+                 sum({string_hash31_sql(
+                     "event_id::VARCHAR || chr(1) || user_id::VARCHAR"
+                     " || chr(1) || event_type"
+                 )}::DECIMAL(38,0)) AS ck_b
+          FROM replica GROUP BY day
+        )
+        SELECT day,
+               coalesce(n_a, 0)::BIGINT AS n_a,
+               coalesce(n_b, 0)::BIGINT AS n_b,
+               (coalesce(n_a, 0) = coalesce(n_b, 0))::BIGINT AS rows_match,
+               (ck_a IS NOT DISTINCT FROM ck_b)::BIGINT AS checksum_match
+        FROM sa FULL OUTER JOIN sb USING (day)
+    """
+    # DuckDB's native ASOF realizes the strict backward match; the
+    # 7-day tolerance NULLs the attribution columns, keeping the row.
+    sqls["purchase_attribution"] = """
+        WITH p AS (
+          SELECT event_id AS purchase_id, user_id, ts
+          FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        ),
+        c AS (
+          SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+        ),
+        m AS (
+          SELECT p.purchase_id, p.user_id, p.ts, c.click_id, c.click_ts
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND c.click_ts < p.ts
+        )
+        SELECT purchase_id, user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - epoch_us(click_ts)
+                         <= 604800000000::BIGINT
+                    THEN click_id END AS click_id,
+               CASE WHEN epoch_us(ts) - epoch_us(click_ts)
+                         <= 604800000000::BIGINT
+                    THEN epoch_us(ts) - epoch_us(click_ts) END AS lag_us
+        FROM m
+    """
+    # Triangle counting nests the ngram-Jaccard candidate CTE (the
+    # gated dedup_ngram_jaccard edge set) and replays the SAME
+    # (degree, id) orientation + wedge + closing joins.
+    sqls["dedup_triangle_density"] = f"""
+        WITH {_DEDUP_BASE},
+        und AS (
+          SELECT a.doc_id AS x, b.doc_id AS y
+          FROM shh a JOIN shh b USING (sh)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        deg AS (
+          SELECT n, count(*)::BIGINT AS deg
+          FROM (SELECT x AS n FROM und UNION ALL SELECT y FROM und)
+          GROUP BY n
+        ),
+        oriented AS (
+          SELECT CASE WHEN (dgx < dgy) OR (dgx = dgy AND x < y)
+                      THEN x ELSE y END AS src,
+                 CASE WHEN (dgx < dgy) OR (dgx = dgy AND x < y)
+                      THEN y ELSE x END AS dst,
+                 CASE WHEN (dgx < dgy) OR (dgx = dgy AND x < y)
+                      THEN dgy ELSE dgx END AS dst_deg
+          FROM (SELECT x, y, dx.deg AS dgx, dy.deg AS dgy
+                FROM und
+                JOIN deg dx ON dx.n = x
+                JOIN deg dy ON dy.n = y)
+        ),
+        tris AS (
+          SELECT e1.src AS s, e1.dst AS d1, e2.dst AS d2
+          FROM oriented e1
+          JOIN oriented e2 ON e1.src = e2.src
+          JOIN oriented c ON c.src = e1.dst AND c.dst = e2.dst
+          WHERE (e1.dst_deg < e2.dst_deg)
+             OR (e1.dst_deg = e2.dst_deg AND e1.dst < e2.dst)
+        ),
+        pn AS (
+          SELECT node, count(*)::BIGINT AS n_triangles
+          FROM (SELECT s AS node FROM tris
+                UNION ALL SELECT d1 FROM tris
+                UNION ALL SELECT d2 FROM tris)
+          GROUP BY node
+        )
+        SELECT n AS node, deg AS degree,
+               coalesce(n_triangles, 0)::BIGINT AS n_triangles
+        FROM deg LEFT JOIN pn ON pn.node = deg.n
     """
     # The two-phase distributed ranking must equal the plain single-
     # window row_number -- the oracle IS that window.

@@ -125,6 +125,9 @@ HEADLINE = [
     "tpch_q8_like",
     "docs_global_rank",
     "events_monthly_uniques_sketch",
+    "dedup_triangle_density",
+    "purchase_attribution",
+    "events_reconcile",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

@@ -31,6 +31,7 @@ def asof_join(
     right_payload: list[str] | None = None,
     strict: bool = False,
     direction: str = "backward",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """As-of join: each left row picks the nearest right row for the
     same ``key`` -- ``direction="backward"`` (default) takes the
@@ -56,6 +57,13 @@ def asof_join(
     scan order for both directions -- without the explicit NULLS FIRST,
     the forward path's descending sort would place them last and
     fabricate a match to the minimum-ts right row).
+
+    ``tolerance_sec`` (pandas merge_asof's ``tolerance``): when set,
+    a match farther than this many seconds from the left timestamp is
+    NULLed out (the left row is kept) -- the lookback/lookahead window
+    of attribution and sensor-alignment queries. Timestamp columns
+    only; the bound is applied map-side after the carry window, so it
+    adds no exchange.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(
@@ -101,10 +109,26 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.withColumn("_r", F.last("_rrow", ignorenulls=True).over(w))
-    out = carried.where(F.col("_lrow").isNotNull()).select("_lrow.*", "_r")
+    if tolerance_sec is None:
+        out = carried.where(F.col("_lrow").isNotNull()).select("_lrow.*", "_r")
+        for c in right_payload:
+            out = out.withColumn(c, F.col("_r")[c])
+        return out.drop("_r")
+    carried = carried.withColumn(
+        "_rt",
+        F.last(
+            F.when(F.col("_rrow").isNotNull(), F.col("_t")), ignorenulls=True
+        ).over(w),
+    )
+    out = carried.where(F.col("_lrow").isNotNull()).select(
+        "_lrow.*", "_r", "_rt"
+    )
+    within = F.abs(
+        F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("_rt"))
+    ) <= int(tolerance_sec * 1_000_000)
     for c in right_payload:
-        out = out.withColumn(c, F.col("_r")[c])
-    return out.drop("_r")
+        out = out.withColumn(c, F.when(within, F.col("_r")[c]))
+    return out.drop("_r", "_rt")
 
 
 def _payload_ddl(right: DataFrame, cols: list[str]) -> str:

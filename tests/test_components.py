@@ -227,3 +227,42 @@ def test_pagerank_loop_releases_checkpoint_blocks(spark):
     # allowance: the returned final ranks checkpoint only (nodes/edeg
     # are unpersisted before return)
     assert after - before <= 1, (before, after)
+
+
+# --- triangle counting -------------------------------------------------------
+
+
+def test_triangles_k4_and_pendant(spark):
+    # K4: every vertex sits in C(3,2) = 3 triangles; a pendant node in 0
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    e = _edges(spark, k4 + [(3, 9)])
+    got = {r["node"]: (r["degree"], r["n_triangles"])
+           for r in cc.count_triangles(e, "a_id", "b_id").collect()}
+    assert got == {0: (3, 3), 1: (3, 3), 2: (3, 3), 3: (4, 3), 9: (1, 0)}
+
+
+def test_triangles_dedupe_reversed_and_self_loops(spark):
+    # triangle given with duplicates, reversals and a self loop
+    e = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)])
+    got = {r["node"]: r["n_triangles"]
+           for r in cc.count_triangles(e, "a_id", "b_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_partition_invariance_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(8)
+    pairs = [(i, j) for i, j in itertools.combinations(range(20), 2) if rng.random() < 0.3]
+    e = _edges(spark, pairs)
+    a = {tuple(r) for r in cc.count_triangles(e, "a_id", "b_id").collect()}
+    b = {tuple(r) for r in cc.count_triangles(e.repartition(7), "a_id", "b_id").collect()}
+    assert a == b
+    # cross-check the total against a brute-force python count
+    adj = {n: set() for p in pairs for n in p}
+    for x, y in pairs:
+        adj[x].add(y); adj[y].add(x)
+    brute = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
+                if y in adj[x] and z in adj[x] and z in adj[y])
+    assert sum(t for _, _, t in a) == 3 * brute

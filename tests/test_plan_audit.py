@@ -366,6 +366,15 @@ BUDGETS = {
     # sketch rollup: daily-sketch agg + union-merge agg + exact-distinct
     # agg + the month join
     "events_monthly_uniques_sketch": (4, 1),
+    # triangles: audited plan reads the eager deg/oriented checkpoints;
+    # wedge + closing joins + exploded per-node agg + the output join
+    "dedup_triangle_density": (6, 0),
+    # attribution: ONE union-window shuffle on user_id (the asof shape);
+    # the tolerance bound is map-side
+    "purchase_attribution": (1, 0),
+    # reconcile: one partial-aggregated scan per side; the compare join
+    # moves only per-bucket summary rows
+    "events_reconcile": (2, 0),
     # RFM: scalar max date + per-customer agg + the percentile scalar;
     # the auditor re-counts the persisted per-customer subtree under
     # both consumers (executed count is 3); max and cuts broadcast

@@ -206,3 +206,35 @@ def test_profile_drift_range_only_and_empty_snapshot(spark):
     d2 = {r["col_name"]: r for r in profile_drift(po, pe).collect()}
     assert d2["v"]["alert"] is True  # populated -> empty snapshot
     assert d2["v"]["null_ratio_new"] is None
+
+
+def test_reconcile_tables_matches_and_flags(spark):
+    from sparkbigdatatextanalysis_spark.operators import profile as pf
+
+    a = spark.createDataFrame(
+        [("d1", 1, "x"), ("d1", 2, "y"), ("d2", 3, "z"), ("d3", 4, None)],
+        "day STRING, id LONG, v STRING",
+    )
+    # d1 identical but reordered; d2 value drift (same count); d3 missing
+    b = spark.createDataFrame(
+        [("d1", 2, "y"), ("d1", 1, "x"), ("d2", 3, "ZZ")],
+        "day STRING, id LONG, v STRING",
+    )
+    out = {
+        r["day"]: (r["n_a"], r["n_b"], r["rows_match"], r["checksum_match"])
+        for r in pf.reconcile_tables(a, b, "day", ["id", "v"]).collect()
+    }
+    assert out == {
+        "d1": (2, 2, 1, 1),   # order-insensitive: reordered bucket matches
+        "d2": (1, 1, 1, 0),   # same count, drifted content
+        "d3": (1, 0, 0, 0),   # bucket missing on one side
+    }
+
+
+def test_reconcile_tables_null_vs_empty_distinct(spark):
+    from sparkbigdatatextanalysis_spark.operators import profile as pf
+
+    a = spark.createDataFrame([("d", 1, None)], "day STRING, id LONG, v STRING")
+    b = spark.createDataFrame([("d", 1, "")], "day STRING, id LONG, v STRING")
+    row = pf.reconcile_tables(a, b, "day", ["id", "v"]).collect()[0]
+    assert (row["rows_match"], row["checksum_match"]) == (1, 0)

@@ -284,3 +284,49 @@ def test_global_rank_guards(spark):
         rel.global_rank(df, "k", "id", n_buckets=1)
     with pytest.raises(ValueError, match="already has column"):
         rel.global_rank(df.withColumn("global_rank", F.lit(1)), "k", "id")
+
+
+# --- asof tolerance ----------------------------------------------------------
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00"), (2, "2024-01-30 00:00:00")],
+        "id LONG, ts STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(0, "2024-01-09 00:00:00", 100)], "k LONG, ts STRING, payload LONG"
+    ).select(
+        F.lit(0).alias("id2"),
+        F.to_timestamp("ts").alias("ts"),
+        F.col("payload"),
+    )
+    # both left rows share the key; only the first is within 7 days
+    out = {
+        r["id"]: r["payload"]
+        for r in rel.asof_join(
+            left.withColumn("k", F.lit(0)),
+            right.withColumn("k", F.lit(0)),
+            key="k",
+            right_payload=["payload"],
+            tolerance_sec=7 * 86400,
+        ).collect()
+    }
+    assert out == {1: 100, 2: None}
+
+
+def test_asof_tolerance_zero_keeps_exact_ts_only(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:01")],
+        "id LONG, ts STRING",
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn("k", F.lit(0))
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 7)], "ts STRING, payload LONG"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn("k", F.lit(0))
+    out = {
+        r["id"]: r["payload"]
+        for r in rel.asof_join(
+            left, right, key="k", right_payload=["payload"], tolerance_sec=0
+        ).collect()
+    }
+    assert out == {1: 7, 2: None}
