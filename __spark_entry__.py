@@ -2160,14 +2160,18 @@ def q_dedup_triangle_density(spark, sf_dir):
     signal that separates core near-dup clique members (neighbor pairs
     also connected) from chain artifacts of transitive candidate
     generation -- the refinement step between pair generation and
-    cluster-representative choice. Degree-ordered compact-forward
-    enumeration (Suri & Vassilvitskii's 'last reducer' fix), so the
-    wedge join is hub-safe at any graph skew."""
+    cluster-representative choice. Edges are the jaccard >= 0.05
+    near-dup pairs (the raw >=1-shared-shingle candidate graph is
+    quadratically dense inside shingle buckets and is NOT what density
+    refinement runs on). Degree-ordered compact-forward enumeration
+    (Suri & Vassilvitskii's 'last reducer' fix), so the wedge join is
+    hub-safe at any graph skew. The threshold compares the UNROUNDED
+    IEEE-exact jaccard in both engines."""
     from sparkbigdatatextanalysis_spark.operators import components as cc
 
-    pairs = dd.ngram_jaccard_pairs(_docs(spark, sf_dir)).select(
-        "a_id", "b_id"
-    )
+    pairs = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), min_jaccard=0.05
+    ).select("a_id", "b_id")
     return cc.count_triangles(pairs, "a_id", "b_id")
 
 
@@ -4911,11 +4915,18 @@ def oracle_sql() -> dict[str, str]:
     # (degree, id) orientation + wedge + closing joins.
     sqls["dedup_triangle_density"] = f"""
         WITH {_DEDUP_BASE},
-        und AS (
-          SELECT a.doc_id AS x, b.doc_id AS y
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_inter
           FROM shh a JOIN shh b USING (sh)
           WHERE a.doc_id < b.doc_id
           GROUP BY 1, 2
+        ),
+        und AS (
+          SELECT x, y FROM inter
+          JOIN sizes na ON na.doc_id = x
+          JOIN sizes nb ON nb.doc_id = y
+          WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.05
         ),
         deg AS (
           SELECT n, count(*)::BIGINT AS deg
