@@ -617,8 +617,10 @@ def weighted_priority_sample(
 
     Scale: per-group selection is grouped_topk's two-phase prune (the
     per-(partition, group) pre-rank caps the final window's input at
-    partitions x k rows); global selection is a TakeOrdered limit. The
-    hash + division are map-only.
+    partitions x k rows); global selection is a TakeOrdered limit,
+    whose per-task heap is O(k) -- for corpus-sized k use
+    relational.global_rank + a rank filter instead. The hash +
+    division are map-only.
     """
     from .relational import grouped_topk
 

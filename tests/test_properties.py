@@ -178,3 +178,107 @@ def test_winnowing_guarantee_planted_repeat_always_detected(
         f"planted {len(repeat)}-char repeat missed (filler lens "
         f"{len(pre_a)}/{len(pre_b)}); spans={spans}"
     )
+
+
+# --- round-8 operator invariants --------------------------------------------
+
+INTS = st.lists(
+    st.tuples(st.integers(0, 10**6), st.integers(-5, 10**4)),
+    min_size=2,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@PROP
+@given(rows=INTS)
+def test_global_rank_is_a_permutation_and_orders_keys(spark, rows):
+    """Ranks are exactly 1..n, and a higher-ranked row never carries a
+    smaller (key, id) tuple -- on arbitrary integer keys with ties."""
+    from sparkbigdatatextanalysis_spark.operators import relational as rel
+
+    df = spark.createDataFrame(rows, "id LONG, k LONG")
+    out = rel.global_rank(df, "k", "id", n_buckets=4).collect()
+    ranks = sorted(r["global_rank"] for r in out)
+    assert ranks == list(range(1, len(rows) + 1))
+    by_rank = sorted(out, key=lambda r: r["global_rank"])
+    keys = [(r["k"], r["id"]) for r in by_rank]
+    assert keys == sorted(keys)
+
+
+@PROP
+@given(rows=INTS)
+def test_weighted_sample_keeps_exactly_min_k_n(spark, rows):
+    """Global weighted sampling returns exactly min(k, n) rows and the
+    kept priorities are the k smallest in the whole pool."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    k = 7
+    out = pl.weighted_priority_sample(df, "w", k=k).collect()
+    assert len(out) == min(k, len(rows))
+    # k = pool size, NOT a huge constant: the global branch is a
+    # TakeOrdered whose heap is O(k) regardless of input size
+    all_pri = {
+        r["priority"]
+        for r in pl.weighted_priority_sample(df, "w", k=len(rows)).collect()
+    }
+    kept = {r["priority"] for r in out}
+    assert kept == set(sorted(all_pri)[: len(out)])
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@PROP
+@given(pairs=EDGES)
+def test_triangle_counts_match_bruteforce_on_random_graphs(spark, pairs):
+    """Distributed degree-ordered enumeration equals the O(n^3) python
+    count on arbitrary small graphs (self-loops/dupes included)."""
+    import itertools
+
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    df = spark.createDataFrame(pairs, "a_id LONG, b_id LONG")
+    out = cc.count_triangles(df, "a_id", "b_id").collect()
+    adj: dict[int, set[int]] = {}
+    for x, y in pairs:
+        if x == y:
+            continue
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    per_node = {n: 0 for n in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                per_node[n] += 1
+    got = {r["node"]: r["n_triangles"] for r in out}
+    assert got == per_node
+    degs = {r["node"]: r["degree"] for r in out}
+    assert degs == {n: len(v) for n, v in adj.items()}
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6), st.one_of(st.none(), st.text(max_size=5))),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_reconcile_identical_tables_always_match(spark, rows):
+    """A table reconciled against a row-order permutation of itself
+    matches on every bucket -- arbitrary content incl. NULLs."""
+    from sparkbigdatatextanalysis_spark.operators import profile as pf
+
+    df = spark.createDataFrame(
+        [(f"b{b}", i, v) for b, i, v in rows], "bucket STRING, id LONG, v STRING"
+    )
+    out = pf.reconcile_tables(
+        df, df.repartition(5), "bucket", ["id", "v"]
+    ).collect()
+    assert all(r["rows_match"] == 1 and r["checksum_match"] == 1 for r in out)
