@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import vec_dot
 
+from ..serde import ship_by_value
+
+# Worker-bound closures travel by value so executor Python workers
+# never need this package on their own sys.path (see serde.py).
+ship_by_value(__import__("sys").modules[__name__])
+
 N_PLANES_MAX = 256  # pre-generated hyperplane pool (bands * rows <= this)
 LSH_BANDS = 8
 TARGET_BUCKET_ROWS = 32  # adaptive width aims buckets at ~this many rows

@@ -34,6 +34,12 @@ from pyspark.sql import functions as F
 from ..functions.arrays import adjacent_pairs
 from ..functions.lineage import release
 
+from ..serde import ship_by_value
+
+# Worker-bound closures travel by value so executor Python workers
+# never need this package on their own sys.path (see serde.py).
+ship_by_value(__import__("sys").modules[__name__])
+
 # SentencePiece-style escape for marker characters that occur INSIDE
 # corpus words: without it an interior U+2581 is indistinguishable from
 # a word boundary (learned rules would cross into it; decode-by-

@@ -48,14 +48,9 @@ except ImportError:
 # Serialize this module's functions by value so mapInPandas workers do not
 # need the package importable on their own sys.path (executor Python
 # workers inherit neither the driver's sys.path edits nor its cwd).
-try:
-    import sys as _sys
+from ..serde import ship_by_value
 
-    from pyspark import cloudpickle as _cloudpickle
-
-    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # pragma: no cover - best-effort; import path still works
-    pass
+ship_by_value(__import__("sys").modules[__name__])
 
 MEDIA_META = StructType(
     [

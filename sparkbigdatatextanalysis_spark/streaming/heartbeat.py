@@ -46,6 +46,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.intervals import parse_interval_seconds
 
+from ..serde import ship_by_value
+
+# Worker-bound closures travel by value so executor Python workers
+# never need this package on their own sys.path (see serde.py).
+ship_by_value(__import__("sys").modules[__name__])
+
 _RAW_OUTPUT_SCHEMA = "user_id BIGINT, last_us BIGINT, deadline_us BIGINT"
 HEARTBEAT_STATE_SCHEMA = "last_us BIGINT"
 

@@ -27,6 +27,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..serde import ship_by_value
+
+# Worker-bound closures travel by value so executor Python workers
+# never need this package on their own sys.path (see serde.py).
+ship_by_value(__import__("sys").modules[__name__])
+
 SESSION_GAP_MINUTES = 30
 
 # applyInPandasWithState schemas: timestamps carried as epoch micros in
