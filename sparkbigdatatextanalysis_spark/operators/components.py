@@ -346,8 +346,25 @@ def pagerank_fixed_point(
     )
 
 
+def _attach_degrees(
+    und: DataFrame, dx: DataFrame, dy: DataFrame, broadcast: bool
+) -> DataFrame:
+    """Label each undirected edge with both endpoints' degrees: two
+    equi-joins, hinted broadcast at gate scale, plain shuffle joins past
+    the node-count limit (the degree table is O(|V|) -- billions of rows
+    on a 100 TB near-dup graph cannot broadcast). Split out so the plan
+    audit can pin both shapes pre-checkpoint."""
+    if broadcast:
+        dx, dy = F.broadcast(dx), F.broadcast(dy)
+    return und.join(dx, "x").join(dy, "y")
+
+
 def count_triangles(
-    edges: DataFrame, a: str = "u", b: str = "v"
+    edges: DataFrame,
+    a: str = "u",
+    b: str = "v",
+    broadcast_degrees: bool | None = None,
+    broadcast_node_limit: int = 2_000_000,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph -- the
     local-density signal that separates core members of a near-dup
@@ -362,8 +379,20 @@ def count_triangles(
     a node's HIGHER-ranked out-neighbors -- at most O(sqrt(|E|)) of
     them for ANY node. A naive id-ordering enumerates a d^2 wedge set
     at a degree-d hub (the "last reducer" that never finishes on a
-    power-law graph); degree ordering is what makes the same two-join
-    plan safe at 100 TB.
+    power-law graph); degree ordering is what makes the wedge/closing
+    joins safe at any graph skew.
+
+    The degree ATTACH is a separate scale decision: the degree table
+    has one row per node, so force-broadcasting it (fast at gate
+    scale -- two map-only joins, no edge shuffle) stops being viable
+    once |V| outgrows executor memory. ``broadcast_degrees=None``
+    (default) decides from the checkpointed degree table's own row
+    count against ``broadcast_node_limit`` (the count is a metadata
+    read of the eager checkpoint, not a recompute); past the limit the
+    attach falls back to two plain shuffle equi-joins on x/y --
+    hub-safe too, since a node's degree row joins each of its edges
+    once. Pass True/False to pin either plan (both shapes are
+    budget-pinned in tests/test_plan_audit.py).
 
     Shape: canonical-edge distinct + one degree aggregation, map-only
     orientation, then TWO equi-joins (wedge pivot on the source,
@@ -397,7 +426,9 @@ def count_triangles(
     # carry the dst's (deg, id) so the wedge comparison needs no third join
     dx = deg.select(F.col("n").alias("x"), F.col("deg").alias("dgx"))
     dy = deg.select(F.col("n").alias("y"), F.col("deg").alias("dgy"))
-    lab = und.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
+    if broadcast_degrees is None:
+        broadcast_degrees = deg.count() <= broadcast_node_limit
+    lab = _attach_degrees(und, dx, dy, broadcast_degrees)
     x_first = (F.col("dgx") < F.col("dgy")) | (
         (F.col("dgx") == F.col("dgy")) & (F.col("x") < F.col("y"))
     )

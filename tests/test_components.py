@@ -266,3 +266,57 @@ def test_triangles_partition_invariance_random_graph(spark):
     brute = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
                 if y in adj[x] and z in adj[x] and z in adj[y])
     assert sum(t for _, _, t in a) == 3 * brute
+
+
+def test_triangles_degree_attach_broadcast_modes(spark):
+    """Both degree-attach plans (broadcast vs plain shuffle equi-join)
+    compute identical counts, and each produces the pinned plan shape:
+    the scale fallback must carry ZERO BroadcastExchange, the gate-scale
+    mode keeps the two degree broadcasts (VERDICT r8 #2)."""
+    import itertools
+    import random
+
+    from sparkbigdatatextanalysis_spark.plans.audit import audit_plan
+
+    rng = random.Random(99)
+    pairs = [
+        (i, j)
+        for i, j in itertools.combinations(range(25), 2)
+        if rng.random() < 0.25
+    ]
+    e = _edges(spark, pairs)
+    bc = cc.count_triangles(e, "a_id", "b_id", broadcast_degrees=True)
+    sh = cc.count_triangles(e, "a_id", "b_id", broadcast_degrees=False)
+    assert {tuple(r) for r in bc.collect()} == {tuple(r) for r in sh.collect()}
+    # plan-shape pin on the attach itself (runs before the eager
+    # checkpoint, so it must be audited pre-checkpoint): broadcast mode
+    # carries exactly the two degree broadcasts, scale mode carries none
+    und = (
+        e.select(F.least("a_id", "b_id").alias("x"),
+                 F.greatest("a_id", "b_id").alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("x").alias("n"))
+        .unionByName(und.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("deg").alias("dgx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("deg").alias("dgy"))
+    lab_bc = cc._attach_degrees(und, dx, dy, broadcast=True)
+    lab_sh = cc._attach_degrees(und, dx, dy, broadcast=False)
+    assert audit_plan(lab_bc).broadcast_exchanges == 2
+    assert audit_plan(lab_sh).broadcast_exchanges == 0
+    # auto mode: under the limit -> broadcast path; above -> shuffle path
+    auto_small = cc.count_triangles(e, "a_id", "b_id")
+    assert {tuple(r) for r in auto_small.collect()} == {
+        tuple(r) for r in bc.collect()
+    }
+    forced = cc.count_triangles(
+        e, "a_id", "b_id", broadcast_node_limit=1
+    )
+    assert {tuple(r) for r in forced.collect()} == {
+        tuple(r) for r in bc.collect()
+    }
