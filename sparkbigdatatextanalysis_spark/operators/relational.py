@@ -236,6 +236,7 @@ def global_rank(
     tiebreaker: str,
     n_buckets: int = 32,
     rank_col: str = "global_rank",
+    relative_error: float = 0.0,
 ) -> DataFrame:
     """Distributed EXACT global ranking: ``row_number() OVER (ORDER BY
     key, tiebreaker)`` without the single-partition window that plain
@@ -261,18 +262,42 @@ def global_rank(
     partitioning-independent: exact percentiles are deterministic, and
     ranks are defined by the total order alone (the oracle is the plain
     single-window row_number).
+
+    Memory bound: Spark's exact ``percentile`` buffers every DISTINCT
+    key value in ONE aggregation buffer -- fine for bounded-cardinality
+    keys, O(|distinct|) driver/reducer memory for near-continuous ones.
+    Set ``relative_error`` > 0 to swap in the mergeable
+    ``approx_percentile`` (GK) sketch for the cuts (the
+    equi_depth_bins/winsorize convention). The RANKS STAY EXACT either
+    way: cuts only pick bucket boundaries, a row's bucket is "number of
+    cuts below key" under the same broadcast constants on every row,
+    and the within-bucket window orders by the true (key, tiebreaker) --
+    approximate cuts merely skew bucket SIZES, never rank values
+    (pinned exact==approx in tests/test_relational.py).
     """
+    if not 0 <= relative_error < 1:
+        raise ValueError(
+            "global_rank: relative_error must be in [0, 1) "
+            f"(0 = exact percentile), got {relative_error}"
+        )
     if n_buckets < 2:
         raise ValueError(f"global_rank: n_buckets must be >= 2, got {n_buckets}")
     for c in ("_gr_bucket", "_gr_off", rank_col):
         if c in df.columns:
             raise ValueError(f"global_rank: input already has column {c!r}")
-    cuts = df.agg(
-        *[
+    if relative_error > 0:
+        acc = int(1.0 / relative_error)
+        cut_exprs = [
+            F.percentile_approx(F.col(key), F.lit(i / n_buckets), F.lit(acc))
+            .alias(f"_gr_c{i}")
+            for i in range(1, n_buckets)
+        ]
+    else:
+        cut_exprs = [
             F.expr(f"percentile({key}, {i / n_buckets})").alias(f"_gr_c{i}")
             for i in range(1, n_buckets)
         ]
-    )
+    cuts = df.agg(*cut_exprs)
     bucket = sum(
         (F.col(key) > F.col(f"_gr_c{i}")).cast("long")
         for i in range(1, n_buckets)

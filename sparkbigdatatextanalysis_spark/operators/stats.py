@@ -140,6 +140,51 @@ def winsorize(
     )
 
 
+def quartile_cuts(
+    df: DataFrame,
+    cols: list[str],
+    relative_error: float = 0.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One scalar row of 25/50/75 percentile boundaries per column
+    (``<col>_q25/_q50/_q75``) -- the broadcastable cut table behind RFM
+    segmentation and any quantile-threshold scoring.
+
+    Memory bound: Spark's exact ``percentile`` buffers every DISTINCT
+    value of a column in ONE aggregation buffer, O(|distinct|) in the
+    final reducer -- fine for day-counts and frequencies, a real bound
+    for near-continuous metrics (RFM monetary). Set ``relative_error``
+    > 0 to swap in the mergeable ``approx_percentile`` (GK) sketch,
+    same operator shape (the equi_depth_bins / winsorize convention);
+    quartile ASSIGNMENTS then differ only for values within the rank
+    tolerance of a boundary (pinned in tests/test_relational.py).
+    Cuts are rounded to ``round_digits`` so the downstream comparison
+    is deterministic cross-engine."""
+    if not 0 <= relative_error < 1:
+        raise ValueError(
+            "quartile_cuts: relative_error must be in [0, 1) "
+            f"(0 = exact percentile), got {relative_error}"
+        )
+    if relative_error > 0:
+        acc = int(1.0 / relative_error)
+
+        def pct(c, q):
+            return F.percentile_approx(F.col(c), F.lit(q), F.lit(acc))
+
+    else:
+
+        def pct(c, q):
+            return F.expr(f"percentile({c}, {q})")
+
+    return df.agg(
+        *[
+            F.round(pct(c, q), round_digits).alias(f"{c}_q{int(q * 100)}")
+            for c in cols
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+
 def equi_depth_bins(
     df: DataFrame,
     value: str,

@@ -278,6 +278,53 @@ def test_global_rank_partition_and_bucket_invariance(spark):
     assert a == b
 
 
+def test_global_rank_approx_cuts_same_exact_ranks(spark):
+    """relative_error > 0 swaps exact percentile cuts for the GK sketch
+    but the RANKS must stay bit-identical: cuts only choose bucket
+    boundaries; the within-bucket window orders by the true key
+    (VERDICT r8 #4 -- the escape hatch must not cost exactness)."""
+    rows = [(i, float((i * 61) % 997) / 7.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "id LONG, k DOUBLE")
+    exact = {
+        (r["id"], r["global_rank"])
+        for r in rel.global_rank(df, "k", "id", n_buckets=8).collect()
+    }
+    approx = {
+        (r["id"], r["global_rank"])
+        for r in rel.global_rank(
+            df, "k", "id", n_buckets=8, relative_error=0.05
+        ).collect()
+    }
+    assert exact == approx
+    with pytest.raises(ValueError, match="relative_error"):
+        rel.global_rank(df, "k", "id", relative_error=1.5)
+
+
+def test_quartile_cuts_exact_vs_approx_rank_tolerance(spark):
+    """stats.quartile_cuts: the approx (GK) cut for quantile q must land
+    within the value range spanned by exact quantiles q +/- eps (the GK
+    rank guarantee), and exact mode reproduces the inline percentile."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+
+    rows = [(i, float((i * 13) % 509)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
+    eps = 0.02
+    exact = st.quartile_cuts(df, ["v"]).collect()[0].asDict()
+    approx = st.quartile_cuts(df, ["v"], relative_error=eps).collect()[0].asDict()
+    for q in (25, 50, 75):
+        lo, hi = df.selectExpr(
+            f"percentile(v, {q / 100 - eps}) AS lo",
+            f"percentile(v, {q / 100 + eps}) AS hi",
+        ).collect()[0]
+        assert lo - 1e-6 <= approx[f"v_q{q}"] <= hi + 1e-6, (q, approx, lo, hi)
+        got_exact = df.selectExpr(
+            f"round(percentile(v, {q / 100}), 6) AS e"
+        ).collect()[0]["e"]
+        assert exact[f"v_q{q}"] == got_exact
+    with pytest.raises(ValueError, match="relative_error"):
+        st.quartile_cuts(df, ["v"], relative_error=-0.1)
+
+
 def test_global_rank_guards(spark):
     df = spark.createDataFrame([(1, 2)], "id LONG, k LONG")
     with pytest.raises(ValueError, match="n_buckets"):
