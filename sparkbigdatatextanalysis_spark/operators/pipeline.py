@@ -1014,6 +1014,17 @@ class IncrementalIngestResult(NamedTuple):
     bands: DataFrame          # IncrementalDedupResult.bands
     fingerprints: DataFrame   # IncrementalSpansResult.fingerprints
     assignments: DataFrame | None  # IncrementalSemanticResult.assignments
+    # Per-family state deltas, exactly the individual contracts' own
+    # (each family keeps its OWN notion of "kept": the hash/band delta
+    # excludes hash-family dups, not semantic ones). The streaming loop
+    # (streaming/ingest.py::verdict_stream_writer) appends the set
+    # families directly and routes the COUNT families through
+    # merge_counts_keyed -- replayed merges must no-op:
+    delta_hashes: DataFrame | None = None       # kept docs' content hashes
+    delta_bands: DataFrame | None = None        # kept docs' (band, key)
+    delta_span_counts: DataFrame | None = None  # batch (h, cnt) -- COUNT family
+    delta_line_counts: DataFrame | None = None  # batch (line, cnt) -- COUNT family
+    delta_reps: DataFrame | None = None         # kept batch reps (semantic)
 
 
 def incremental_ingest_verdict(
@@ -1086,9 +1097,11 @@ def incremental_ingest_verdict(
             "dup_span_chars"
         ),
     )
-    ln = incremental_dedup_lines(
+    ln_res = incremental_dedup_lines(
         batch_docs, hist_line_counts, id_col, text_col
-    ).result.select(
+    )
+    ln_delta = ln_res.delta_counts
+    ln = ln_res.result.select(
         id_col, "n_lines", F.col("n_removed").alias("n_lines_removed")
     )
     if batch_emb is not None:
@@ -1110,9 +1123,11 @@ def incremental_ingest_verdict(
             F.col("near_dup_batch").alias("sem_dup_batch"),
         )
         assignments = sem_res.assignments
+        sem_delta_reps = sem_res.delta_reps
     else:
         sem = None
         assignments = None
+        sem_delta_reps = None
     out = (
         base.result.drop("keep")
         .join(sp_agg, id_col, "left")
@@ -1152,12 +1167,26 @@ def incremental_ingest_verdict(
             )
         ).alias("keep"),
     )
-    return IncrementalIngestResult(out, base.bands, sp.fingerprints, assignments)
+    return IncrementalIngestResult(
+        out,
+        base.bands,
+        sp.fingerprints,
+        assignments,
+        delta_hashes=base.delta_hashes,
+        delta_bands=base.delta_bands,
+        delta_span_counts=sp.delta_counts,
+        delta_line_counts=ln_delta,
+        delta_reps=sem_delta_reps,
+    )
 
 
 class KeyedMergeResult(NamedTuple):
     history: DataFrame   # (batch_id, *key, cnt) -- the updated state
     manifest: DataFrame  # one row per merged batch id -- the tiny guard
+    appended: DataFrame  # the anti-joined tagged delta actually added --
+    # EMPTY on a replayed merge; append-only state stores (the
+    # streaming loop's parquet tables) write exactly this instead of
+    # rewriting the unioned history
 
 
 def merge_counts_keyed(
@@ -1209,7 +1238,8 @@ def merge_counts_keyed(
         batch_col,
         "left_anti",
     )
-    new_hist = history.unionByName(fresh.select(*history.columns))
+    fresh = fresh.select(*history.columns)
+    new_hist = history.unionByName(fresh)
     new_manifest = (
         m.unionByName(
             m.sparkSession.range(1).select(
@@ -1217,7 +1247,7 @@ def merge_counts_keyed(
             )
         ).distinct()
     )
-    return KeyedMergeResult(new_hist, new_manifest)
+    return KeyedMergeResult(new_hist, new_manifest, fresh)
 
 
 def cap_per_domain(

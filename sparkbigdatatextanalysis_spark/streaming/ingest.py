@@ -75,3 +75,159 @@ def ingest_stream_writer(
         release(res.bands)
 
     return doc_stream.writeStream.foreachBatch(_process)
+
+
+def verdict_batch_processor(
+    state_dir: str,
+    flags_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_lookup: DataFrame | None = None,
+    cents: DataFrame | None = None,
+    sem_threshold: float = 0.0,
+    emb_id_col: str = "vec_id",
+):
+    """The foreachBatch body of the CONTINUOUS composed-verdict loop
+    (the streaming form of ``operators.pipeline.
+    incremental_ingest_verdict``) -- factored out of
+    :func:`verdict_stream_writer` so a test (or a backfill script) can
+    drive it directly with (batch_df, batch_id), including replaying a
+    batch id to prove the at-least-once contract.
+
+    Per micro-batch, against the parquet state under ``state_dir``:
+
+    - probe ALL FOUR families exactly as the nightly batch contract
+      does -- the count-family histories are stored KEYED
+      ``(batch_id, key, cnt)`` and group-summed to the probe view, so
+      the probe sees the same totals the un-keyed batch tables hold;
+    - append the per-doc verdict (stamped ``ingest_batch``) to
+      ``flags_dir``;
+    - merge the deltas back: hash/band/rep SET families append
+      directly (probed by existence -- a replayed append changes
+      nothing a probe can see); span/line COUNT families route through
+      :func:`..operators.pipeline.merge_counts_keyed` and append only
+      its ``appended`` frame -- EMPTY on a replayed batch id, so the
+      at-least-once replay that double-counts a naive sum-merge is a
+      structural no-op here.
+
+    Semantic family: pass ``emb_lookup`` (a static (vec_id, embedding)
+    table joined per batch on the doc ids) + pinned ``cents`` to
+    enable; reps accumulate under ``{state_dir}/reps``. Omit both to
+    run the three text families only.
+
+    Scale notes: identical to :func:`ingest_stream_writer` -- bucket
+    the state tables on their probe keys at 100 TB so the per-trigger
+    probe elides the history exchange; the keyed count tables
+    additionally benefit from partitioning by ``batch_id`` (manifest
+    derivation and compaction become metadata listings).
+    """
+    from ..functions.lineage import release
+    from ..operators.pipeline import (
+        incremental_ingest_verdict,
+        merge_counts_keyed,
+    )
+
+    if (emb_lookup is None) != (cents is None):
+        raise ValueError(
+            "verdict_batch_processor: emb_lookup and cents come together"
+        )
+
+    def _merge_count_family(spark, name: str, delta: DataFrame, batch_id: int):
+        hist = _try_read(spark, f"{state_dir}/{name}")
+        man = _try_read(spark, f"{state_dir}/{name}_manifest")
+        if hist is None:
+            hist = delta.withColumn(
+                "batch_id", F.lit(None).cast("long")
+            ).limit(0)
+        if man is None:
+            man = hist.select("batch_id").distinct()
+        mr = merge_counts_keyed(hist, delta, batch_id, man)
+        mr.appended.write.mode("append").parquet(f"{state_dir}/{name}")
+        # manifest row rides on the SAME freshness guard: a replayed
+        # batch has no appended rows, hence appends no manifest row
+        mr.appended.select("batch_id").distinct().write.mode("append").parquet(
+            f"{state_dir}/{name}_manifest"
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hh = _try_read(spark, f"{state_dir}/hashes")
+        hb = _try_read(spark, f"{state_dir}/bands")
+        spk = _try_read(spark, f"{state_dir}/span_counts")
+        lnk = _try_read(spark, f"{state_dir}/line_counts")
+        sp_hist = (
+            spk.groupBy("h").agg(F.sum("cnt").alias("cnt"))
+            if spk is not None
+            else None
+        )
+        ln_hist = (
+            lnk.groupBy("line").agg(F.sum("cnt").alias("cnt"))
+            if lnk is not None
+            else None
+        )
+        if emb_lookup is not None:
+            batch_emb = emb_lookup.join(
+                batch_df.select(F.col(id_col).alias(emb_id_col)).distinct(),
+                emb_id_col,
+            )
+            reps = _try_read(spark, f"{state_dir}/reps")
+        else:
+            batch_emb = None
+            reps = None
+        res = incremental_ingest_verdict(
+            batch_df,
+            hh,
+            hb,
+            sp_hist,
+            ln_hist,
+            batch_emb,
+            reps,
+            cents,
+            sem_threshold,
+            id_col,
+            text_col,
+        )
+        (
+            res.result.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(flags_dir)
+        )
+        res.delta_hashes.write.mode("append").parquet(f"{state_dir}/hashes")
+        res.delta_bands.write.mode("append").parquet(f"{state_dir}/bands")
+        _merge_count_family(spark, "span_counts", res.delta_span_counts, batch_id)
+        _merge_count_family(spark, "line_counts", res.delta_line_counts, batch_id)
+        if res.delta_reps is not None:
+            res.delta_reps.write.mode("append").parquet(f"{state_dir}/reps")
+        release(res.bands)
+        release(res.fingerprints)
+        if res.assignments is not None:
+            release(res.assignments)
+
+    return _process
+
+
+def verdict_stream_writer(
+    doc_stream: DataFrame,
+    state_dir: str,
+    flags_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_lookup: DataFrame | None = None,
+    cents: DataFrame | None = None,
+    sem_threshold: float = 0.0,
+):
+    """Wire a document stream into the continuous composed-verdict loop
+    (all four incremental families per micro-batch; see
+    :func:`verdict_batch_processor`); returns the ``DataStreamWriter``
+    (caller sets trigger/checkpoint and starts)."""
+    return doc_stream.writeStream.foreachBatch(
+        verdict_batch_processor(
+            state_dir,
+            flags_dir,
+            id_col,
+            text_col,
+            emb_lookup,
+            cents,
+            sem_threshold,
+        )
+    )

@@ -101,3 +101,140 @@ def test_ingest_stream_two_days_with_restart(spark, tmp_path):
     # both days' flags carry distinct micro-batch stamps
     stamps = {r["ingest_batch"] for r in spark.read.parquet(flags).collect()}
     assert len(stamps) == 2
+
+
+# --- continuous composed verdict (all four families per micro-batch) --------
+
+FOOTER = "shared boilerplate footer line used by many documents daily"
+
+VDAY1 = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today\n" + FOOTER),
+    (2, LONG2 + "\n" + FOOTER),
+    (3, "a completely different document about cooking pasta with fresh tomatoes"),
+]
+
+VDAY2 = [
+    (10, "the quick brown fox jumps over the lazy dog near the river bank today\n" + FOOTER),
+    (11, LONG2 + " every morning"),
+    (12, "brand new content that appears twice in the same daily batch exactly"),
+    (13, "brand new content that appears twice in the same daily batch exactly"),
+    (14, "completely novel subject matter involving astronomy telescopes\n" + FOOTER),
+]
+
+
+def _run_verdict_once(spark, src, state, flags, ckpt):
+    from sparkbigdatatextanalysis_spark.streaming.ingest import (
+        verdict_stream_writer,
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        verdict_stream_writer(stream, state, flags)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_verdict_stream_two_days_equals_batch_composition(spark, tmp_path):
+    """The continuous composed-verdict loop: day 2's streamed verdict
+    must equal the batch incremental_ingest_verdict run over the same
+    day1-history/day2-batch split (VERDICT r8 next-step 6), and a
+    replayed micro-batch must leave the COUNT families' probe views
+    unchanged (the X122 keyed-merge guarantee, by construction)."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+    from sparkbigdatatextanalysis_spark.streaming.ingest import (
+        verdict_batch_processor,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    flags = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    d1 = spark.createDataFrame(VDAY1, SCHEMA)
+    d2 = spark.createDataFrame(VDAY2, SCHEMA)
+    d1.coalesce(1).write.mode("overwrite").parquet(src)
+    _run_verdict_once(spark, src, state, flags, ckpt)
+    day1 = {r["doc_id"]: r for r in spark.read.parquet(flags).collect()}
+    assert set(day1) == {1, 2, 3} and all(r["keep"] for r in day1.values())
+
+    d2.coalesce(1).write.mode("append").parquet(src)
+    _run_verdict_once(spark, src, state, flags, ckpt)
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(flags).collect()
+        if r["doc_id"] >= 10
+    }
+
+    # batch twin over the identical split: day1's own deltas are the
+    # history state (family-local kept, exactly what the loop appended)
+    base1 = pl.incremental_ingest_verdict(
+        d1, None, None, None, None, persist_intermediates=False
+    )
+    want = {
+        r["doc_id"]: r
+        for r in pl.incremental_ingest_verdict(
+            d2,
+            base1.delta_hashes,
+            base1.delta_bands,
+            base1.delta_span_counts,
+            base1.delta_line_counts,
+            persist_intermediates=False,
+        ).result.collect()
+    }
+    assert set(got) == set(want)
+    cols = [
+        "content_hash",
+        "exact_dup_history",
+        "exact_dup_batch",
+        "near_dup_history",
+        "near_dup_batch",
+        "n_dup_spans",
+        "dup_span_chars",
+        "n_lines",
+        "n_lines_removed",
+        "keep",
+    ]
+    for i in want:
+        for c in cols:
+            assert got[i][c] == want[i][c], (i, c, got[i][c], want[i][c])
+    # the shared footer line: present twice in day-1 history, so day-2
+    # docs carrying it must have it stripped (count family actually fired)
+    assert got[10]["n_lines_removed"] >= 1 and got[14]["n_lines_removed"] >= 1
+
+    # --- at-least-once replay: re-drive the SAME batch id directly ---
+    def probe_views():
+        sp = (
+            spark.read.parquet(f"{state}/span_counts")
+            .groupBy("h").agg(F.sum("cnt").alias("cnt"))
+        )
+        ln = (
+            spark.read.parquet(f"{state}/line_counts")
+            .groupBy("line").agg(F.sum("cnt").alias("cnt"))
+        )
+        return (
+            {(r["h"], r["cnt"]) for r in sp.collect()},
+            {(r["line"], r["cnt"]) for r in ln.collect()},
+        )
+
+    before = probe_views()
+    proc = verdict_batch_processor(state, flags)
+    proc(d2, 1)  # the replay: same micro-batch id as the day-2 trigger
+    after = probe_views()
+    assert before == after  # count-family probe views: structural no-op
+    # manifest recorded each batch id exactly once
+    for fam in ("span_counts", "line_counts"):
+        man = [
+            r["batch_id"]
+            for r in spark.read.parquet(f"{state}/{fam}_manifest").collect()
+        ]
+        assert sorted(man) == [0, 1]
+    # replayed flags carry the same stamp and identical values
+    rep = [
+        r
+        for r in spark.read.parquet(flags).collect()
+        if r["doc_id"] == 10 and r["ingest_batch"] == 1
+    ]
+    assert len(rep) == 2
+    assert all(r["keep"] == rep[0]["keep"] for r in rep)
