@@ -3402,6 +3402,237 @@ def q_pair_jaccard_estimates(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-9 extension queries
+# ---------------------------------------------------------------------------
+
+
+def q_events_interval_union(spark, sf_dir):
+    """Interval-union coverage (operators/timeseries.py::interval_union):
+    per user, the total seconds covered by the union of 5-minute
+    activity intervals [ts, ts+300) -- the islands aggregation a plain
+    SUM(end-start) double-counts whenever events overlap. Two windows +
+    the final agg all share ONE hash exchange on user_id; exact integer
+    arithmetic on floor-of-second epochs (date_trunc on the oracle side
+    mirrors unix_timestamp's floor), so the hash is bit-exact."""
+    from sparkbigdatatextanalysis_spark.operators import timeseries as tsx
+
+    iv = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").cast("long").alias("start_s"),
+            (F.unix_timestamp("ts").cast("long") + 300).alias("end_s"),
+        )
+    )
+    return tsx.interval_union(iv, "user_id", order_id="event_id")
+
+
+def q_events_type_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (operators/timeseries.py::
+    markov_transitions) over per-user event sequences: global
+    (prev_type, next_type) adjacency counts + row-normalized
+    probabilities -- the sequence-behavior complement of the funnel
+    (fixed step order) and the bigram LM (tokens instead of events).
+    One user_id exchange for the lag window, one |types|^2 partial agg,
+    one broadcast row-total join."""
+    from sparkbigdatatextanalysis_spark.operators import timeseries as tsx
+
+    return tsx.markov_transitions(_events(spark, sf_dir))
+
+
+def q_dedup_kcore(spark, sf_dir):
+    """Bounded k-core peeling (operators/components.py::kcore_peel) over
+    the jaccard >= 0.05 near-dup graph -- the cohesion filter beside
+    triangle counting (dedup_triangle_density): 3 rounds of 'drop nodes
+    with < 2 surviving neighbors' leave the 2-core, separating clique
+    cores from the stars/chains transitive candidate generation
+    produces. Exact integers + fixed round count = the oracle replays
+    the same 3 peels as unrolled CTEs, bit-for-bit (the PageRank/CC
+    discipline; per-round eager localCheckpoints bound the plan)."""
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    pairs = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), min_jaccard=0.05
+    ).select("a_id", "b_id")
+    return cc.kcore_peel(pairs, "a_id", "b_id", k=2, rounds=3)
+
+
+def q_orders_price_trend(spark, sf_dir):
+    """Grouped OLS trend (operators/stats.py::grouped_linreg): per order
+    priority, the least-squares slope/intercept/r2 of order value over
+    time (days since 1995-01-01) -- 'is this segment's spend rising' as
+    ONE partial-agg pass collapsing the fact table to |groups| moment
+    rows; the closed-form normal equations then run in DOUBLE from
+    exact DECIMAL sums with a fixed expression shape, so both engines
+    agree bit-for-bit before the final rounding."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+
+    o = _scan(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("double").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return st.grouped_linreg(o, ["o_orderpriority"], "x", "y")
+
+
+def q_basket_brand_pairs(spark, sf_dir):
+    """Market-basket pair mining (operators/relational.py::
+    cooccurrence_pairs): part-brand pairs appearing together in >= 40
+    orders, with support -- the A-priori k=2 pass. The fact table
+    collapses to |orders| sorted brand-set rows in one groupBy; pairs
+    generate IN-ROW (quadratic only in the per-order brand count),
+    never via the self-join that squares inside hot groups; the brand
+    dimension broadcasts into the line items."""
+    li = _scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return rel.cooccurrence_pairs(
+        baskets, "l_orderkey", "p_brand", min_support=40
+    )
+
+
+def q_events_cumulative_users(spark, sf_dir):
+    """Daily new-user and cumulative-user counts: each user collapses to
+    a first-seen day (one partial-agg min over the raw feed -- the only
+    full-data pass), days aggregate to new-user counts, and the running
+    total is a window over the |days| table (tiny -- the documented
+    single-partition window runs over days, never rows). The growth
+    curve every activation dashboard starts from."""
+    from pyspark.sql import Window
+
+    first = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(F.date_format("ts", "yyyy-MM-dd")).alias("day"))
+    )
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+def q_docs_keyterms(spark, sf_dir):
+    """Per-document keyterm extraction: the top-3 TF-IDF terms of every
+    document ((weight desc, token) row_number over the shared weights
+    table) -- the classic document-tagging / topic-hint step, here a
+    pure composition over the cached TF-IDF pipeline point. The window
+    partitions by doc_id (high-cardinality, balanced); weights are the
+    same bit-identical doubles the tfidf_vectors gate hashes raw."""
+    from pyspark.sql import Window
+
+    w = _weights(spark, sf_dir)
+    wnd = Window.partitionBy("id").orderBy(
+        F.col("weight").desc(), F.col("token").asc()
+    )
+    return (
+        w.withColumn("rk", F.row_number().over(wnd))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("id").alias("doc_id"),
+            "token",
+            F.col("rk").cast("long").alias("rk"),
+            "weight",
+        )
+    )
+
+
+def q_embeddings_knn_label(spark, sf_dir):
+    """k-NN majority-vote labeling (operators/ann.py::knn_label_vote):
+    odd vec_ids take the most frequent label among their 5 nearest
+    even-id vectors by cosine -- weak-labeling a corpus from a seed
+    set. Neighbors rank by the shared _broadcast_topk (9-dp cosine
+    desc, id) rule; votes resolve (count desc, label asc) -- all
+    deterministic cross-engine. Brute force is the proven-exact
+    baseline; the IVF probe is the documented swap at scale."""
+    emb = _emb(spark, sf_dir)
+    return ann_ops.knn_label_vote(
+        emb.where(F.col("vec_id") % 2 == 1),
+        emb.where(F.col("vec_id") % 2 == 0),
+        k=5,
+    )
+
+
+def q_events_value_mad(spark, sf_dir):
+    """Median/MAD robust outliers (operators/stats.py::mad_outliers):
+    per event type, values farther than 3 MADs from the median -- the
+    robust twin of events_value_zscore, whose stddev a single extreme
+    value inflates (outlier masking); medians cannot be dragged. Two
+    exact-percentile group aggs (relative_error swaps in GK at scale)
+    + broadcast joins; the flag is map-only."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return st.mad_outliers(ev, "value", ["event_type"])
+
+
+BPE_GATE_MERGES = 8
+
+
+def q_docs_bpe_segments(spark, sf_dir):
+    """BPE learn + segment, driver-gated (operators/bpe.py -- the last
+    deterministic pytest-only surface, r8 verdict stretch): learn 8
+    merge rules from the tokenized corpus (best pair = max n_occ-
+    weighted adjacent count, ties (left, right) lexicographic,
+    min_pair_count=2 -- exact integers, fully deterministic), then
+    segment every document by replaying the rules greedily
+    left-to-right. The oracle re-learns the SAME 8 rules as unrolled
+    SQL stages (pair extraction from double-separator symbol strings;
+    one replace() per stage IS the greedy merge, because double
+    separators make adjacent occurrences share no characters) and
+    re-segments -- so learning AND application are both cross-engine
+    checked, not just replayed. Spark side: bpe_learn_local's one
+    corpus pass + driver loop over the vocab-sized word table;
+    segmentation is the in-row expression fold (map-only, zero
+    shuffles)."""
+    from sparkbigdatatextanalysis_spark.operators import bpe
+
+    tok = _tok(spark, sf_dir)
+    merges, _vocab = bpe.bpe_learn_local(
+        tok, BPE_GATE_MERGES, min_pair_count=2
+    )
+    seg = bpe.bpe_segment(tok, merges)
+    return seg.select(
+        F.col("id").alias("doc_id"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.array_join("pieces", " ").alias("pieces_str"),
+    )
+
+
+def q_orders_unpivot(spark, sf_dir):
+    """UNPIVOT/melt (the inverse of user_type_pivot's wide pivot): the
+    per-status order metrics fold from one wide row into (status,
+    metric, value) long rows via stack() -- map-only on a |statuses|-row
+    aggregate, the shape that feeds generic metric sinks. Money goes
+    through the DECIMAL sum discipline before the double cast."""
+    per = (
+        _scan(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 4
+            ).cast("double").alias("_total"),
+        )
+    )
+    return per.selectExpr(
+        "o_orderstatus",
+        "stack(2, 'n_orders', _n, 'total_price', _total) AS (metric, value)",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-9 window (the rotation
@@ -3472,9 +3703,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         # ---- end of the 50-key gate window ----
-        # --- NEW in r9: no driver row yet; these lead the r10 window,
+        # --- NEW in r9 (11): no driver row yet; these lead the r10 window,
         # with the oldest r07-latest keys filling the remaining slots
         # (the displaced r07 tail gates r11 -- see the ceiling note above) ---
+        "events_interval_union": q_events_interval_union,
+        "events_type_transitions": q_events_type_transitions,
+        "dedup_kcore": q_dedup_kcore,
+        "orders_price_trend": q_orders_price_trend,
+        "basket_brand_pairs": q_basket_brand_pairs,
+        "events_cumulative_users": q_events_cumulative_users,
+        "docs_keyterms": q_docs_keyterms,
+        "embeddings_knn_label": q_embeddings_knn_label,
+        "events_value_mad": q_events_value_mad,
+        "orders_unpivot": q_orders_unpivot,
+        "docs_bpe_segments": q_docs_bpe_segments,
         # --- latest driver row r07: gate next (50) ---
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -6532,5 +6774,334 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN spb USING (doc_id)
         JOIN lnb USING (doc_id)
         LEFT JOIN semb ON semb.vec_id = fl.doc_id
+    """
+    # --- round-9 extension oracles ---
+    sqls["events_interval_union"] = """
+        WITH iv AS (
+          SELECT user_id, event_id,
+                 epoch(date_trunc('second', ts))::BIGINT AS s,
+                 epoch(date_trunc('second', ts))::BIGINT + 300 AS e
+          FROM events WHERE ts IS NOT NULL
+        ),
+        marked AS (
+          SELECT user_id, event_id, s, e,
+                 CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                      THEN 1 ELSE 0 END AS brk
+          FROM iv
+          WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        isl AS (
+          SELECT user_id, s, e,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM marked
+        ),
+        agg AS (
+          SELECT user_id, island, count(*) AS n, min(s) AS s0, max(e) AS e1
+          FROM isl GROUP BY 1, 2
+        )
+        SELECT user_id, sum(n)::BIGINT AS n_intervals,
+               count(*)::BIGINT AS n_islands,
+               sum(greatest(e1 - s0, 0))::BIGINT AS covered
+        FROM agg GROUP BY user_id
+    """
+    sqls["events_type_transitions"] = """
+        WITH seq AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events WHERE ts IS NOT NULL
+        ),
+        pairs AS (
+          SELECT prev_type AS prev_state, event_type AS next_state,
+                 count(*)::BIGINT AS n_transitions
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT prev_state, sum(n_transitions) AS t FROM pairs GROUP BY 1
+        )
+        SELECT p.prev_state, p.next_state, p.n_transitions,
+               round(p.n_transitions / t.t, 9) AS p_transition
+        FROM pairs p JOIN tot t USING (prev_state)
+    """
+    # k-core: 3 unrolled peel rounds over the SAME jaccard>=0.05 edge
+    # CTE the triangle oracle uses -- exact integer degrees, no floats.
+    _kcore_rounds = []
+    prev = "und"
+    for i in (1, 2, 3):
+        _kcore_rounds.append(f"""
+        deg{i} AS (
+          SELECT n, count(*)::BIGINT AS deg
+          FROM (SELECT x AS n FROM {prev} UNION ALL SELECT y FROM {prev})
+          GROUP BY n
+        ),
+        keep{i} AS (SELECT n FROM deg{i} WHERE deg >= 2),
+        e{i} AS (
+          SELECT x, y FROM {prev}
+          JOIN keep{i} kx ON kx.n = x
+          JOIN keep{i} ky ON ky.n = y
+        )""")
+        prev = f"e{i}"
+    sqls["dedup_kcore"] = f"""
+        WITH {_DEDUP_BASE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_inter
+          FROM shh a JOIN shh b USING (sh)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        und AS (
+          SELECT x, y FROM inter
+          JOIN sizes na ON na.doc_id = x
+          JOIN sizes nb ON nb.doc_id = y
+          WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.05
+        ),
+        nodes AS (
+          SELECT DISTINCT n FROM
+            (SELECT x AS n FROM und UNION ALL SELECT y FROM und)
+        ),
+        {", ".join(_kcore_rounds)},
+        fdeg AS (
+          SELECT n, count(*)::BIGINT AS deg
+          FROM (SELECT x AS n FROM e3 UNION ALL SELECT y FROM e3)
+          GROUP BY n
+        )
+        SELECT nodes.n AS node,
+               coalesce(fdeg.deg, 0)::BIGINT AS degree,
+               coalesce(fdeg.deg, 0) >= 2 AS in_core
+        FROM nodes LEFT JOIN fdeg ON fdeg.n = nodes.n
+    """
+    # OLS: DECIMAL(38,10) moment sums, then the SAME double expression
+    # shape as grouped_linreg -- identical IEEE ops on identical inputs.
+    sqls["orders_price_trend"] = """
+        WITH pts AS (
+          SELECT o_orderpriority,
+                 date_diff('day', DATE '1995-01-01', o_orderdate)::DOUBLE AS x,
+                 o_totalprice AS y
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        ),
+        m AS (
+          SELECT o_orderpriority,
+                 count(*)::BIGINT AS n_points,
+                 sum(CAST(x AS DECIMAL(38,10))) AS sxd,
+                 sum(CAST(y AS DECIMAL(38,10))) AS syd,
+                 sum(CAST(x AS DECIMAL(38,10)) * CAST(y AS DECIMAL(38,10))) AS sxyd,
+                 sum(CAST(x AS DECIMAL(38,10)) * CAST(x AS DECIMAL(38,10))) AS sxxd,
+                 sum(CAST(y AS DECIMAL(38,10)) * CAST(y AS DECIMAL(38,10))) AS syyd
+          FROM pts GROUP BY 1
+        ),
+        d AS (
+          SELECT o_orderpriority, n_points,
+                 n_points::DOUBLE AS n, sxd::DOUBLE AS sx, syd::DOUBLE AS sy,
+                 sxyd::DOUBLE AS sxy, sxxd::DOUBLE AS sxx, syyd::DOUBLE AS syy
+          FROM m
+        ),
+        c AS (
+          SELECT o_orderpriority, n_points, n, sx, sy,
+                 n * sxy - sx * sy AS cov,
+                 n * sxx - sx * sx AS varx,
+                 n * syy - sy * sy AS vary
+          FROM d
+        ),
+        s AS (
+          SELECT o_orderpriority, n_points, n, sx, sy, cov, varx, vary,
+                 CASE WHEN n_points >= 2 AND varx <> 0
+                      THEN cov / varx END AS slope
+          FROM c
+        )
+        SELECT o_orderpriority, n_points,
+               round(slope, 6) AS slope,
+               round((sy - slope * sx) / n, 6) AS intercept,
+               CASE WHEN slope IS NOT NULL AND vary <> 0
+                    THEN round((cov * cov) / (varx * vary), 6) END AS r2
+        FROM s
+    """
+    sqls["basket_brand_pairs"] = """
+        WITH t AS (
+          SELECT DISTINCT l_orderkey AS g, p_brand AS item
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand IS NOT NULL
+        ),
+        ng AS (SELECT count(DISTINCT g) AS n_groups FROM t),
+        p AS (
+          SELECT a.item AS item_a, b.item AS item_b,
+                 count(*)::BIGINT AS n_together
+          FROM t a JOIN t b ON a.g = b.g AND a.item < b.item
+          GROUP BY 1, 2
+        )
+        SELECT item_a, item_b, n_together,
+               round(n_together / ng.n_groups, 9) AS support
+        FROM p, ng WHERE n_together >= 40
+    """
+    sqls["events_cumulative_users"] = """
+        WITH first_seen AS (
+          SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        daily AS (
+          SELECT day, count(*)::BIGINT AS n_new_users
+          FROM first_seen GROUP BY 1
+        )
+        SELECT day, n_new_users,
+               sum(n_new_users) OVER (ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+        FROM daily
+    """
+    sqls["docs_keyterms"] = f"""
+        WITH {_BASE},
+        ranked AS (
+          SELECT doc_id, token, weight,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY weight DESC, token) AS rk
+          FROM w
+        )
+        SELECT doc_id, token, rk::BIGINT AS rk, weight
+        FROM ranked WHERE rk <= 3
+    """
+    sqls["embeddings_knn_label"] = f"""
+        WITH {_EMB_NORM_SQL},
+        lab AS (
+          SELECT e.vec_id, nv.v, nv.norm, e.label
+          FROM embeddings e JOIN nv USING (vec_id)
+          WHERE e.vec_id % 2 = 0 AND e.label IS NOT NULL
+        ),
+        q AS (
+          SELECT vec_id AS q_id, v AS qv, norm AS qn
+          FROM nv WHERE vec_id % 2 = 1
+        ),
+        scored AS (
+          SELECT q_id, c.vec_id AS n_id, c.label,
+                 round({_emb_dot_sql("qv", "c.v")} / (qn * c.norm), 9) AS cos
+          FROM q CROSS JOIN lab c
+        ),
+        topk AS (
+          SELECT q_id, n_id, label FROM (
+            SELECT q_id, n_id, label,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, n_id) AS rank
+            FROM scored
+          ) WHERE rank <= 5
+        ),
+        votes AS (
+          SELECT q_id, label, count(*)::BIGINT AS n_votes
+          FROM topk GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT q_id, sum(n_votes)::BIGINT AS n_neighbors
+          FROM votes GROUP BY 1
+        )
+        SELECT v.q_id AS vec_id, v.label AS pred_label, v.n_votes,
+               tot.n_neighbors
+        FROM (
+          SELECT q_id, label, n_votes,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY n_votes DESC, label) AS r
+          FROM votes
+        ) v JOIN tot USING (q_id)
+        WHERE v.r = 1
+    """
+    sqls["events_value_mad"] = """
+        WITH ev AS (
+          SELECT event_id, event_type, value FROM events
+        ),
+        med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS m
+          FROM ev GROUP BY 1
+        ),
+        mad AS (
+          SELECT ev.event_type, quantile_cont(abs(ev.value - med.m), 0.5) AS md
+          FROM ev JOIN med USING (event_type) GROUP BY 1
+        )
+        SELECT ev.event_id, ev.event_type, ev.value,
+               round(med.m, 9) AS group_median,
+               round(mad.md, 9) AS group_mad,
+               CASE WHEN ev.value IS NOT NULL
+                    THEN abs(ev.value - med.m) > 3 * mad.md END AS is_outlier
+        FROM ev JOIN med USING (event_type) JOIN mad USING (event_type)
+    """
+    # BPE gate: re-LEARN the 8 merge rules as unrolled SQL stages over
+    # double-separator symbol strings (a single replace() per stage is
+    # the exact greedy left-to-right merge -- adjacent occurrences share
+    # no characters under '||' separators), then re-segment every doc.
+    # Tie-break (n DESC, a, b) and min_pair_count=2 mirror
+    # bpe_learn_local exactly; identity stages after early exhaustion
+    # mirror the learner's early stop.
+    _bpe_stages = []
+    for i in range(1, BPE_GATE_MERGES + 1):
+        _bpe_stages.append(f"""
+        p{i} AS MATERIALIZED (
+          SELECT l[j] AS a, l[j + 1] AS b, sum(n_occ)::BIGINT AS n
+          FROM (SELECT n_occ, str_split(s, '||') AS l FROM s{i - 1}),
+               UNNEST(range(1, len(l))) AS t(j)
+          GROUP BY 1, 2
+        ),
+        b{i} AS MATERIALIZED (
+          SELECT a, b FROM p{i} WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1
+        ),
+        s{i} AS MATERIALIZED (
+          SELECT word, n_occ,
+                 CASE WHEN (SELECT count(*) FROM b{i}) = 0 THEN s
+                      ELSE trim(replace(
+                             '||' || s || '||',
+                             '|' || (SELECT a FROM b{i}) || '||'
+                                 || (SELECT b FROM b{i}) || '|',
+                             '|' || (SELECT a FROM b{i})
+                                 || (SELECT b FROM b{i}) || '|'), '|')
+                 END AS s
+          FROM s{i - 1}
+        )""")
+    sqls["docs_bpe_segments"] = f"""
+        WITH {_BASE},
+        wc AS (
+          SELECT word, count(*)::BIGINT AS n_occ
+          FROM (SELECT unnest(toks) AS word FROM tok)
+          WHERE word IS NOT NULL AND word <> ''
+          GROUP BY 1
+        ),
+        s0 AS MATERIALIZED (
+          SELECT word, n_occ,
+                 '▁||' || rtrim(regexp_replace(
+                   replace(word, '▁', '<0x2581>'), '(.)', '\\1||', 'g'), '|')
+                   AS s
+          FROM wc
+        ),
+        {",".join(_bpe_stages)},
+        seg AS (
+          SELECT word,
+                 replace(s, '||', ' ') AS segs,
+                 len(str_split(s, '||'))::BIGINT AS np
+          FROM s{BPE_GATE_MERGES}
+        ),
+        doc_words AS (
+          SELECT doc_id, toks[j] AS word, j
+          FROM tok, UNNEST(range(1, len(toks) + 1)) AS t(j)
+          WHERE toks[j] IS NOT NULL AND toks[j] <> ''
+        ),
+        per_doc AS (
+          SELECT d.doc_id,
+                 sum(seg.np)::BIGINT AS n_pieces,
+                 string_agg(seg.segs, ' ' ORDER BY d.j) AS pieces_str
+          FROM doc_words d JOIN seg USING (word)
+          GROUP BY 1
+        )
+        SELECT t.doc_id,
+               coalesce(per_doc.n_pieces, 0)::BIGINT AS n_pieces,
+               coalesce(per_doc.pieces_str, '') AS pieces_str
+        FROM tok t LEFT JOIN per_doc USING (doc_id)
+    """
+    sqls["orders_unpivot"] = """
+        WITH per AS (
+          SELECT o_orderstatus,
+                 count(*)::DOUBLE AS n,
+                 (round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 4))::DOUBLE
+                   AS total
+          FROM orders GROUP BY 1
+        )
+        SELECT o_orderstatus, 'n_orders' AS metric, n AS value FROM per
+        UNION ALL
+        SELECT o_orderstatus, 'total_price' AS metric, total AS value FROM per
     """
     return sqls

@@ -128,6 +128,20 @@ HEADLINE = [
     "dedup_triangle_density",
     "purchase_attribution",
     "events_reconcile",
+    # r9 additions: interval-union coverage, Markov transitions, k-core
+    # peeling, grouped OLS trend, market-basket pairs, cumulative users,
+    # TF-IDF keyterms, k-NN label vote, MAD outliers, unpivot
+    "events_interval_union",
+    "events_type_transitions",
+    "dedup_kcore",
+    "orders_price_trend",
+    "basket_brand_pairs",
+    "events_cumulative_users",
+    "docs_keyterms",
+    "embeddings_knn_label",
+    "events_value_mad",
+    "orders_unpivot",
+    "docs_bpe_segments",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

@@ -649,3 +649,78 @@ def cosine_topk_quantized(
         round_to=9,
     )
     return _broadcast_topk(qv, cand, score, k, drop_null_scores=True)
+
+
+def knn_label_vote(
+    queries_emb: DataFrame,
+    corpus_emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding column: each
+    query vector takes the most frequent label among its ``k`` nearest
+    LABELED corpus vectors by cosine -- the weak-labeling / label-
+    propagation step a curation pipeline uses to extend a small
+    hand-labeled seed set (domain tags, quality grades) across a corpus.
+
+    Composition, not a new kernel: the neighbor search is
+    :func:`_broadcast_topk`'s deterministic (9-dp cosine desc, id) rank
+    -- the exact brute-force baseline; swap in the IVF probe
+    (:func:`cosine_topk_ivf`) when the corpus outgrows the streamed
+    cross join, the vote is unchanged. Votes resolve by (count desc,
+    label asc) -- fully deterministic cross-engine. The label attach is
+    one equi-join of the |queries| x k neighbor table against the
+    corpus labels (broadcast when the label table is small; here it IS
+    the corpus side, so a plain shuffle join on the uniform id).
+
+    Returns (vec_id, pred_label, n_votes, n_neighbors): ``n_votes`` of
+    the winning label among ``n_neighbors`` (< k only when the corpus
+    has fewer than k labeled vectors). NULL-labeled corpus rows are
+    excluded from candidacy (they cannot vote).
+    """
+    if k < 1:
+        raise ValueError(f"knn_label_vote: k must be >= 1, got {k}")
+    labeled = corpus_emb.where(F.col(label_col).isNotNull())
+    nvq = _norm_vecs(queries_emb, id_col, vec_col).select(
+        F.col("id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    nvc = _norm_vecs(labeled, id_col, vec_col).select(
+        F.col("id").alias("n_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+    )
+    score = F.round(
+        _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 9
+    )
+    topk = _broadcast_topk(nvq, nvc, score, k)
+    votes = (
+        topk.join(
+            labeled.select(
+                F.col(id_col).alias("n_id"), F.col(label_col).alias("_lbl")
+            ),
+            "n_id",
+        )
+        .groupBy("q_id", "_lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    totals = votes.groupBy("q_id").agg(
+        F.sum("n_votes").cast("long").alias("n_neighbors")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col("_lbl").asc()
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .join(totals, "q_id")
+        .select(
+            F.col("q_id").alias(id_col),
+            F.col("_lbl").alias("pred_label"),
+            "n_votes",
+            "n_neighbors",
+        )
+    )

@@ -449,3 +449,68 @@ def scd2_history(
         F.col(ts).alias("valid_from"),
         F.lead(F.col(ts)).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group: str,
+    item: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent item-PAIR mining over transactions (the market-basket /
+    co-occurrence primitive): for every unordered pair of distinct items
+    appearing in the same group (order, session, document), the number
+    of groups containing both and its share of all groups -- the A-priori
+    k=2 pass, which in practice is the whole of "customers who bought X
+    also bought Y".
+
+    Shape: one groupBy collapses the fact table to |groups| item-set
+    rows (the ONLY pass over the raw data); pairs generate IN-ROW from
+    each sorted item set (flatten-of-transforms -- quadratic only in
+    the per-transaction item count, which is small and bounded by
+    nature, never in the table); one partial-agg count on the pair key;
+    the group total rides in as a broadcast scalar. A pair self-join on
+    the group key -- the naive formulation -- would shuffle the
+    exploded item table twice and square inside hot groups; this never
+    joins at all. NULL items are excluded; items compare as strings in
+    the pair ordering (cast upstream for numeric item ids).
+
+    Returns (item_a, item_b, n_together, support), item_a < item_b.
+    """
+    if min_support < 1:
+        raise ValueError(
+            f"cooccurrence_pairs: min_support must be >= 1, got {min_support}"
+        )
+    sets = (
+        df.where(F.col(item).isNotNull())
+        .groupBy(group)
+        .agg(F.array_sort(F.collect_set(item)).alias("_items"))
+    )
+    n_groups = sets.agg(F.count(F.lit(1)).alias("_n_groups"))
+    items = F.col("_items")
+    pairs_in_row = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs_in_row).alias("_p"))
+        .groupBy(
+            F.col("_p.a").alias("item_a"), F.col("_p.b").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_together"))
+        .where(F.col("n_together") >= min_support)
+        .join(F.broadcast(n_groups))
+        .select(
+            "item_a",
+            "item_b",
+            "n_together",
+            F.round(F.col("n_together") / F.col("_n_groups"), 9).alias(
+                "support"
+            ),
+        )
+    )

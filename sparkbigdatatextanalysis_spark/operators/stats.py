@@ -388,3 +388,138 @@ def cms_estimate(
     return out.withColumn("cms_est", est).drop(
         *[f"_c{i}" for i in range(depth)], *[f"_e{i}" for i in range(depth)]
     )
+
+
+def grouped_linreg(
+    df: DataFrame,
+    group: list[str],
+    x: str,
+    y: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit y = slope*x + intercept with
+    r2 -- the trend-detection aggregate (is this segment's spend
+    rising?) computed the ONLY way that scales: five DECIMAL partial
+    sums per group (n, sum x, sum y, sum xy, sum x^2, sum y^2), then
+    closed-form normal equations on the group row. No per-group
+    collect, no ML library, no second pass: 100 TB collapses to
+    |groups| rows at the map-side combiner.
+
+    Determinism: the sums are exact DECIMAL(38,10) (addition is
+    associative -- shuffle order cannot wobble them); the closed-form
+    arithmetic then runs in DOUBLE from those exact sums with a fixed
+    expression shape, so any engine computing the same shape agrees
+    bit-for-bit before the final rounding. Groups with < 2 points or
+    zero x-variance get NULL slope/intercept/r2 (vertical or
+    undetermined fits); r2 is NULL when y has zero variance.
+    NULL x/y rows are dropped per the SQL aggregate convention.
+    """
+    dx = F.col(x).cast("decimal(38,10)")
+    dy = F.col(y).cast("decimal(38,10)")
+    agg = (
+        df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .groupBy(*group)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(dx).alias("_sx"),
+            F.sum(dy).alias("_sy"),
+            F.sum(dx * dy).alias("_sxy"),
+            F.sum(dx * dx).alias("_sxx"),
+            F.sum(dy * dy).alias("_syy"),
+        )
+    )
+    n = F.col("n_points").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(
+        (F.col("n_points") >= 2) & (varx != 0), cov / varx
+    )
+    intercept = (sy - slope * sx) / n
+    r2 = F.when(vary != 0, (cov * cov) / (varx * vary))
+    return agg.select(
+        *group,
+        "n_points",
+        F.round(slope, round_digits).alias("slope"),
+        F.round(intercept, round_digits).alias("intercept"),
+        F.when(slope.isNotNull(), F.round(r2, round_digits)).alias("r2"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value: str,
+    group: list[str],
+    factor: float = 3.0,
+    relative_error: float = 0.0,
+) -> DataFrame:
+    """Median/MAD robust outlier flagging: per group, the median and the
+    median absolute deviation (median of |x - median|); a row is an
+    outlier when |x - median| > factor * MAD -- the robust alternative
+    to the z-score filter (events_value_zscore), which a single extreme
+    value can mask by inflating the stddev it is scored against. The
+    medians themselves cannot be dragged by outliers.
+
+    Two percentile aggregations (the second needs the first's result
+    joined back -- an irreducible two-pass dependency), each a partial-
+    agg groupBy; the per-group (median, mad) table broadcasts back, the
+    flag is map-only. Set ``relative_error`` > 0 to swap both medians
+    for the mergeable GK sketch (the quartile_cuts/winsorize
+    convention; exact percentile buffers O(|distinct|) per group).
+    Zero-MAD groups (> half the values identical) flag every deviating
+    row -- the documented Hampel-filter degeneracy; NULL values get
+    NULL flags and never count toward either median.
+    """
+    if not 0 <= relative_error < 1:
+        raise ValueError(
+            "mad_outliers: relative_error must be in [0, 1) "
+            f"(0 = exact percentile), got {relative_error}"
+        )
+    reserved = {"_mad_med", "_mad", "abs_dev", "is_outlier"} | {
+        f"_g_{g}" for g in group
+    }
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"mad_outliers: input already has column(s) {clash}")
+
+    if relative_error > 0:
+        acc = int(1.0 / relative_error)
+
+        def med(c):
+            return F.percentile_approx(c, F.lit(0.5), F.lit(acc))
+
+    else:
+
+        def med(c):
+            return F.percentile(c, F.lit(0.5))
+
+    v = F.col(value)
+    gmed = df.groupBy(
+        *[F.col(g).alias(f"_g_{g}") for g in group]
+    ).agg(med(v).alias("_mad_med"))
+    cond = F.lit(True)
+    for g in group:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_g_{g}"))
+    with_med = df.join(F.broadcast(gmed), cond).drop(
+        *[f"_g_{g}" for g in group]
+    )
+    gmad = with_med.groupBy(
+        *[F.col(g).alias(f"_g_{g}") for g in group]
+    ).agg(med(F.abs(v - F.col("_mad_med"))).alias("_mad"))
+    out = with_med.join(F.broadcast(gmad), cond).drop(
+        *[f"_g_{g}" for g in group]
+    )
+    return out.select(
+        *df.columns,
+        F.round("_mad_med", 9).alias("group_median"),
+        F.round("_mad", 9).alias("group_mad"),
+        F.when(
+            v.isNotNull(),
+            (F.abs(v - F.col("_mad_med")) > factor * F.col("_mad")),
+        ).alias("is_outlier"),
+    )

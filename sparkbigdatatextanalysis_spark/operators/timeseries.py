@@ -17,7 +17,7 @@ composite high-cardinality key — balanced partitions, AQE-coalescible.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,3 +69,118 @@ def gap_fill(
         for name in aggs
     ]
     return out.select(key, "bucket", *filled)
+
+
+def interval_union(
+    intervals: DataFrame,
+    key: str,
+    start: str = "start_s",
+    end: str = "end_s",
+    order_id: str | None = None,
+) -> DataFrame:
+    """Per-key total covered length of a set of possibly-overlapping
+    half-open integer intervals [start, end) -- the "islands"
+    aggregation (merge overlapping sessions/leases/spans, then sum
+    island lengths) that a plain SUM(end - start) double-counts.
+
+    Classic two-window islands decomposition: order each key's
+    intervals by (start, end); an interval STARTS a new island when its
+    start exceeds the running max of all previous ends; the island id
+    is the running count of such breaks; islands then aggregate to
+    (min start, max end) and lengths sum per key. Exact integer
+    arithmetic end-to-end, so cross-engine and partition-order
+    deterministic.
+
+    Scale shape: ONE hash shuffle on ``key`` feeds both windows and the
+    final aggregation (all partitioned by key, Catalyst reuses the
+    exchange); windows scan each key's run once -- no self-join, no
+    island materialization wider than the input. Skew follows the key's
+    own cardinality profile (salt upstream if one key owns the table).
+
+    Returns (key, n_intervals, n_islands, covered) with ``covered`` in
+    the interval's units. NULL starts/ends are dropped (an unbounded
+    lease has no length); zero/negative-length intervals contribute 0
+    but still join islands they fall inside.
+    """
+    order_cols = [F.col(start).asc(), F.col(end).asc()] + (
+        [F.col(order_id).asc()] if order_id else []
+    )
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    prev_max_end = F.max(F.col(end)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv = (
+        intervals.where(F.col(start).isNotNull() & F.col(end).isNotNull())
+        .withColumn(
+            "_iu_new",
+            (prev_max_end.isNull() | (F.col(start) > prev_max_end)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "_iu_island",
+            F.sum("_iu_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    islands = iv.groupBy(key, "_iu_island").agg(
+        F.count(F.lit(1)).alias("_iu_n"),
+        F.min(start).alias("_iu_s"),
+        F.max(end).alias("_iu_e"),
+    )
+    return islands.groupBy(key).agg(
+        F.sum("_iu_n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(
+            F.greatest(F.col("_iu_e") - F.col("_iu_s"), F.lit(0))
+        ).cast("long").alias("covered"),
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    key: str = "user_id",
+    state: str = "event_type",
+    ts: str = "ts",
+    order_id: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every (prev_state, next_state) pair of ADJACENT
+    events in a key's (ts, order_id) order, the global transition count
+    and row-normalized probability -- the behavioral-analytics /
+    sequence-QA companion to the funnel (which fixes the step order)
+    and the bigram LM (which does the same over tokens).
+
+    Shape: one hash shuffle on ``key`` for the lag window (each key's
+    run scanned once, map-side), then ONE partial-agg count on the
+    (prev, next) pair -- low cardinality = |states|^2 -- and the row
+    total attaches by a broadcast |states|-row join. The probability is
+    one double division of two exact BIGINTs, rounded to 9 -- identical
+    cross-engine.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_id).asc())
+    pairs = (
+        events.where(F.col(ts).isNotNull())
+        .withColumn("_mk_prev", F.lag(state).over(w))
+        .where(F.col("_mk_prev").isNotNull())
+        .groupBy(
+            F.col("_mk_prev").alias("prev_state"),
+            F.col(state).alias("next_state"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("prev_state").agg(
+        F.sum("n_transitions").alias("_mk_tot")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "prev_state")
+        .select(
+            "prev_state",
+            "next_state",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("_mk_tot"), 9).alias(
+                "p_transition"
+            ),
+        )
+    )

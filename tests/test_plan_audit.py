@@ -379,6 +379,39 @@ BUDGETS = {
     # the auditor re-counts the persisted per-customer subtree under
     # both consumers (executed count is 3); max and cuts broadcast
     "orders_rfm_segments": (5, 2),
+    # --- round 9 ---
+    # islands: both windows + final agg share ONE user_id exchange
+    "events_interval_union": (1, 0),
+    # lag window exchange + pair agg; the un-persisted pairs subtree
+    # re-counts under the totals consumer; row totals broadcast
+    "events_type_transitions": (5, 1),
+    # k-core: audited plan reads the final round's eager localCheckpoint
+    # (per-round degree agg + keep joins are lineage-truncated); final
+    # degree agg + the all-nodes left join
+    "dedup_kcore": (2, 0),
+    # OLS: one partial-agg moments pass, closed form on the agg row
+    "orders_price_trend": (1, 0),
+    # baskets: brand dim broadcasts into the scan, one basket groupBy,
+    # one pair agg; the group-total scalar broadcasts
+    "basket_brand_pairs": (4, 3),
+    # first-seen agg + daily agg + the |days| running window (the
+    # documented single-partition window over days, never rows)
+    "events_cumulative_users": (3, 0),
+    # keyterms: the shared TF-IDF weights lineage (tok fan-out, tf agg,
+    # idf agg + broadcast back) + the per-doc rank window
+    "docs_keyterms": (7, 2),
+    # knn: broadcast queries x streamed corpus (no corpus shuffle);
+    # rank window, vote agg, total agg + the final joins
+    "embeddings_knn_label": (8, 4),
+    # MAD: two percentile group aggs + two broadcast joins back
+    "events_value_mad": (3, 3),
+    # unpivot: one status agg, stack is map-only
+    "orders_unpivot": (1, 0),
+    # BPE gate: learning runs at construction (bpe_learn_local, one
+    # corpus pass + driver loop); the audited plan is the map-only
+    # in-row segmentation fold over the cached tok table (1 = the tok
+    # cache's scan fan-out)
+    "docs_bpe_segments": (1, 0),
 }
 
 

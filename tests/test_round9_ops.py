@@ -1,0 +1,290 @@
+"""Round-9 operator semantics on hand-built fixtures: interval union
+(islands), Markov transitions, k-core peeling, grouped OLS, MAD
+outliers, k-NN label vote, and co-occurrence pair mining."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkbigdatatextanalysis_spark.operators import ann as ann_ops
+from sparkbigdatatextanalysis_spark.operators import components as cc
+from sparkbigdatatextanalysis_spark.operators import relational as rel
+from sparkbigdatatextanalysis_spark.operators import stats as st
+from sparkbigdatatextanalysis_spark.operators import timeseries as tsx
+
+
+# --- interval_union ----------------------------------------------------------
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, start_s LONG, end_s LONG")
+
+
+def test_interval_union_merges_overlaps_and_touching(spark):
+    # [0,10) + [5,12) overlap -> [0,12); [12,15) touches -> same island
+    # (half-open adjacency); [20,25) separate
+    df = _iv(spark, [(1, 0, 10), (1, 5, 12), (1, 12, 15), (1, 20, 25)])
+    got = tsx.interval_union(df, "k").collect()[0]
+    assert (got["n_intervals"], got["n_islands"], got["covered"]) == (4, 2, 20)
+
+
+def test_interval_union_contained_and_zero_length(spark):
+    # [0,100) contains everything; zero-length [50,50) joins the island
+    df = _iv(spark, [(1, 0, 100), (1, 10, 20), (1, 50, 50)])
+    got = tsx.interval_union(df, "k").collect()[0]
+    assert (got["n_islands"], got["covered"]) == (1, 100)
+
+
+def test_interval_union_per_key_and_nulls(spark):
+    df = _iv(spark, [(1, 0, 5), (2, 0, 3), (2, 10, 11), (3, None, 5)])
+    got = {r["k"]: r for r in tsx.interval_union(df, "k").collect()}
+    assert got[1]["covered"] == 5
+    assert (got[2]["n_islands"], got[2]["covered"]) == (2, 4)
+    assert 3 not in got  # NULL-bound interval dropped, key vanishes
+
+
+def test_interval_union_partition_invariance(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i % 5, s, s + rng.randrange(0, 50))
+        for i in range(200)
+        for s in [rng.randrange(0, 500)]
+    ]
+    df = _iv(spark, rows)
+    a = {tuple(r) for r in tsx.interval_union(df, "k").collect()}
+    b = {tuple(r) for r in tsx.interval_union(df.repartition(11), "k").collect()}
+    assert a == b
+
+
+# --- markov_transitions ------------------------------------------------------
+
+
+def test_markov_transitions_counts_and_probs(spark):
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),   # a->b, b->a
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),   # a->b, b->c
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, event_id LONG, x LONG") \
+        if False else spark.createDataFrame(
+            [(u, e, s, float(e)) for (u, e, s) in rows],
+            "user_id LONG, event_id LONG, event_type STRING, tsd DOUBLE",
+        ).withColumn("ts", F.timestamp_seconds("tsd"))
+    got = {
+        (r["prev_state"], r["next_state"]): (r["n_transitions"], r["p_transition"])
+        for r in tsx.markov_transitions(df).collect()
+    }
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 0.5)
+    assert got[("b", "c")] == (1, 0.5)
+    assert ("a", "c") not in got  # never adjacent
+
+
+def test_markov_transitions_sequence_is_per_key(spark):
+    # interleaved users must not create cross-user transitions
+    rows = [(1, 1, 1.0, "a"), (2, 2, 2.0, "x"), (1, 3, 3.0, "b")]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, tsd DOUBLE, event_type STRING"
+    ).withColumn("ts", F.timestamp_seconds("tsd"))
+    got = {
+        (r["prev_state"], r["next_state"])
+        for r in tsx.markov_transitions(df).collect()
+    }
+    assert got == {("a", "b")}
+
+
+# --- kcore_peel --------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a_id BIGINT, b_id BIGINT")
+
+
+def test_kcore_k2_triangle_survives_chain_peels(spark):
+    # triangle 1-2-3 plus tail 3-4-5: k=2 peels 5 then 4; triangle stays
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    got = {
+        r["node"]: (r["degree"], r["in_core"])
+        for r in cc.kcore_peel(e, "a_id", "b_id", k=2, rounds=3).collect()
+    }
+    assert got[1] == (2, True) and got[2] == (2, True) and got[3] == (2, True)
+    assert got[4] == (0, False) and got[5] == (0, False)
+
+
+def test_kcore_k3_k4_survives_triangle_does_not(spark):
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    got = {
+        r["node"]: r["in_core"]
+        for r in cc.kcore_peel(
+            _edges(spark, k4 + tri), "a_id", "b_id", k=3, rounds=3
+        ).collect()
+    }
+    assert all(got[n] for n in range(4))
+    assert not any(got[n] for n in (10, 11, 12))
+
+
+def test_kcore_round_bounded_partial_peel(spark):
+    # chain 1-2-3-4-5-6 under k=2: each round peels both current ends'
+    # neighbors' support; 1 round leaves 2..5 (ends 1,6 peeled)
+    chain = [(i, i + 1) for i in range(1, 6)]
+    one = {
+        r["node"]: r["in_core"]
+        for r in cc.kcore_peel(_edges(spark, chain), "a_id", "b_id", k=2, rounds=1).collect()
+    }
+    assert not one[1] and not one[6] and one[3]
+    full = {
+        r["node"]: r["in_core"]
+        for r in cc.kcore_peel(_edges(spark, chain), "a_id", "b_id", k=2, rounds=5).collect()
+    }
+    assert not any(full.values())  # a chain has no 2-core
+
+
+def test_kcore_partition_invariance(spark):
+    import itertools
+    import random
+
+    rng = random.Random(12)
+    pairs = [
+        (i, j)
+        for i, j in itertools.combinations(range(30), 2)
+        if rng.random() < 0.15
+    ]
+    e = _edges(spark, pairs)
+    a = {tuple(r) for r in cc.kcore_peel(e, "a_id", "b_id", k=3, rounds=4).collect()}
+    b = {
+        tuple(r)
+        for r in cc.kcore_peel(
+            e.repartition(7), "a_id", "b_id", k=3, rounds=4
+        ).collect()
+    }
+    assert a == b
+
+
+# --- grouped_linreg ----------------------------------------------------------
+
+
+def test_linreg_exact_line(spark):
+    rows = [("g", float(x), 2.0 * x + 3.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+    got = st.grouped_linreg(df, ["g"], "x", "y").collect()[0]
+    assert got["n_points"] == 10
+    assert got["slope"] == pytest.approx(2.0)
+    assert got["intercept"] == pytest.approx(3.0)
+    assert got["r2"] == pytest.approx(1.0)
+
+
+def test_linreg_degenerate_groups(spark):
+    rows = [
+        ("one_point", 1.0, 5.0),
+        ("no_xvar", 2.0, 1.0), ("no_xvar", 2.0, 9.0),
+        ("no_yvar", 1.0, 7.0), ("no_yvar", 2.0, 7.0),
+        ("nulls", None, 1.0), ("nulls", 1.0, None), ("nulls", 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+    got = {r["g"]: r for r in st.grouped_linreg(df, ["g"], "x", "y").collect()}
+    assert got["one_point"]["slope"] is None
+    assert got["no_xvar"]["slope"] is None
+    assert got["no_yvar"]["slope"] == pytest.approx(0.0)
+    assert got["no_yvar"]["r2"] is None
+    assert got["nulls"]["n_points"] == 1  # null x/y rows dropped
+
+
+def test_linreg_partition_invariance_bit_exact(spark):
+    rows = [("g", float((i * 7) % 13), float((i * 31) % 17)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+    a = st.grouped_linreg(df, ["g"], "x", "y").collect()[0]
+    b = st.grouped_linreg(df.repartition(13), ["g"], "x", "y").collect()[0]
+    assert a == b  # DECIMAL sums -> bit-identical doubles
+
+
+# --- mad_outliers ------------------------------------------------------------
+
+
+def test_mad_flags_extreme_not_masked(spark):
+    # one wild value among tight data: MAD flags it; values inside stay
+    vals = [10.0, 10.5, 11.0, 9.5, 9.0, 10.2, 1000.0]
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)], "i LONG, g STRING, value DOUBLE"
+    )
+    got = {r["i"]: r for r in st.mad_outliers(df, "value", ["g"]).collect()}
+    assert got[6]["is_outlier"] is True
+    assert not any(got[i]["is_outlier"] for i in range(6))
+    assert got[0]["group_median"] == pytest.approx(10.2)
+
+
+def test_mad_null_value_and_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", None)], "i LONG, g STRING, value DOUBLE"
+    )
+    got = {r["i"]: r for r in st.mad_outliers(df, "value", ["g"]).collect()}
+    assert got[2]["is_outlier"] is None
+    with pytest.raises(ValueError, match="relative_error"):
+        st.mad_outliers(df, "value", ["g"], relative_error=2.0)
+
+
+# --- knn_label_vote ----------------------------------------------------------
+
+
+def test_knn_majority_and_tie_break(spark):
+    # axis clusters: labels by quadrant; query near label-1 cluster
+    corpus = [
+        (1, [1.0, 0.0], 1), (2, [0.9, 0.1], 1), (3, [0.95, 0.05], 1),
+        (4, [0.0, 1.0], 2), (5, [0.1, 0.9], 2),
+    ]
+    queries = [(100, [1.0, 0.05], None), (101, [0.05, 1.0], None)]
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    got = {
+        r["vec_id"]: r
+        for r in ann_ops.knn_label_vote(
+            spark.createDataFrame(queries, schema),
+            spark.createDataFrame(corpus, schema),
+            k=3,
+        ).collect()
+    }
+    assert got[100]["pred_label"] == 1 and got[100]["n_votes"] == 3
+    assert got[101]["pred_label"] == 2 and got[101]["n_votes"] == 2
+    assert got[101]["n_neighbors"] == 3
+
+
+def test_knn_excludes_null_labels_and_small_corpus(spark):
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    corpus = [(1, [1.0, 0.0], 7), (2, [0.5, 0.5], None)]
+    queries = [(9, [1.0, 0.1], None)]
+    got = ann_ops.knn_label_vote(
+        spark.createDataFrame(queries, schema),
+        spark.createDataFrame(corpus, schema),
+        k=5,
+    ).collect()[0]
+    assert got["pred_label"] == 7 and got["n_neighbors"] == 1
+
+
+# --- cooccurrence_pairs ------------------------------------------------------
+
+
+def test_cooccurrence_counts_and_support(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "b"),  # duplicate item: one set entry
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "g LONG, item STRING")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_together"], r["support"])
+        for r in rel.cooccurrence_pairs(df, "g", "item", min_support=2).collect()
+    }
+    assert got == {("a", "b"): (3, 0.75)}
+    all_pairs = {
+        (r["item_a"], r["item_b"]): r["n_together"]
+        for r in rel.cooccurrence_pairs(df, "g", "item", min_support=1).collect()
+    }
+    assert all_pairs[("a", "c")] == 1 and all_pairs[("b", "c")] == 1
+
+
+def test_cooccurrence_guard(spark):
+    df = spark.createDataFrame([(1, "a")], "g LONG, item STRING")
+    with pytest.raises(ValueError, match="min_support"):
+        rel.cooccurrence_pairs(df, "g", "item", min_support=0)
