@@ -3633,6 +3633,273 @@ def q_orders_unpivot(spark, sf_dir):
     )
 
 
+def q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution (the fractional complement of
+    q_purchase_attribution's last-touch ASOF): each purchase splits one
+    unit of credit EQUALLY across all the user's clicks within the
+    7-day lookback window strictly before it; per click, the total
+    accumulated credit. The window match is the equi-key interval join
+    (operators/relational.py::interval_join -- hash join on user_id
+    with the range as a join-side predicate, never a cartesian).
+    Credit is exact integer arithmetic end-to-end: per-purchase share =
+    floor(1e9 / n_clicks) parts-per-billion (one BIGINT division --
+    bit-identical cross-engine), summed as BIGINTs, so no float
+    summation order can wobble the hash. Click-less purchases simply
+    attribute nothing (the last-touch key keeps them visible)."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    lookback_us = 7 * 86400 * 1_000_000
+    matched = rel.interval_join(
+        purchases,
+        clicks,
+        "p_user",
+        "c_user",
+        (F.col("c_us") < F.col("p_us"))
+        & (F.col("c_us") >= F.col("p_us") - F.lit(lookback_us)),
+    )
+    per_purchase = matched.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    credited = matched.join(F.broadcast(per_purchase), "purchase_id").select(
+        "click_id",
+        # integral `div`, not floor(double /): bit-for-bit the oracle's
+        # BIGINT floor division at any magnitude
+        F.expr("1000000000 div _n").cast("long").alias("_ppb"),
+    )
+    return credited.groupBy("click_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("_ppb").cast("long").alias("credit_ppb"),
+    )
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Funnel step-transition latency: for each adjacent step pair of
+    the view->click->purchase funnel, the converting users' p25/50/75
+    wait (seconds between the user's reach times -- the SAME per-user
+    reach chain funnel_conversion counts; operators/funnel.py::
+    funnel_reaches exposes the row-level form). The product question
+    behind every funnel: WHERE do users stall. Reach rows pivot to
+    per-user columns via one max-aggregation (no second scan of raw
+    events), deltas are exact integer seconds, and the percentile
+    aggregation runs per step pair (exact; the GK swap is one argument
+    away, the engine convention)."""
+    from sparkbigdatatextanalysis_spark.operators import funnel as fn
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    reaches = fn.funnel_reaches(ev, ["view", "click", "purchase"])
+    per_user = reaches.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("step_idx") == i, F.unix_timestamp("reach_ts")
+                )
+            ).alias(f"_t{i}")
+            for i in range(3)
+        ]
+    )
+    pairs = None
+    for i, name in ((0, "view->click"), (1, "click->purchase")):
+        d = per_user.where(
+            F.col(f"_t{i}").isNotNull() & F.col(f"_t{i + 1}").isNotNull()
+        ).select(
+            F.lit(name).alias("step_pair"),
+            (F.col(f"_t{i + 1}") - F.col(f"_t{i}")).alias("_d"),
+        )
+        pairs = d if pairs is None else pairs.unionByName(d)
+    return pairs.groupBy("step_pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.expr("percentile(_d, 0.25)"), 6).alias("p25_sec"),
+        F.round(F.expr("percentile(_d, 0.5)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(_d, 0.75)"), 6).alias("p75_sec"),
+    )
+
+
+def q_events_snapshot_diff(spark, sf_dir):
+    """Row-level CDC snapshot diff (the drill-down behind
+    events_reconcile's bucket checksums, same deterministically-
+    corrupted replica): full-outer join the two snapshots on the key
+    and classify every row as unchanged / changed / removed / added,
+    then roll up per (day, change) counts. One hash shuffle per side on
+    the uniform event key; the classification is map-only; output is
+    |days| x 4 rows. The reconcile key TELLS you a day drifted; this is
+    the operator you run next to see HOW."""
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_id",
+            "user_id",
+            "event_type",
+        )
+    )
+    replica = ev.where(F.col("event_id") % 991 != 5).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 997 == 3, "corrupted").otherwise(
+            F.col("event_type")
+        ),
+    )
+    a = ev.select(
+        "event_id",
+        F.col("day").alias("a_day"),
+        F.col("user_id").alias("a_user"),
+        F.col("event_type").alias("a_type"),
+    )
+    b = replica.select(
+        "event_id",
+        F.col("day").alias("b_day"),
+        F.col("user_id").alias("b_user"),
+        F.col("event_type").alias("b_type"),
+    )
+    j = a.join(b, "event_id", "full_outer")
+    classified = j.select(
+        F.coalesce("a_day", "b_day").alias("day"),
+        F.when(F.col("a_day").isNull(), "added")
+        .when(F.col("b_day").isNull(), "removed")
+        .when(
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("a_type") == F.col("b_type")),
+            "unchanged",
+        )
+        .otherwise("changed")
+        .alias("change"),
+    )
+    return classified.groupBy("day", "change").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+
+
+def q_orders_repeat_share(spark, sf_dir):
+    """Repeat-purchase share per month: each order is 'repeat' when its
+    customer placed a strictly earlier order; per order-month, the
+    repeat count and share -- the retention-adjacent revenue-quality
+    metric. First-order dates come from ONE partial-agg min per
+    customer joined back on the uniform custkey (not a per-customer
+    window over the fact table); the share is one BIGINT/BIGINT double
+    division, rounded."""
+    o = _scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("_first")
+    )
+    tagged = o.join(firsts, "o_custkey").select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+        (F.col("o_orderdate") > F.col("_first")).cast("long").alias("_rep"),
+    )
+    return tagged.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("_rep").cast("long").alias("n_repeat"),
+        F.round(F.sum("_rep") / F.count(F.lit(1)), 9).alias("repeat_share"),
+    )
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Directed shingle-containment near-subset pairs
+    (operators/dedup.py::containment_pairs): |A∩B| / |A| >= 0.9 --
+    Broder's asymmetric containment, catching a short doc quoted whole
+    inside a longer one where symmetric Jaccard (union-normalized)
+    stays under every near-dup threshold. Same one-equi-join plan as
+    the Jaccard pairs; the threshold compares the unrounded IEEE
+    division in both engines."""
+    return dd.containment_pairs(_docs(spark, sf_dir), min_containment=0.9)
+
+
+def q_orders_abc_classes(spark, sf_dir):
+    """ABC / Pareto customer classification: customers ranked by total
+    revenue (exact DECIMAL sums) with rank-quantile classes -- A = top
+    20% of customers, B = next 30%, C = rest. The global order comes
+    from operators/relational.py::global_rank's two-phase bucket
+    decomposition -- demonstrating the composition at scale where a
+    plain row_number() OVER (ORDER BY revenue) would funnel every
+    customer through one task; the class cut is a broadcast scalar
+    count comparison, map-only. Rank-based classes (not
+    cumulative-revenue ABC, which would need a global prefix sum of
+    revenue -- global_rank's offset table gives exactly that extension
+    path). Revenue DESC realized as rank over negated revenue (the
+    decimal->double cast is deterministic; ties break on custkey)."""
+    o = _scan(spark, sf_dir, "orders")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 4
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .withColumn("_neg", -F.col("revenue"))
+    )
+    ranked = rel.global_rank(
+        rev, key="_neg", tiebreaker="o_custkey", rank_col="rev_rank"
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "o_custkey",
+            "revenue",
+            "rev_rank",
+            F.when(F.col("rev_rank") * 5 <= F.col("_n"), "A")
+            .when(F.col("rev_rank") * 2 <= F.col("_n"), "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+def q_events_dau_wau(spark, sf_dir):
+    """DAU/WAU stickiness: per day, distinct active users that day
+    (DAU), distinct users active in the trailing 7-day window (WAU),
+    and their ratio -- the canonical engagement metric. Rolling
+    DISTINCT cannot sum from daily distincts, so each (user, day)
+    activity pair fans out map-side to the <=7 window days it supports
+    (an in-row sequence explode -- x7 rows, no shuffle), then ONE
+    distinct-agg per window day. At 100 TB the events feed collapses to
+    |user x day| pairs at the first partial agg before the fan-out; the
+    mergeable-sketch alternative (X131's per-day HLL union-rolled over
+    7 days) is the documented swap when exact WAU stops being worth
+    the x7. Window days past the observed range are dropped (their
+    windows are right-truncated); the ratio is one BIGINT/BIGINT
+    double division, rounded."""
+    ud = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    fan = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    wau = fan.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 9).alias("stickiness"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-9 window (the rotation
@@ -3703,7 +3970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         # ---- end of the 50-key gate window ----
-        # --- NEW in r9 (11): no driver row yet; these lead the r10 window,
+        # --- NEW in r9 (18): no driver row yet; these lead the r10 window,
         # with the oldest r07-latest keys filling the remaining slots
         # (the displaced r07 tail gates r11 -- see the ceiling note above) ---
         "events_interval_union": q_events_interval_union,
@@ -3717,6 +3984,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_mad": q_events_value_mad,
         "orders_unpivot": q_orders_unpivot,
         "docs_bpe_segments": q_docs_bpe_segments,
+        # --- NEW in r9, second wave (7) ---
+        "attribution_linear": q_attribution_linear,
+        "funnel_latency": q_funnel_latency,
+        "events_snapshot_diff": q_events_snapshot_diff,
+        "orders_repeat_share": q_orders_repeat_share,
+        "dedup_containment": q_dedup_containment,
+        "orders_abc_classes": q_orders_abc_classes,
+        "events_dau_wau": q_events_dau_wau,
         # --- latest driver row r07: gate next (50) ---
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -7091,6 +7366,155 @@ def oracle_sql() -> dict[str, str]:
                coalesce(per_doc.n_pieces, 0)::BIGINT AS n_pieces,
                coalesce(per_doc.pieces_str, '') AS pieces_str
         FROM tok t LEFT JOIN per_doc USING (doc_id)
+    """
+    sqls["attribution_linear"] = """
+        WITH ev AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(ts)::BIGINT AS us
+          FROM events WHERE ts IS NOT NULL
+        ),
+        matched AS (
+          SELECT p.event_id AS purchase_id, c.event_id AS click_id
+          FROM ev p JOIN ev c
+            ON p.user_id = c.user_id
+           AND c.us < p.us
+           AND c.us >= p.us - 604800000000::BIGINT
+          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        ),
+        per_p AS (
+          SELECT purchase_id, count(*)::BIGINT AS n FROM matched GROUP BY 1
+        )
+        SELECT m.click_id,
+               count(*)::BIGINT AS n_purchases,
+               sum(1000000000::BIGINT // per_p.n)::BIGINT AS credit_ppb
+        FROM matched m JOIN per_p USING (purchase_id)
+        GROUP BY m.click_id
+    """
+    sqls["funnel_latency"] = """
+        WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+        s0 AS (
+          SELECT user_id AS u, min(ts) AS rt FROM ev
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        s1 AS (
+          SELECT e.user_id AS u, min(e.ts) AS rt
+          FROM ev e JOIN s0 ON e.user_id = s0.u AND e.ts > s0.rt
+          WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id AS u, min(e.ts) AS rt
+          FROM ev e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.rt
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        ),
+        d AS (
+          SELECT 'view->click' AS step_pair,
+                 epoch(date_trunc('second', s1.rt))::BIGINT
+                   - epoch(date_trunc('second', s0.rt))::BIGINT AS delta
+          FROM s1 JOIN s0 USING (u)
+          UNION ALL
+          SELECT 'click->purchase',
+                 epoch(date_trunc('second', s2.rt))::BIGINT
+                   - epoch(date_trunc('second', s1.rt))::BIGINT
+          FROM s2 JOIN s1 USING (u)
+        )
+        SELECT step_pair, count(*)::BIGINT AS n_users,
+               round(quantile_cont(delta, 0.25), 6) AS p25_sec,
+               round(quantile_cont(delta, 0.5), 6) AS p50_sec,
+               round(quantile_cont(delta, 0.75), 6) AS p75_sec
+        FROM d GROUP BY step_pair
+    """
+    sqls["events_snapshot_diff"] = """
+        WITH ev AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, event_id, user_id,
+                 event_type
+          FROM events WHERE ts IS NOT NULL
+        ),
+        rep AS (
+          SELECT day, event_id, user_id,
+                 CASE WHEN event_id % 997 = 3 THEN 'corrupted'
+                      ELSE event_type END AS event_type
+          FROM ev WHERE event_id % 991 <> 5
+        ),
+        j AS (
+          SELECT coalesce(a.day, b.day) AS day,
+                 CASE WHEN a.event_id IS NULL THEN 'added'
+                      WHEN b.event_id IS NULL THEN 'removed'
+                      WHEN a.user_id = b.user_id
+                       AND a.event_type = b.event_type THEN 'unchanged'
+                      ELSE 'changed' END AS change
+          FROM ev a FULL OUTER JOIN rep b USING (event_id)
+        )
+        SELECT day, change, count(*)::BIGINT AS n_rows
+        FROM j GROUP BY 1, 2
+    """
+    sqls["orders_repeat_share"] = """
+        WITH firsts AS (
+          SELECT o_custkey, min(o_orderdate) AS f FROM orders GROUP BY 1
+        ),
+        tagged AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                 CASE WHEN o_orderdate > f THEN 1 ELSE 0 END AS rep
+          FROM orders JOIN firsts USING (o_custkey)
+        )
+        SELECT month, count(*)::BIGINT AS n_orders,
+               sum(rep)::BIGINT AS n_repeat,
+               round(sum(rep) / count(*), 9) AS repeat_share
+        FROM tagged GROUP BY month
+    """
+    sqls["orders_abc_classes"] = """
+        WITH rev AS (
+          SELECT o_custkey,
+                 (round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 4))::DOUBLE
+                   AS revenue
+          FROM orders GROUP BY 1
+        ),
+        ranked AS (
+          SELECT o_custkey, revenue,
+                 row_number() OVER (ORDER BY -revenue, o_custkey)::BIGINT
+                   AS rev_rank,
+                 count(*) OVER ()::BIGINT AS n
+          FROM rev
+        )
+        SELECT o_custkey, revenue, rev_rank,
+               CASE WHEN rev_rank * 5 <= n THEN 'A'
+                    WHEN rev_rank * 2 <= n THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    """
+    sqls["events_dau_wau"] = """
+        WITH ud AS (
+          SELECT DISTINCT ts::DATE AS day, user_id
+          FROM events WHERE ts IS NOT NULL
+        ),
+        dau AS (
+          SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1
+        ),
+        fan AS (
+          SELECT DISTINCT day + to_days(j::INTEGER) AS day, user_id
+          FROM ud, UNNEST(range(0, 7)) AS t(j)
+        ),
+        wau AS (
+          SELECT day, count(*)::BIGINT AS wau FROM fan GROUP BY 1
+        )
+        SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+               round(dau.dau / wau.wau, 9) AS stickiness
+        FROM dau JOIN wau USING (day)
+    """
+    sqls["dedup_containment"] = f"""
+        WITH {_DEDUP_BASE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+          FROM shh a JOIN shh b USING (sh)
+          WHERE a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               na.n_sh::BIGINT AS n_a,
+               n_inter::BIGINT AS n_inter,
+               n_inter / na.n_sh AS containment
+        FROM inter JOIN sizes na ON na.doc_id = a_id
+        WHERE n_inter / na.n_sh >= 0.9
     """
     sqls["orders_unpivot"] = """
         WITH per AS (

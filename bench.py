@@ -142,6 +142,16 @@ HEADLINE = [
     "events_value_mad",
     "orders_unpivot",
     "docs_bpe_segments",
+    # r9 second wave: fractional multi-touch attribution, funnel
+    # latency percentiles, row-level CDC diff, repeat-purchase share,
+    # directed containment pairs
+    "attribution_linear",
+    "funnel_latency",
+    "events_snapshot_diff",
+    "orders_repeat_share",
+    "dedup_containment",
+    "orders_abc_classes",
+    "events_dau_wau",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

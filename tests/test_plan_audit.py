@@ -412,6 +412,29 @@ BUDGETS = {
     # in-row segmentation fold over the cached tok table (1 = the tok
     # cache's scan fan-out)
     "docs_bpe_segments": (1, 0),
+    # linear attribution: purchase/click scans + user-key interval
+    # join + per-purchase count (broadcast back) + the click agg
+    "attribution_linear": (2, 3),
+    # funnel latency: the 3-step reach chain's monotonically shrinking
+    # user-keyed joins flattened cache-free (the funnel_conversion
+    # precedent) + the per-user pivot agg + the pair percentile agg
+    "funnel_latency": (15, 6),
+    # CDC diff: full-outer on the uniform event key (one shuffle per
+    # side) + the day/change rollup
+    "events_snapshot_diff": (3, 0),
+    # repeat share: first-order min agg + custkey join + month agg
+    "orders_repeat_share": (2, 1),
+    # containment: the shingle fan-out + intersection equi-join +
+    # per-doc size agg, the ngram_jaccard shape (persisted shingle
+    # subtree re-counts under its consumers)
+    "dedup_containment": (8, 2),
+    # ABC: the global_rank decomposition flattened cache-free (its
+    # persisted bucketed subtree re-counts under every consumer: rev
+    # agg + cuts + counts + per-bucket windows) + the class scalar
+    "orders_abc_classes": (17, 7),
+    # DAU/WAU: user-day distinct + DAU agg + the x7 in-row fan-out's
+    # distinct + WAU agg + the day join
+    "events_dau_wau": (5, 1),
 }
 
 

@@ -288,3 +288,46 @@ def test_cooccurrence_guard(spark):
     df = spark.createDataFrame([(1, "a")], "g LONG, item STRING")
     with pytest.raises(ValueError, match="min_support"):
         rel.cooccurrence_pairs(df, "g", "item", min_support=0)
+
+
+# --- containment_pairs -------------------------------------------------------
+
+
+def test_containment_subset_doc_directed(spark):
+    from sparkbigdatatextanalysis_spark.operators import dedup as dd
+
+    long_text = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    short_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "totally unrelated words here now")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in dd.containment_pairs(docs, min_containment=0.9).collect()
+    }
+    # short doc fully contained in long one: containment(2 -> 1) = 1.0;
+    # the reverse direction is far below 0.9; unrelated doc appears nowhere
+    assert got == {(2, 1): 1.0}
+    with pytest.raises(ValueError, match="min_containment"):
+        dd.containment_pairs(docs, min_containment=0.0)
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    from sparkbigdatatextanalysis_spark.operators import dedup as dd
+
+    base = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    quoted = " ".join(f"w{i} x{i} y{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [(10, base), (20, quoted)], "doc_id LONG, text STRING"
+    )
+    cont = {
+        (r["a_id"], r["b_id"])
+        for r in dd.containment_pairs(docs, min_containment=0.9).collect()
+    }
+    jac = dd.ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    assert (20, 10) in cont  # containment catches the quote...
+    assert jac == [] or all(r["jaccard"] < 0.5 for r in jac)  # ...Jaccard misses it
