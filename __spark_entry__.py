@@ -7106,13 +7106,13 @@ def oracle_sql() -> dict[str, str]:
     prev = "und"
     for i in (1, 2, 3):
         _kcore_rounds.append(f"""
-        deg{i} AS (
+        deg{i} AS MATERIALIZED (
           SELECT n, count(*)::BIGINT AS deg
           FROM (SELECT x AS n FROM {prev} UNION ALL SELECT y FROM {prev})
           GROUP BY n
         ),
-        keep{i} AS (SELECT n FROM deg{i} WHERE deg >= 2),
-        e{i} AS (
+        keep{i} AS MATERIALIZED (SELECT n FROM deg{i} WHERE deg >= 2),
+        e{i} AS MATERIALIZED (
           SELECT x, y FROM {prev}
           JOIN keep{i} kx ON kx.n = x
           JOIN keep{i} ky ON ky.n = y
@@ -7127,7 +7127,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.doc_id < b.doc_id
           GROUP BY 1, 2
         ),
-        und AS (
+        und AS MATERIALIZED (
           SELECT x, y FROM inter
           JOIN sizes na ON na.doc_id = x
           JOIN sizes nb ON nb.doc_id = y
@@ -7288,14 +7288,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         mad AS (
           SELECT ev.event_type, quantile_cont(abs(ev.value - med.m), 0.5) AS md
-          FROM ev JOIN med USING (event_type) GROUP BY 1
+          FROM ev JOIN med ON ev.event_type IS NOT DISTINCT FROM med.event_type
+          GROUP BY 1
         )
         SELECT ev.event_id, ev.event_type, ev.value,
                round(med.m, 9) AS group_median,
                round(mad.md, 9) AS group_mad,
                CASE WHEN ev.value IS NOT NULL
                     THEN abs(ev.value - med.m) > 3 * mad.md END AS is_outlier
-        FROM ev JOIN med USING (event_type) JOIN mad USING (event_type)
+        FROM ev
+        JOIN med ON ev.event_type IS NOT DISTINCT FROM med.event_type
+        JOIN mad ON ev.event_type IS NOT DISTINCT FROM mad.event_type
     """
     # BPE gate: re-LEARN the 8 merge rules as unrolled SQL stages over
     # double-separator symbol strings (a single replace() per stage is

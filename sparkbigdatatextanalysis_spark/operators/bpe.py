@@ -38,7 +38,7 @@ from ..serde import ship_by_value
 
 # Worker-bound closures travel by value so executor Python workers
 # never need this package on their own sys.path (see serde.py).
-ship_by_value(__import__("sys").modules[__name__])
+ship_by_value(__name__)
 
 # SentencePiece-style escape for marker characters that occur INSIDE
 # corpus words: without it an interior U+2581 is indistinguishable from

@@ -50,7 +50,7 @@ except ImportError:
 # workers inherit neither the driver's sys.path edits nor its cwd).
 from ..serde import ship_by_value
 
-ship_by_value(__import__("sys").modules[__name__])
+ship_by_value(__name__)
 
 MEDIA_META = StructType(
     [

@@ -505,9 +505,12 @@ def mad_outliers(
     cond = F.lit(True)
     for g in group:
         cond = cond & F.col(g).eqNullSafe(F.col(f"_g_{g}"))
+    # persist: with_med feeds the MAD aggregation AND the flagged
+    # output -- without the barrier the source is scanned a third time
+    # (the two percentile passes are the irreducible minimum)
     with_med = df.join(F.broadcast(gmed), cond).drop(
         *[f"_g_{g}" for g in group]
-    )
+    ).persist()
     gmad = with_med.groupBy(
         *[F.col(g).alias(f"_g_{g}") for g in group]
     ).agg(med(F.abs(v - F.col("_mad_med"))).alias("_mad"))

@@ -19,16 +19,23 @@ queries with driver cwd=/tmp to keep this honest.
 
 from __future__ import annotations
 
+import sys
 from types import ModuleType
 
 
-def ship_by_value(module: ModuleType) -> None:
-    """Register ``module`` so cloudpickle serializes its functions by
-    value (best-effort: a failed registration leaves the import-path
-    fallback, which still works when the driver cwd is the repo root)."""
+def ship_by_value(module: ModuleType | str) -> None:
+    """Register ``module`` (or the module named by a ``__name__``
+    string) so cloudpickle serializes its functions by value
+    (best-effort: a failed registration leaves the import-path
+    fallback, which still works when the driver cwd is the repo root).
+    Call sites pass their own ``__name__`` --
+    ``ship_by_value(__name__)`` -- one self-documenting line per
+    worker-shipping module."""
     try:
         from pyspark import cloudpickle
 
+        if isinstance(module, str):
+            module = sys.modules[module]
         cloudpickle.register_pickle_by_value(module)
     except Exception:  # pragma: no cover - best-effort
         pass

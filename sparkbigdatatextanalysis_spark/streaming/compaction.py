@@ -25,7 +25,7 @@ from ..serde import ship_by_value
 
 # Worker-bound closures travel by value so executor Python workers
 # never need this package on their own sys.path (see serde.py).
-ship_by_value(__import__("sys").modules[__name__])
+ship_by_value(__name__)
 
 # Latest-event compaction over the synthetic events stream: key=user_id,
 # winner order = (ts, event_id), payload = (event_type, value).

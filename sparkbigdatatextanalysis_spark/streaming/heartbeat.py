@@ -50,7 +50,7 @@ from ..serde import ship_by_value
 
 # Worker-bound closures travel by value so executor Python workers
 # never need this package on their own sys.path (see serde.py).
-ship_by_value(__import__("sys").modules[__name__])
+ship_by_value(__name__)
 
 _RAW_OUTPUT_SCHEMA = "user_id BIGINT, last_us BIGINT, deadline_us BIGINT"
 HEARTBEAT_STATE_SCHEMA = "last_us BIGINT"

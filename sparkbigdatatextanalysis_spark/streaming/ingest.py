@@ -56,25 +56,55 @@ def ingest_stream_writer(
     incremental_dedup`, append the flags (stamped with the micro-batch
     id) to ``flags_dir``, append the kept docs' deltas to the state
     tables, release the batch's persisted band handle.
+
+    Replay hygiene (at-least-once): every state append is stamped with
+    its micro-batch id and every probe FILTERS the current batch's own
+    stamp out -- so a replayed batch sees exactly the pre-batch state
+    even when the failed attempt's appends partially committed, and the
+    re-emitted flags are value-identical to the first attempt's (a
+    last-writer-wins reader on ``ingest_batch`` then cannot observe a
+    contradiction). Without the filter, a crash after the hash append
+    made the replay classify the batch's own unique docs as history
+    duplicates under the SAME stamp.
     """
     from ..functions.lineage import release
     from ..operators.dedup import incremental_dedup
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        hh = _try_read(spark, f"{state_dir}/hashes")
-        hb = _try_read(spark, f"{state_dir}/bands")
+        hh = _read_state(spark, f"{state_dir}/hashes", batch_id)
+        hb = _read_state(spark, f"{state_dir}/bands", batch_id)
         res = incremental_dedup(batch_df, hh, hb, id_col, text_col)
         (
             res.result.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("append")
             .parquet(flags_dir)
         )
-        res.delta_hashes.write.mode("append").parquet(f"{state_dir}/hashes")
-        res.delta_bands.write.mode("append").parquet(f"{state_dir}/bands")
+        _append_stamped(res.delta_hashes, f"{state_dir}/hashes", batch_id)
+        _append_stamped(res.delta_bands, f"{state_dir}/bands", batch_id)
         release(res.bands)
 
     return doc_stream.writeStream.foreachBatch(_process)
+
+
+_STAMP = "ingest_batch"
+
+
+def _append_stamped(delta: DataFrame, path: str, batch_id: int) -> None:
+    delta.withColumn(_STAMP, F.lit(batch_id).cast("long")).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _read_state(spark, path: str, batch_id: int) -> DataFrame | None:
+    """Read a stamped state table as the PRE-batch view: rows the
+    current batch id itself appended (a partially-committed failed
+    attempt) are excluded, and the stamp is dropped so downstream
+    operators see the plain probe schema."""
+    df = _try_read(spark, path)
+    if df is None:
+        return None
+    return df.where(F.col(_STAMP) != batch_id).drop(_STAMP)
 
 
 def verdict_batch_processor(
@@ -108,7 +138,23 @@ def verdict_batch_processor(
       :func:`..operators.pipeline.merge_counts_keyed` and append only
       its ``appended`` frame -- EMPTY on a replayed batch id, so the
       at-least-once replay that double-counts a naive sum-merge is a
-      structural no-op here.
+      structural no-op here. The replay guard is derived from the
+      keyed history TABLE itself (``merge_counts_keyed``'s
+      manifest=None path), never a separate manifest file: the guard
+      is then atomic with the data, with no crash window between a
+      counts append and a guard append (at 100 TB store the keyed
+      tables partitioned by ``batch_id`` so the derivation is a
+      metadata listing).
+
+    Replay hygiene (at-least-once): every state append -- set AND
+    count families -- carries its micro-batch id, and every probe
+    filters the current batch's own stamp out, so a replayed batch
+    probes exactly the pre-batch state even when the failed attempt's
+    appends partially committed. Re-emitted flags are therefore
+    value-identical under the same ``ingest_batch`` stamp (without the
+    filter, a crash after the hash append would flip the batch's own
+    unique docs to exact_dup_history=True on replay -- a contradiction
+    no last-writer-wins reader could resolve).
 
     Semantic family: pass ``emb_lookup`` (a static (vec_id, embedding)
     table joined per batch on the doc ids) + pinned ``cents`` to
@@ -134,43 +180,41 @@ def verdict_batch_processor(
 
     def _merge_count_family(spark, name: str, delta: DataFrame, batch_id: int):
         hist = _try_read(spark, f"{state_dir}/{name}")
-        man = _try_read(spark, f"{state_dir}/{name}_manifest")
         if hist is None:
             hist = delta.withColumn(
                 "batch_id", F.lit(None).cast("long")
             ).limit(0)
-        if man is None:
-            man = hist.select("batch_id").distinct()
-        mr = merge_counts_keyed(hist, delta, batch_id, man)
+        # replay guard derived from the keyed history ITSELF
+        # (manifest=None): atomic with the data append -- no crash
+        # window between counts committing and the guard recording them
+        mr = merge_counts_keyed(hist, delta, batch_id)
         mr.appended.write.mode("append").parquet(f"{state_dir}/{name}")
-        # manifest row rides on the SAME freshness guard: a replayed
-        # batch has no appended rows, hence appends no manifest row
-        mr.appended.select("batch_id").distinct().write.mode("append").parquet(
-            f"{state_dir}/{name}_manifest"
+
+    def _count_probe(spark, name: str, key: str, batch_id: int):
+        """Pre-batch probe view of a keyed count family: rows the
+        current batch id contributed (a partial failed attempt) are
+        excluded, then batch tags group-sum away."""
+        hist = _try_read(spark, f"{state_dir}/{name}")
+        if hist is None:
+            return None
+        return (
+            hist.where(F.col("batch_id") != batch_id)
+            .groupBy(key)
+            .agg(F.sum("cnt").alias("cnt"))
         )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        hh = _try_read(spark, f"{state_dir}/hashes")
-        hb = _try_read(spark, f"{state_dir}/bands")
-        spk = _try_read(spark, f"{state_dir}/span_counts")
-        lnk = _try_read(spark, f"{state_dir}/line_counts")
-        sp_hist = (
-            spk.groupBy("h").agg(F.sum("cnt").alias("cnt"))
-            if spk is not None
-            else None
-        )
-        ln_hist = (
-            lnk.groupBy("line").agg(F.sum("cnt").alias("cnt"))
-            if lnk is not None
-            else None
-        )
+        hh = _read_state(spark, f"{state_dir}/hashes", batch_id)
+        hb = _read_state(spark, f"{state_dir}/bands", batch_id)
+        sp_hist = _count_probe(spark, "span_counts", "h", batch_id)
+        ln_hist = _count_probe(spark, "line_counts", "line", batch_id)
         if emb_lookup is not None:
             batch_emb = emb_lookup.join(
                 batch_df.select(F.col(id_col).alias(emb_id_col)).distinct(),
                 emb_id_col,
             )
-            reps = _try_read(spark, f"{state_dir}/reps")
+            reps = _read_state(spark, f"{state_dir}/reps", batch_id)
         else:
             batch_emb = None
             reps = None
@@ -192,12 +236,12 @@ def verdict_batch_processor(
             .write.mode("append")
             .parquet(flags_dir)
         )
-        res.delta_hashes.write.mode("append").parquet(f"{state_dir}/hashes")
-        res.delta_bands.write.mode("append").parquet(f"{state_dir}/bands")
+        _append_stamped(res.delta_hashes, f"{state_dir}/hashes", batch_id)
+        _append_stamped(res.delta_bands, f"{state_dir}/bands", batch_id)
         _merge_count_family(spark, "span_counts", res.delta_span_counts, batch_id)
         _merge_count_family(spark, "line_counts", res.delta_line_counts, batch_id)
         if res.delta_reps is not None:
-            res.delta_reps.write.mode("append").parquet(f"{state_dir}/reps")
+            _append_stamped(res.delta_reps, f"{state_dir}/reps", batch_id)
         release(res.bands)
         release(res.fingerprints)
         if res.assignments is not None:

@@ -34,7 +34,7 @@ from ..serde import ship_by_value
 # The applyInPandas/applyInPandasWithState closures below must travel by
 # value: executor Python workers cannot import this package unless the
 # driver happened to start in the repo root (see serde.py).
-ship_by_value(__import__("sys").modules[__name__])
+ship_by_value(__name__)
 
 OUTPUT_SCHEMA = (
     "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE, "

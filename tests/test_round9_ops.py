@@ -67,11 +67,10 @@ def test_markov_transitions_counts_and_probs(spark):
         (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),   # a->b, b->a
         (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),   # a->b, b->c
     ]
-    df = spark.createDataFrame(rows, "user_id LONG, event_id LONG, x LONG") \
-        if False else spark.createDataFrame(
-            [(u, e, s, float(e)) for (u, e, s) in rows],
-            "user_id LONG, event_id LONG, event_type STRING, tsd DOUBLE",
-        ).withColumn("ts", F.timestamp_seconds("tsd"))
+    df = spark.createDataFrame(
+        [(u, e, s, float(e)) for (u, e, s) in rows],
+        "user_id LONG, event_id LONG, event_type STRING, tsd DOUBLE",
+    ).withColumn("ts", F.timestamp_seconds("tsd"))
     got = {
         (r["prev_state"], r["next_state"]): (r["n_transitions"], r["p_transition"])
         for r in tsx.markov_transitions(df).collect()

@@ -223,18 +223,77 @@ def test_verdict_stream_two_days_equals_batch_composition(spark, tmp_path):
     proc(d2, 1)  # the replay: same micro-batch id as the day-2 trigger
     after = probe_views()
     assert before == after  # count-family probe views: structural no-op
-    # manifest recorded each batch id exactly once
+    # the replay guard is the keyed history itself (no manifest file):
+    # each batch id appears exactly once per family even after the replay
     for fam in ("span_counts", "line_counts"):
-        man = [
+        tags = sorted(
             r["batch_id"]
-            for r in spark.read.parquet(f"{state}/{fam}_manifest").collect()
+            for r in spark.read.parquet(f"{state}/{fam}")
+            .select("batch_id")
+            .distinct()
+            .collect()
+        )
+        assert tags == [0, 1]
+    # replayed flags carry the same stamp and identical values for
+    # EVERY day-2 doc -- including unique doc 14, which would flip to
+    # exact_dup_history=True if the replay probed the failed attempt's
+    # own committed hashes (the r9 review's partial-commit scenario;
+    # the stamp filter in _read_state is what keeps this true)
+    all_flags = spark.read.parquet(flags).collect()
+    for doc in (10, 12, 13, 14):
+        rep = [
+            r
+            for r in all_flags
+            if r["doc_id"] == doc and r["ingest_batch"] == 1
         ]
-        assert sorted(man) == [0, 1]
-    # replayed flags carry the same stamp and identical values
-    rep = [
-        r
-        for r in spark.read.parquet(flags).collect()
-        if r["doc_id"] == 10 and r["ingest_batch"] == 1
-    ]
-    assert len(rep) == 2
-    assert all(r["keep"] == rep[0]["keep"] for r in rep)
+        assert len(rep) == 2, doc
+        for c in cols:
+            assert rep[0][c] == rep[1][c], (doc, c)
+    assert [r for r in all_flags if r["doc_id"] == 14][0]["keep"]
+
+
+def test_verdict_replay_after_partial_state_commit(spark, tmp_path):
+    """The crash window the r9 review flagged: an attempt that committed
+    its STATE appends (hashes/bands/counts) but failed before the
+    streaming checkpoint advanced. The replayed batch id must (a) emit
+    flags identical to a clean first run -- its own half-committed
+    hashes must not reclassify its unique docs as history dups -- and
+    (b) leave the count-family probe views with single-counted totals."""
+    from sparkbigdatatextanalysis_spark.streaming.ingest import (
+        verdict_batch_processor,
+    )
+
+    state = str(tmp_path / "state")
+    flags = str(tmp_path / "flags")
+    d1 = spark.createDataFrame(VDAY1, SCHEMA)
+    d2 = spark.createDataFrame(VDAY2, SCHEMA)
+    proc = verdict_batch_processor(state, flags)
+    proc(d1, 0)
+
+    # attempt 1 of batch 1: full state commit (flags too -- the worst
+    # case is indistinguishable: ALL writes landed, only the checkpoint
+    # didn't), then the replay
+    proc(d2, 1)
+    proc(d2, 1)
+
+    by_attempt: dict = {}
+    for r in spark.read.parquet(flags).collect():
+        if r["ingest_batch"] == 1:
+            by_attempt.setdefault(r["doc_id"], []).append(r)
+    for doc, rows in by_attempt.items():
+        assert len(rows) == 2, doc
+        assert rows[0]["exact_dup_history"] == rows[1]["exact_dup_history"], doc
+        assert rows[0]["keep"] == rows[1]["keep"], doc
+    # unique day-2 doc kept on BOTH attempts
+    assert all(r["keep"] for r in by_attempt[14])
+    # count family single-counted: the shared footer line was seen in
+    # 2 day-1 docs + 2 day-2 docs = total 4, not inflated by the replay
+    ln = {
+        r["line"]: r["cnt"]
+        for r in spark.read.parquet(f"{state}/line_counts")
+        .groupBy("line")
+        .sum("cnt")
+        .withColumnRenamed("sum(cnt)", "cnt")
+        .collect()
+    }
+    assert ln[FOOTER] == 4
