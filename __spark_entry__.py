@@ -3900,6 +3900,115 @@ def q_events_dau_wau(spark, sf_dir):
     )
 
 
+def q_session_paths(spark, sf_dir):
+    """Top-20 session paths: the ordered event-type sequence of every
+    gap-based session (same 30-min session assignment as
+    events_sessionize), counted across sessions -- the path-analysis
+    query behind 'how do users actually move through the product'.
+    Per-session paths form by ONE ordered in-row fold (collect structs,
+    array_sort, join -- the line-reassembly pattern; no per-event
+    window beyond the shared session-assignment scan), the path count
+    is a low-cardinality partial agg, and the top-20 cut is a
+    TakeOrdered on the deterministic (count desc, path) order."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    tagged = (
+        ev.select("user_id", "event_id", "event_type", "ts")
+        .withColumn("_prev", F.lag(F.unix_micros("ts")).over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (F.unix_micros("ts") - F.col("_prev") > gap_us)
+            ).cast("long"),
+        )
+        .withColumn(
+            "_sess",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    paths = (
+        tagged.groupBy("user_id", "_sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("t"),
+                                F.col("event_id").alias("e"),
+                                F.col("event_type").alias("s"),
+                            )
+                        )
+                    ),
+                    lambda r: r["s"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    return (
+        paths.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        ).cast("long"))
+    )
+
+
+def q_orders_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: per order-month, the exact
+    DECIMAL revenue sum and its relative change vs the previous month
+    -- the reporting primitive behind every growth dashboard. The fact
+    table collapses to |months| rows at ONE partial agg; the lag window
+    then runs over that tiny table (the documented single-partition
+    window over months, never rows). First month keeps NULL growth."""
+    from pyspark.sql import Window
+
+    o = _scan(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 4)
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 9).alias("mom_growth"),
+    )
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster size distribution: how many clusters of each
+    size the MinHash-LSH + connected-components pipeline produced --
+    the audit histogram behind every dedup report (a fat tail of huge
+    clusters means the banding is over-merging; all-singletons means
+    it is missing). Two partial aggs over the cached cluster table
+    (one row per doc -> one per cluster -> one per size); the oracle
+    nests the clustering key's own recursive-reachability oracle."""
+    clusters = _dedup_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("keep_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-9 window (the rotation
@@ -3970,7 +4079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         # ---- end of the 50-key gate window ----
-        # --- NEW in r9 (18): no driver row yet; these lead the r10 window,
+        # --- NEW in r9 (21): no driver row yet; these lead the r10 window,
         # with the oldest r07-latest keys filling the remaining slots
         # (the displaced r07 tail gates r11 -- see the ceiling note above) ---
         "events_interval_union": q_events_interval_union,
@@ -3984,7 +4093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_mad": q_events_value_mad,
         "orders_unpivot": q_orders_unpivot,
         "docs_bpe_segments": q_docs_bpe_segments,
-        # --- NEW in r9, second wave (7) ---
+        # --- NEW in r9, later waves (10) ---
         "attribution_linear": q_attribution_linear,
         "funnel_latency": q_funnel_latency,
         "events_snapshot_diff": q_events_snapshot_diff,
@@ -3992,6 +4101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "orders_abc_classes": q_orders_abc_classes,
         "events_dau_wau": q_events_dau_wau,
+        "session_paths": q_session_paths,
+        "orders_mom_growth": q_orders_mom_growth,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         # --- latest driver row r07: gate next (50) ---
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -7463,6 +7575,58 @@ def oracle_sql() -> dict[str, str]:
                sum(rep)::BIGINT AS n_repeat,
                round(sum(rep) / count(*), 9) AS repeat_share
         FROM tagged GROUP BY month
+    """
+    sqls["session_paths"] = """
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(ts)::BIGINT AS tus
+          FROM events WHERE ts IS NOT NULL
+        ),
+        m AS (
+          SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                          OR tus - lag(tus) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ),
+        s AS (
+          SELECT *, sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY tus, event_id
+            ROWS UNBOUNDED PRECEDING
+          ) AS sess FROM m
+        ),
+        paths AS (
+          SELECT string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+          FROM s GROUP BY user_id, sess
+        ),
+        counted AS (
+          SELECT path, count(*)::BIGINT AS n_sessions FROM paths GROUP BY 1
+        )
+        SELECT path, n_sessions,
+               row_number() OVER (ORDER BY n_sessions DESC, path)::BIGINT
+                 AS rank
+        FROM counted
+        ORDER BY n_sessions DESC, path LIMIT 20
+    """
+    sqls["orders_mom_growth"] = """
+        WITH monthly AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                 (round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 4))::DOUBLE
+                   AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               round((revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month), 9) AS mom_growth
+        FROM monthly
+    """
+    sqls["dedup_cluster_sizes"] = f"""
+        WITH sizes AS (
+          SELECT keep_id, count(*) AS cluster_size
+          FROM ({sqls["dedup_near_clusters"]}) GROUP BY 1
+        )
+        SELECT cluster_size::BIGINT AS cluster_size,
+               count(*)::BIGINT AS n_clusters
+        FROM sizes GROUP BY 1
     """
     sqls["orders_abc_classes"] = """
         WITH rev AS (

@@ -152,6 +152,9 @@ HEADLINE = [
     "dedup_containment",
     "orders_abc_classes",
     "events_dau_wau",
+    "session_paths",
+    "orders_mom_growth",
+    "dedup_cluster_sizes",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

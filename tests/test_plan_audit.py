@@ -435,6 +435,14 @@ BUDGETS = {
     # DAU/WAU: user-day distinct + DAU agg + the x7 in-row fan-out's
     # distinct + WAU agg + the day join
     "events_dau_wau": (5, 1),
+    # paths: session-assignment window (user key) + path agg; the
+    # top-20 cut is a TakeOrdered + the |20|-row rank window
+    "session_paths": (2, 0),
+    # MoM: one month agg; the lag window runs over the |months| table
+    "orders_mom_growth": (2, 0),
+    # sizes: two partial aggs over the eagerly-checkpointed cluster
+    # pipeline point (dedup_near_clusters precedent: flat LogicalRDD)
+    "dedup_cluster_sizes": (2, 0),
 }
 
 
