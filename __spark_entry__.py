@@ -4009,6 +4009,136 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     )
 
 
+def q_docs_shingle_novelty(spark, sf_dir):
+    """Per-document novelty score: the share of a doc's distinct 3-word
+    shingles that appear in NO other document -- the curation signal
+    complementary to near-dup detection (dedup asks 'is this a copy';
+    novelty asks 'how much of this is new material'). One shingle
+    document-frequency agg (partial, vocabulary-sized output) joined
+    back onto the per-doc shingle sets; the score is one BIGINT/BIGINT
+    double division, rounded. Docs too short to shingle keep NULL
+    novelty (0 shingles -- no evidence either way)."""
+    sh = dd.shingle_hashes(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "sh"
+    ).persist()
+    df_counts = sh.groupBy("sh").agg(
+        F.count_distinct("doc_id").alias("_df")
+    )
+    per_doc = (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("long"))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    all_docs = _docs(spark, sf_dir).select("doc_id")
+    return all_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+        F.when(
+            F.col("n_shingles").isNotNull(),
+            F.round(F.col("n_unique") / F.col("n_shingles"), 9),
+        ).alias("novelty"),
+    )
+
+
+def q_orders_mix_drift(spark, sf_dir):
+    """Categorical mix drift per month: each month's order-priority
+    share distribution vs the corpus-wide mix, summarized as the total
+    variation distance (half the L1) -- the data-quality monitor for
+    'did the composition of the feed change', the categorical
+    complement of orders_profile_drift's numeric drift. Two partial
+    aggs (month x priority counts; global priority counts broadcast) +
+    one months-sized rollup; shares are exact integer ratios, TVD sums
+    |share-share| over the bounded priority domain."""
+    o = _scan(spark, sf_dir, "orders").select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+        "o_orderpriority",
+    )
+    mc = o.groupBy("month", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    mt = mc.groupBy("month").agg(F.sum("_n").alias("_mtot"))
+    g = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("_gn"))
+    gt = g.agg(F.sum("_gn").alias("_gtot"))
+    gshare = g.crossJoin(F.broadcast(gt)).select(
+        "o_orderpriority", (F.col("_gn") / F.col("_gtot")).alias("_gs")
+    )
+    return (
+        mc.join(mt, "month")
+        .join(F.broadcast(gshare), "o_orderpriority")
+        .groupBy("month")
+        .agg(
+            F.sum("_n").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.abs(F.col("_n") / F.col("_mtot") - F.col("_gs")))
+                / 2,
+                9,
+            ).alias("mix_tvd"),
+        )
+    )
+
+
+def q_embeddings_profile(spark, sf_dir):
+    """Vector-column data-quality profile per label: row count, NULL
+    and zero-vector counts, dimensionality consistency (distinct dims),
+    and the mean L2 norm -- the table-profiling operator (X56)
+    specialized to embedding columns, where the failure modes are
+    all-zero rows, mixed dimensionality and NULLs from a failed encoder
+    upstream. ONE partial-agg pass; the norm mean goes through the
+    DECIMAL sum discipline so it hashes exactly."""
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per = emb.select(
+        "label",
+        v.alias("_v"),
+        F.when(v.isNotNull(), F.sqrt(dot)).alias("_norm"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("_v").isNull().cast("long")).cast("long").alias("n_null"),
+        F.sum((F.col("_norm") == 0.0).cast("long"))
+        .cast("long")
+        .alias("n_zero"),
+        F.count_distinct(F.size("_v")).cast("long").alias("n_dims"),
+        F.round(
+            F.sum(F.col("_norm").cast("decimal(38,15)")).cast("double")
+            / F.sum(F.col("_norm").isNotNull().cast("long")),
+            9,
+        ).alias("mean_norm"),
+    )
+
+
+def q_events_hourly_profile(spark, sf_dir):
+    """Hour-of-day activity profile per event type: counts and the
+    within-type share for each of the 24 UTC hours -- the seasonality
+    fingerprint behind anomaly thresholds and capacity planning. One
+    partial agg over the (type x 24)-sized domain; shares attach via a
+    broadcast per-type total."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    hc = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_utc")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    tot = hc.groupBy("event_type").agg(F.sum("n_events").alias("_t"))
+    return hc.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour_utc",
+        "n_events",
+        F.round(F.col("n_events") / F.col("_t"), 9).alias("share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-9 window (the rotation
@@ -4079,7 +4209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         # ---- end of the 50-key gate window ----
-        # --- NEW in r9 (21): no driver row yet; these lead the r10 window,
+        # --- NEW in r9 (25): no driver row yet; these lead the r10 window,
         # with the oldest r07-latest keys filling the remaining slots
         # (the displaced r07 tail gates r11 -- see the ceiling note above) ---
         "events_interval_union": q_events_interval_union,
@@ -4093,7 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_mad": q_events_value_mad,
         "orders_unpivot": q_orders_unpivot,
         "docs_bpe_segments": q_docs_bpe_segments,
-        # --- NEW in r9, later waves (10) ---
+        # --- NEW in r9, later waves (14) ---
         "attribution_linear": q_attribution_linear,
         "funnel_latency": q_funnel_latency,
         "events_snapshot_diff": q_events_snapshot_diff,
@@ -4104,6 +4234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "orders_mom_growth": q_orders_mom_growth,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "docs_shingle_novelty": q_docs_shingle_novelty,
+        "orders_mix_drift": q_orders_mix_drift,
+        "embeddings_profile": q_embeddings_profile,
+        "events_hourly_profile": q_events_hourly_profile,
         # --- latest driver row r07: gate next (50) ---
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -7575,6 +7709,80 @@ def oracle_sql() -> dict[str, str]:
                sum(rep)::BIGINT AS n_repeat,
                round(sum(rep) / count(*), 9) AS repeat_share
         FROM tagged GROUP BY month
+    """
+    sqls["docs_shingle_novelty"] = f"""
+        WITH {_DEDUP_BASE},
+        dfc AS (
+          SELECT sh, count(DISTINCT doc_id) AS df FROM shh GROUP BY 1
+        ),
+        per AS (
+          SELECT shh.doc_id,
+                 count(*)::BIGINT AS n_shingles,
+                 sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_unique
+          FROM shh JOIN dfc USING (sh)
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+               coalesce(per.n_unique, 0)::BIGINT AS n_unique,
+               CASE WHEN per.n_shingles IS NOT NULL
+                    THEN round(per.n_unique / per.n_shingles, 9)
+               END AS novelty
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
+    sqls["orders_mix_drift"] = """
+        WITH mc AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                 o_orderpriority, count(*)::BIGINT AS n
+          FROM orders GROUP BY 1, 2
+        ),
+        mt AS (SELECT month, sum(n) AS mtot FROM mc GROUP BY 1),
+        g AS (
+          SELECT o_orderpriority, count(*)::BIGINT AS gn FROM orders GROUP BY 1
+        ),
+        gt AS (SELECT sum(gn) AS gtot FROM g),
+        gs AS (SELECT o_orderpriority, gn / gt.gtot AS s FROM g, gt)
+        SELECT mc.month,
+               sum(mc.n)::BIGINT AS n_orders,
+               round(sum(abs(mc.n / mt.mtot - gs.s)) / 2, 9) AS mix_tvd
+        FROM mc JOIN mt USING (month) JOIN gs USING (o_orderpriority)
+        GROUP BY mc.month
+    """
+    sqls["embeddings_profile"] = f"""
+        WITH per AS (
+          SELECT label,
+                 [x::DOUBLE for x in embedding] AS v,
+                 CASE WHEN embedding IS NOT NULL THEN
+                   sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(range(1, len(embedding) + 1),
+                                       j -> embedding[j]::DOUBLE
+                                            * embedding[j]::DOUBLE)),
+                        (a, b) -> a + b))
+                 END AS norm
+          FROM embeddings
+        )
+        SELECT label,
+               count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+               sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+               count(DISTINCT len(v))::BIGINT AS n_dims,
+               round(sum(CAST(norm AS DECIMAL(38,15)))::DOUBLE
+                     / sum(CASE WHEN norm IS NOT NULL THEN 1 ELSE 0 END),
+                     9) AS mean_norm
+        FROM per GROUP BY label
+    """
+    sqls["events_hourly_profile"] = """
+        WITH hc AS (
+          SELECT event_type, hour(ts)::BIGINT AS hour_utc,
+                 count(*)::BIGINT AS n_events
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        tot AS (SELECT event_type, sum(n_events) AS t FROM hc GROUP BY 1)
+        SELECT hc.event_type, hc.hour_utc, hc.n_events,
+               round(hc.n_events / tot.t, 9) AS share
+        FROM hc JOIN tot USING (event_type)
     """
     sqls["session_paths"] = """
         WITH e AS (

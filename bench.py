@@ -155,6 +155,10 @@ HEADLINE = [
     "session_paths",
     "orders_mom_growth",
     "dedup_cluster_sizes",
+    "docs_shingle_novelty",
+    "orders_mix_drift",
+    "embeddings_profile",
+    "events_hourly_profile",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

@@ -443,6 +443,16 @@ BUDGETS = {
     # sizes: two partial aggs over the eagerly-checkpointed cluster
     # pipeline point (dedup_near_clusters precedent: flat LogicalRDD)
     "dedup_cluster_sizes": (2, 0),
+    # novelty: shingle fan-out + df agg + per-doc agg; the persisted
+    # shingle subtree re-counts under both consumers
+    "docs_shingle_novelty": (7, 2),
+    # mix drift: month x priority agg + month totals + global mix
+    # (broadcast) -- small-side feeds counted per the house rule
+    "orders_mix_drift": (7, 3),
+    # embedding profile: one partial-agg pass (fan-out + agg)
+    "embeddings_profile": (3, 0),
+    # hourly profile: (type x 24) agg + broadcast per-type totals
+    "events_hourly_profile": (3, 1),
 }
 
 
