@@ -1,0 +1,111 @@
+"""Streaming HLL uniques (streaming/uniques.py): online per-day
+distinct-user estimates with fixed-size register state, driven through a
+real streaming query; split-invariance and accuracy pinned."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkbigdatatextanalysis_spark.streaming import uniques as uq
+
+SCHEMA = "day STRING, user_id LONG"
+
+
+def _rows(day: str, ids) -> list:
+    return [(day, int(i)) for i in ids]
+
+
+def _run_stream(spark, batches, tmp_path, name):
+    """Drive the sketch through a real streaming query, one parquet file
+    appended per _run (availableNow processes all new files per run)."""
+    src = str(tmp_path / f"src_{name}")
+    sink = str(tmp_path / f"sink_{name}")
+    ckpt = str(tmp_path / f"ckpt_{name}")
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            uq.streaming_daily_uniques(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.read.parquet(sink)
+
+
+def test_streamed_estimates_match_batch_twin_any_split(spark, tmp_path):
+    """The LAST streamed estimate per day must equal the independent
+    register build over the full id set -- under two very different
+    micro-batch splits (registers are idempotent maxes)."""
+    ids_a = list(range(1000))
+    ids_b = list(range(500, 2500))
+    full = _rows("2024-01-01", ids_a) + _rows("2024-01-02", ids_b)
+
+    want = {
+        r["day"]: (r["est_uniques"], r["n_registers_set"])
+        for _, r in uq.batch_uniques_estimate(
+            spark.createDataFrame(full, SCHEMA)
+        ).iterrows()
+    }
+
+    for name, batches in (
+        ("one_shot", [full]),
+        (
+            "interleaved",
+            [
+                _rows("2024-01-01", ids_a[:300]) + _rows("2024-01-02", ids_b[:70]),
+                _rows("2024-01-01", ids_a[300:]) + _rows("2024-01-02", ids_b[70:1500]),
+                _rows("2024-01-02", ids_b[1500:]) + _rows("2024-01-01", ids_a[:50]),
+            ],
+        ),
+    ):
+        out = _run_stream(spark, batches, tmp_path, name)
+        last = {
+            r["day"]: (r["est_uniques"], r["n_registers_set"])
+            for r in out.withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("day").orderBy(
+                        F.col("n_registers_set").desc()
+                    )
+                ),
+            )
+            .where(F.col("_r") == 1)
+            .collect()
+        }
+        assert last == want, name
+
+
+def test_estimate_accuracy_within_rsd_bound(spark):
+    """~3.25% rsd at P=10: assert within 5 sigma on three set sizes
+    spanning the linear-counting and raw-HLL regimes."""
+    rsd = 1.04 / math.sqrt(uq.M)
+    for n in (100, 2000, 20000):
+        df = spark.createDataFrame(_rows("d", range(n)), SCHEMA)
+        got = uq.batch_uniques_estimate(df)
+        est = float(got.loc[0, "est_uniques"])
+        assert abs(est - n) <= 5 * rsd * n, (n, est)
+
+
+def test_register_updates_idempotent_and_order_free(spark):
+    import random
+
+    ids = [random.Random(3).randrange(10**9) for _ in range(500)]
+    a = bytearray(uq.M)
+    uq._merge_ids(a, ids)
+    b = bytearray(uq.M)
+    rng = random.Random(4)
+    shuffled = ids[:]
+    rng.shuffle(shuffled)
+    uq._merge_ids(b, shuffled + shuffled[:100])  # replays included
+    assert bytes(a) == bytes(b)
