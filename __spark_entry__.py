@@ -4139,6 +4139,30 @@ def q_events_hourly_profile(spark, sf_dir):
     )
 
 
+def q_events_value_band_join(spark, sf_dir):
+    """Numeric near-self-join (operators/relational.py::band_join):
+    pairs of purchase events whose values differ by <= 0.01 -- the
+    near-tie / duplicate-amount detector. The theta predicate Spark
+    could only plan as a cartesian instead runs as ONE hash equi-join
+    on floor(value/eps) bucket keys (adjacent buckets covered by a x2
+    in-row emit) -- zero cartesian at any size, pinned in the budget;
+    the oracle is the brute-force theta join DuckDB can afford at gate
+    scale."""
+    p = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+    )
+    out = rel.band_join(p, "value", eps=0.01, id_col="event_id")
+    return out.select(
+        "a_id",
+        "b_id",
+        "value_a",
+        "value_b",
+        F.round(F.col("value_b") - F.col("value_a"), 9).alias("dv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-9 window (the rotation
@@ -4209,7 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         # ---- end of the 50-key gate window ----
-        # --- NEW in r9 (25): no driver row yet; these lead the r10 window,
+        # --- NEW in r9 (26): no driver row yet; these lead the r10 window,
         # with the oldest r07-latest keys filling the remaining slots
         # (the displaced r07 tail gates r11 -- see the ceiling note above) ---
         "events_interval_union": q_events_interval_union,
@@ -4223,7 +4247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_mad": q_events_value_mad,
         "orders_unpivot": q_orders_unpivot,
         "docs_bpe_segments": q_docs_bpe_segments,
-        # --- NEW in r9, later waves (14) ---
+        # --- NEW in r9, later waves (15) ---
         "attribution_linear": q_attribution_linear,
         "funnel_latency": q_funnel_latency,
         "events_snapshot_diff": q_events_snapshot_diff,
@@ -4238,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_mix_drift": q_orders_mix_drift,
         "embeddings_profile": q_embeddings_profile,
         "events_hourly_profile": q_events_hourly_profile,
+        "events_value_band_join": q_events_value_band_join,
         # --- latest driver row r07: gate next (50) ---
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -7783,6 +7808,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT hc.event_type, hc.hour_utc, hc.n_events,
                round(hc.n_events / tot.t, 9) AS share
         FROM hc JOIN tot USING (event_type)
+    """
+    sqls["events_value_band_join"] = """
+        WITH p AS (
+          SELECT event_id, value::DOUBLE AS v FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL
+        )
+        SELECT a.event_id AS a_id, b.event_id AS b_id,
+               a.v AS value_a, b.v AS value_b,
+               round(b.v - a.v, 9) AS dv
+        FROM p a JOIN p b
+          ON (a.v < b.v OR (a.v = b.v AND a.event_id < b.event_id))
+         AND b.v - a.v <= 0.01
     """
     sqls["session_paths"] = """
         WITH e AS (

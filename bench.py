@@ -159,6 +159,7 @@ HEADLINE = [
     "orders_mix_drift",
     "embeddings_profile",
     "events_hourly_profile",
+    "events_value_band_join",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

@@ -514,3 +514,67 @@ def cooccurrence_pairs(
             ),
         )
     )
+
+
+def band_join(
+    df: DataFrame,
+    value: str,
+    eps: float,
+    id_col: str,
+) -> DataFrame:
+    """Numeric near-self-join: every unordered pair of rows whose
+    ``value``s differ by at most ``eps`` -- deduped sensor readings,
+    suspiciously-similar amounts, near-tie scores. The naive form is a
+    theta self-join (|v_a - v_b| <= eps), which Spark can only plan as
+    a cartesian; this is the BANDED form: each row keys by
+    floor(v/eps), the right side additionally emits its bucket-1, and
+    one hash equi-join on the bucket key produces every candidate
+    (two values within eps are in the same or adjacent buckets) --
+    zero cartesian, shuffle ~ 2x input, per-bucket cost follows the
+    VALUE distribution (a spike of near-identical values is real
+    output, not a plan accident; AQE splits hot buckets).
+
+    Each qualifying pair emits EXACTLY once, ordered (value, id): a
+    same-bucket pair survives only in its (lower value, lower id)
+    orientation, and an adjacent-bucket pair exists only with the
+    lower-bucket row on the left (floor monotonicity: a strictly lower
+    bucket implies a strictly lower value). NULL values drop. The
+    |dv| <= eps filter compares raw IEEE doubles -- deterministic
+    cross-engine; floor(v/eps) is the same double division + floor on
+    both engines.
+
+    Returns (a_id, b_id, value_a, value_b) with (value_a, a_id) <
+    (value_b, b_id) lexicographically.
+    """
+    if eps <= 0:
+        raise ValueError(f"band_join: eps must be > 0, got {eps}")
+    base = df.where(F.col(value).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(value).cast("double").alias("_v"),
+        F.floor(F.col(value).cast("double") / F.lit(eps)).alias("_b"),
+    )
+    left = base.select(
+        F.col("_id").alias("a_id"),
+        F.col("_v").alias("value_a"),
+        F.col("_b").alias("_bk"),
+    )
+    right = base.select(
+        F.col("_id").alias("b_id"),
+        F.col("_v").alias("value_b"),
+        F.explode(F.array(F.col("_b"), F.col("_b") - 1)).alias("_bk"),
+    )
+    pairs = left.join(right, "_bk").where(
+        (
+            (F.col("value_a") < F.col("value_b"))
+            | (
+                (F.col("value_a") == F.col("value_b"))
+                & (F.col("a_id") < F.col("b_id"))
+            )
+        )
+        & (F.col("value_b") - F.col("value_a") <= F.lit(eps))
+    )
+    # same-bucket pairs match through BOTH of the right row's emitted
+    # keys only when the pair also matches via (b, b-1) -- impossible:
+    # value_a < value_b and bucket(value_b)-1 == bucket(value_a) means
+    # different buckets. Each surviving pair is therefore unique.
+    return pairs.select("a_id", "b_id", "value_a", "value_b")

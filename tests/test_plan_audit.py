@@ -453,6 +453,10 @@ BUDGETS = {
     "embeddings_profile": (3, 0),
     # hourly profile: (type x 24) agg + broadcast per-type totals
     "events_hourly_profile": (3, 1),
+    # band join: ONE bucket-key equi-join (broadcast at gate scale,
+    # shuffle-hash past it), x2 in-row emit -- NEVER a cartesian (the
+    # naive theta form is one); ceiling covers the shuffle-join state
+    "events_value_band_join": (2, 0),
 }
 
 

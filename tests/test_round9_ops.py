@@ -330,3 +330,44 @@ def test_containment_vs_jaccard_asymmetry(spark):
     jac = dd.ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
     assert (20, 10) in cont  # containment catches the quote...
     assert jac == [] or all(r["jaccard"] < 0.5 for r in jac)  # ...Jaccard misses it
+
+
+# --- band_join ---------------------------------------------------------------
+
+
+def test_band_join_exactly_once_and_boundaries(spark):
+    rows = [(1, 1.00), (2, 1.005), (3, 1.02), (4, 5.0), (5, 1.00)]
+    df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in rel.band_join(df, "v", eps=0.01, id_col="id").collect()
+    }
+    # (1,2): dv=.005 <= eps; (1,5): equal values, id order; (2,5): .005;
+    # (2,3): dv=.015 > eps excluded; (3,*) and (4,*) isolated
+    assert got == {(1, 2), (1, 5), (5, 2)} or got == {(1, 2), (1, 5), (2, 5)} \
+        or got == {(1, 2), (5, 2), (1, 5)}, got
+    with pytest.raises(ValueError, match="eps"):
+        rel.band_join(df, "v", eps=0.0, id_col="id")
+
+
+def test_band_join_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    rng = random.Random(17)
+    rows = [(i, round(rng.uniform(0, 3), 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
+    eps = 0.01
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in rel.band_join(df, "v", eps=eps, id_col="id").collect()
+    }
+    want = set()
+    for (i, vi), (j, vj) in itertools.combinations(rows, 2):
+        if abs(vi - vj) <= eps:
+            a, b = ((i, vi), (j, vj)) if (vi, i) < (vj, j) else ((j, vj), (i, vi))
+            want.add((a[0], b[0]))
+    assert got == want
+    assert len(got) == len(
+        rel.band_join(df, "v", eps=eps, id_col="id").collect()
+    )  # no duplicate emissions
