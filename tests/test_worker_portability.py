@@ -74,3 +74,59 @@ def test_arrow_stages_run_with_foreign_cwd(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "ALL-OK" in proc.stdout, proc.stdout + proc.stderr[-4000:]
+
+
+STREAMING_SCRIPT = textwrap.dedent(
+    """
+    import sys
+
+    repo = sys.argv[1]
+    sys.path.insert(0, repo)  # driver-side only; workers don't see this
+
+    from sparkbigdatatextanalysis_spark.session import get_spark
+    from sparkbigdatatextanalysis_spark.streaming import uniques as uq
+
+    spark = get_spark("worker-portability-stream", cpus=4,
+                      shuffle_partitions=4)
+    src = sys.argv[2] + "/src"
+    sink = sys.argv[2] + "/sink"
+    ckpt = sys.argv[2] + "/ckpt"
+    spark.createDataFrame(
+        [("d1", i) for i in range(200)], "day STRING, user_id LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("day STRING, user_id LONG").parquet(src)
+    q = (
+        uq.streaming_daily_uniques(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.read.parquet(sink).count()
+    assert n >= 1, n
+    spark.stop()
+    print("STREAM-OK", n, flush=True)
+    """
+)
+
+
+def test_stateful_streaming_runs_with_foreign_cwd(tmp_path):
+    """applyInPandasWithState ships its state function to Python workers
+    through the same pickle path as the batch Arrow stages -- the
+    foreign-cwd regression must hold for the state-store form too."""
+    script = tmp_path / "stream_driver.py"
+    script.write_text(STREAMING_SCRIPT)
+    env = {k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)}
+    proc = subprocess.run(
+        [sys.executable, str(script), REPO, str(tmp_path)],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "STREAM-OK" in proc.stdout, proc.stdout + proc.stderr[-4000:]
