@@ -172,7 +172,8 @@ def _norm_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _broadcast_topk(
-    qv: DataFrame, cand: DataFrame, score, k: int, drop_null_scores: bool = False
+    qv: DataFrame, cand: DataFrame, score, k: int, drop_null_scores: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Shared harness of the brute-force variants: broadcast queries ×
     streamed corpus, self-pair exclusion, deterministic (cos desc, n_id)
@@ -180,13 +181,16 @@ def _broadcast_topk(
     on tie-breaks or self-exclusion. ``drop_null_scores`` removes
     unscorable candidates BEFORE the rank window (the quantized path:
     zero/unquantizable vectors get NULL cos, and without the filter they
-    would still consume ranks whenever k exceeds the valid candidates)."""
-    scored = (
-        F.broadcast(qv)
-        .crossJoin(cand)
-        .where(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", score.alias("cos"))
-    )
+    would still consume ranks whenever k exceeds the valid candidates).
+    ``exclude_self`` drops q_id == n_id pairs — correct when queries and
+    candidates share ONE id space (the self-search deployments); pass
+    False when the two sides are separate tables whose ids may collide
+    while naming different items (r9 advice: an equal id would silently
+    drop a legitimate neighbor)."""
+    scored = F.broadcast(qv).crossJoin(cand)
+    if exclude_self:
+        scored = scored.where(F.col("q_id") != F.col("n_id"))
+    scored = scored.select("q_id", "n_id", score.alias("cos"))
     if drop_null_scores:
         scored = scored.where(F.col("cos").isNotNull())
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
@@ -658,6 +662,7 @@ def knn_label_vote(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """k-NN majority-vote classification over an embedding column: each
     query vector takes the most frequent label among its ``k`` nearest
@@ -679,6 +684,16 @@ def knn_label_vote(
     the winning label among ``n_neighbors`` (< k only when the corpus
     has fewer than k labeled vectors). NULL-labeled corpus rows are
     excluded from candidacy (they cannot vote).
+
+    Id-space contract (r9 advice): with the default
+    ``exclude_self=True``, query and corpus ids are assumed to share
+    ONE id space -- an equal id means "the same item", and the item is
+    excluded from its own vote (the standard leave-one-out shape when
+    labeling rows of the corpus itself). If the two tables have
+    INDEPENDENT id spaces (e.g. new unlabeled docs vs a seed set, ids
+    minted separately), a colliding id names a DIFFERENT item and the
+    default would silently drop a legitimate neighbor -- pass
+    ``exclude_self=False`` (or disambiguate the ids first).
     """
     if k < 1:
         raise ValueError(f"knn_label_vote: k must be >= 1, got {k}")
@@ -696,7 +711,7 @@ def knn_label_vote(
     score = F.round(
         _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 9
     )
-    topk = _broadcast_topk(nvq, nvc, score, k)
+    topk = _broadcast_topk(nvq, nvc, score, k, exclude_self=exclude_self)
     votes = (
         topk.join(
             labeled.select(

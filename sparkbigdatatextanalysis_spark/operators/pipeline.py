@@ -1182,7 +1182,9 @@ def incremental_ingest_verdict(
 
 class KeyedMergeResult(NamedTuple):
     history: DataFrame   # (batch_id, *key, cnt) -- the updated state
-    manifest: DataFrame  # one row per merged batch id -- the tiny guard
+    manifest: DataFrame  # one row per merged batch id -- advisory
+    # listing for callers that track merged batches (NOT the replay
+    # guard; the guard is the per-(batch_id, key) anti-join)
     appended: DataFrame  # the anti-joined tagged delta actually added --
     # EMPTY on a replayed merge; append-only state stores (the
     # streaming loop's parquet tables) write exactly this instead of
@@ -1195,6 +1197,7 @@ def merge_counts_keyed(
     batch_id: int,
     manifest: DataFrame | None = None,
     batch_col: str = "batch_id",
+    cnt_col: str = "cnt",
 ) -> KeyedMergeResult:
     """Rerun-IDEMPOTENT merge of a count delta into history state -- the
     missing half of the span (X112) and line (X118) incremental
@@ -1203,43 +1206,51 @@ def merge_counts_keyed(
     merge by a batch id so replayed merges deduplicate").
 
     ``history`` is the keyed state table (``batch_col``, *key columns*,
-    cnt) -- each row remembers WHICH batch contributed it; ``delta`` is
-    one batch's un-keyed count table (e.g. :func:`line_counts` output
-    or ``IncrementalSpansResult.delta_counts``). The merge appends the
-    delta tagged with ``batch_id`` ONLY if that batch id has not been
-    merged before -- one anti-join against the batch manifest, fully
-    declarative (no driver-side branching), so a crash-replayed merge
-    unions zero rows and the probe-time view
-    ``history.groupBy(*keys).sum(cnt)`` is exact after any number of
-    replays. Probes group-sum away the batch column, so probe cost is
-    one extra partial agg over state that now grows per (batch, key)
-    instead of per key -- compact batches periodically if key overlap
-    across days is high.
+    ``cnt_col``) -- each row remembers WHICH batch contributed it;
+    ``delta`` is one batch's un-keyed count table (e.g.
+    :func:`line_counts` output or ``IncrementalSpansResult.
+    delta_counts``). The merge appends each tagged delta row ONLY if
+    that exact ``(batch_id, key)`` is not already in history -- ONE
+    anti-join against history filtered to this batch id (normally
+    empty; broadcast), fully declarative. Reconciling per
+    ``(batch_id, key)`` rather than per batch id is load-bearing for
+    crash recovery (r9 advice): a multi-file parquet commit that dies
+    mid-append leaves PARTIAL rows for the batch, and a whole-batch
+    guard would then treat the batch as merged and drop the missing
+    rows forever. Per-key reconcile heals it -- the replay appends
+    exactly the rows the crash lost (delta values per (batch, key) are
+    deterministic under at-least-once replay, the contract's standing
+    assumption), and a full replay of a fully-committed batch still
+    appends nothing. Probes group-sum away the batch column, so probe
+    cost is one extra partial agg over state that now grows per
+    (batch, key) instead of per key -- compact batches periodically if
+    key overlap across days is high.
 
-    ``manifest`` is the one-row-per-merged-batch guard table; pass the
-    previous merge's returned manifest (tiny -- one row per day) to keep
-    the guard O(days). ``None`` derives it from history itself with a
-    distinct -- a full history scan, acceptable ONLY when history is
-    stored partitioned by ``batch_col`` (the listing is then metadata);
-    at 100 TB pass the manifest.
+    ``manifest`` is the one-row-per-merged-batch listing, returned
+    updated for callers that track which batches have merged; it is
+    ADVISORY metadata, not the replay guard (the guard is always the
+    per-key anti-join, so it cannot be fooled by a partial commit).
+    The guard's history probe pushes ``batch_col = batch_id`` into the
+    scan -- store history partitioned by ``batch_col`` at 100 TB and
+    the probe reads one (normally absent) partition, not the table.
     """
     if batch_col in delta.columns:
         raise ValueError(
             f"merge_counts_keyed: delta already has column {batch_col!r}"
         )
+    key_cols = [c for c in delta.columns if c != cnt_col]
+    tagged = delta.withColumn(batch_col, F.lit(batch_id).cast("long"))
+    seen = history.where(F.col(batch_col) == batch_id).select(
+        batch_col, *key_cols
+    )
+    fresh = tagged.join(F.broadcast(seen), [batch_col, *key_cols], "left_anti")
+    fresh = fresh.select(*history.columns)
+    new_hist = history.unionByName(fresh)
     m = (
         manifest
         if manifest is not None
         else history.select(batch_col).distinct()
     )
-    tagged = delta.withColumn(batch_col, F.lit(batch_id).cast("long"))
-    fresh = tagged.join(
-        F.broadcast(m.where(F.col(batch_col) == batch_id)),
-        batch_col,
-        "left_anti",
-    )
-    fresh = fresh.select(*history.columns)
-    new_hist = history.unionByName(fresh)
     new_manifest = (
         m.unionByName(
             m.sparkSession.range(1).select(

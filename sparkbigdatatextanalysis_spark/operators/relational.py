@@ -527,12 +527,23 @@ def band_join(
     suspiciously-similar amounts, near-tie scores. The naive form is a
     theta self-join (|v_a - v_b| <= eps), which Spark can only plan as
     a cartesian; this is the BANDED form: each row keys by
-    floor(v/eps), the right side additionally emits its bucket-1, and
-    one hash equi-join on the bucket key produces every candidate
+    floor(v/(2*eps)), the right side additionally emits its bucket-1,
+    and one hash equi-join on the bucket key produces every candidate
     (two values within eps are in the same or adjacent buckets) --
     zero cartesian, shuffle ~ 2x input, per-bucket cost follows the
     VALUE distribution (a spike of near-identical values is real
     output, not a plan accident; AQE splits hot buckets).
+
+    Bucket width is 2*eps, NOT eps: the adjacent-bucket invariant must
+    hold in IEEE arithmetic, not just real arithmetic. With width eps,
+    a pair at gap ~eps has true quotient gap ~1.0, and the two rounded
+    divisions v/eps can straddle an integer so the floors differ by 2
+    -- the pair silently misses while a brute-force theta join emits
+    it. With width 2*eps the true quotient gap is <= 0.5, leaving ~0.5
+    of headroom against the ~1-ulp rounding of each division, so
+    floors can never differ by more than 1. The exact
+    ``value_b - value_a <= eps`` filter is unchanged -- the wider
+    bucket only admits (then discards) a few more candidates.
 
     Each qualifying pair emits EXACTLY once, ordered (value, id): a
     same-bucket pair survives only in its (lower value, lower id)
@@ -551,7 +562,7 @@ def band_join(
     base = df.where(F.col(value).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(value).cast("double").alias("_v"),
-        F.floor(F.col(value).cast("double") / F.lit(eps)).alias("_b"),
+        F.floor(F.col(value).cast("double") / F.lit(2 * eps)).alias("_b"),
     )
     left = base.select(
         F.col("_id").alias("a_id"),

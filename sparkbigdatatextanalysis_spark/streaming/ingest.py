@@ -100,11 +100,40 @@ def _read_state(spark, path: str, batch_id: int) -> DataFrame | None:
     """Read a stamped state table as the PRE-batch view: rows the
     current batch id itself appended (a partially-committed failed
     attempt) are excluded, and the stamp is dropped so downstream
-    operators see the plain probe schema."""
+    operators see the plain probe schema.
+
+    State tables MUST carry the ``ingest_batch`` stamp column -- every
+    append in this module writes it, and a table written without it
+    fails here on read (by design: an un-stamped table cannot honor
+    the replay contract). Rows whose stamp is NULL (state seeded from
+    un-stamped batch-contract tables, stamped later) are kept: the
+    exclusion is null-safe (``!=`` would silently drop them from every
+    probe -- r9 advice)."""
     df = _try_read(spark, path)
     if df is None:
         return None
-    return df.where(F.col(_STAMP) != batch_id).drop(_STAMP)
+    if _STAMP not in df.columns:
+        raise ValueError(
+            f"ingest state table at {path} lacks the {_STAMP!r} stamp "
+            "column; seed state through this module's appends (or add "
+            "a NULL stamp column to pre-existing state)"
+        )
+    return df.where(~F.col(_STAMP).eqNullSafe(batch_id)).drop(_STAMP)
+
+
+def _count_probe(spark, path: str, key: str, batch_id: int):
+    """Pre-batch probe view of a keyed count family: rows the current
+    batch id contributed (a partial failed attempt) are excluded
+    (null-safely -- NULL-stamped seed rows must stay visible to every
+    probe), then batch tags group-sum away."""
+    hist = _try_read(spark, path)
+    if hist is None:
+        return None
+    return (
+        hist.where(~F.col("batch_id").eqNullSafe(batch_id))
+        .groupBy(key)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
 
 
 def verdict_batch_processor(
@@ -136,15 +165,16 @@ def verdict_batch_processor(
       directly (probed by existence -- a replayed append changes
       nothing a probe can see); span/line COUNT families route through
       :func:`..operators.pipeline.merge_counts_keyed` and append only
-      its ``appended`` frame -- EMPTY on a replayed batch id, so the
-      at-least-once replay that double-counts a naive sum-merge is a
-      structural no-op here. The replay guard is derived from the
-      keyed history TABLE itself (``merge_counts_keyed``'s
-      manifest=None path), never a separate manifest file: the guard
-      is then atomic with the data, with no crash window between a
-      counts append and a guard append (at 100 TB store the keyed
-      tables partitioned by ``batch_id`` so the derivation is a
-      metadata listing).
+      its ``appended`` frame -- EMPTY on a fully-replayed batch id, so
+      the at-least-once replay that double-counts a naive sum-merge is
+      a structural no-op here. The replay guard is the per-
+      ``(batch_id, key)`` anti-join against the keyed history TABLE
+      itself, never a separate manifest file: the guard is atomic with
+      the data BY ROW, so even a multi-file parquet commit that dies
+      mid-append (partial rows for the batch) heals -- the replay
+      appends exactly the rows the crash lost and nothing twice (at
+      100 TB store the keyed tables partitioned by ``batch_id`` so the
+      guard probe is a one-partition metadata-pruned read).
 
     Replay hygiene (at-least-once): every state append -- set AND
     count families -- carries its micro-batch id, and every probe
@@ -184,31 +214,21 @@ def verdict_batch_processor(
             hist = delta.withColumn(
                 "batch_id", F.lit(None).cast("long")
             ).limit(0)
-        # replay guard derived from the keyed history ITSELF
-        # (manifest=None): atomic with the data append -- no crash
-        # window between counts committing and the guard recording them
+        # replay guard IS the keyed history itself, reconciled per
+        # (batch_id, key): atomic with the data append row-by-row, so a
+        # partially-committed batch heals on replay instead of being
+        # treated as merged (r9 advice)
         mr = merge_counts_keyed(hist, delta, batch_id)
         mr.appended.write.mode("append").parquet(f"{state_dir}/{name}")
-
-    def _count_probe(spark, name: str, key: str, batch_id: int):
-        """Pre-batch probe view of a keyed count family: rows the
-        current batch id contributed (a partial failed attempt) are
-        excluded, then batch tags group-sum away."""
-        hist = _try_read(spark, f"{state_dir}/{name}")
-        if hist is None:
-            return None
-        return (
-            hist.where(F.col("batch_id") != batch_id)
-            .groupBy(key)
-            .agg(F.sum("cnt").alias("cnt"))
-        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         hh = _read_state(spark, f"{state_dir}/hashes", batch_id)
         hb = _read_state(spark, f"{state_dir}/bands", batch_id)
-        sp_hist = _count_probe(spark, "span_counts", "h", batch_id)
-        ln_hist = _count_probe(spark, "line_counts", "line", batch_id)
+        sp_hist = _count_probe(spark, f"{state_dir}/span_counts", "h", batch_id)
+        ln_hist = _count_probe(
+            spark, f"{state_dir}/line_counts", "line", batch_id
+        )
         if emb_lookup is not None:
             batch_emb = emb_lookup.join(
                 batch_df.select(F.col(id_col).alias(emb_id_col)).distinct(),

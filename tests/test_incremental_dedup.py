@@ -670,6 +670,36 @@ def test_merge_counts_keyed_replay_is_noop(spark):
     assert sorted(r["batch_id"] for r in m4.manifest.collect()) == [0, 1, 2]
 
 
+def test_merge_counts_keyed_heals_partial_commit(spark):
+    """The r9-advice crash window: a multi-file parquet append dies
+    mid-commit, leaving PARTIAL rows for the batch in history. The
+    replayed merge must append exactly the rows the crash lost (per-
+    (batch_id, key) reconcile) -- a whole-batch-id guard would see the
+    batch as merged and silently undercount forever."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    # history after the crash: batch 0 complete, batch 1 PARTIAL
+    # (only 'alpha' of the {'alpha','gamma'} delta landed)
+    hist = spark.createDataFrame(
+        [(0, "alpha", 2), (0, "beta", 1), (1, "alpha", 3)],
+        "batch_id LONG, line STRING, cnt LONG",
+    )
+    delta = spark.createDataFrame(
+        [("alpha", 3), ("gamma", 1)], "line STRING, cnt LONG"
+    )
+    m = pl.merge_counts_keyed(hist, delta, 1)
+    appended = {(r["line"], r["cnt"]) for r in m.appended.collect()}
+    assert appended == {("gamma", 1)}  # only the lost row, never twice
+    view = {
+        r["line"]: r["cnt"]
+        for r in m.history.groupBy("line").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert view == {"alpha": 5, "beta": 1, "gamma": 1}
+    # and the healed batch replays as a structural no-op
+    m2 = pl.merge_counts_keyed(m.history, delta, 1)
+    assert m2.appended.count() == 0
+
+
 def test_merge_counts_keyed_guards(spark):
     from sparkbigdatatextanalysis_spark.operators import pipeline as pl
 

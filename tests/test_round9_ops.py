@@ -260,6 +260,22 @@ def test_knn_excludes_null_labels_and_small_corpus(spark):
     assert got["pred_label"] == 7 and got["n_neighbors"] == 1
 
 
+def test_knn_exclude_self_flag_for_independent_id_spaces(spark):
+    """r9 advice: query id 1 collides with corpus id 1 but names a
+    DIFFERENT item. Default (shared-id-space) semantics drop that
+    corpus row from the vote; exclude_self=False lets the legitimate
+    nearest neighbor vote."""
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    corpus = [(1, [1.0, 0.0], 7), (2, [0.0, 1.0], 8)]
+    queries = [(1, [1.0, 0.05], None)]  # colliding id, near corpus #1
+    q = spark.createDataFrame(queries, schema)
+    c = spark.createDataFrame(corpus, schema)
+    default = ann_ops.knn_label_vote(q, c, k=1).collect()[0]
+    assert default["pred_label"] == 8  # self-excluded: the far vector wins
+    fixed = ann_ops.knn_label_vote(q, c, k=1, exclude_self=False).collect()[0]
+    assert fixed["pred_label"] == 7 and fixed["n_votes"] == 1
+
+
 # --- cooccurrence_pairs ------------------------------------------------------
 
 
@@ -371,3 +387,44 @@ def test_band_join_matches_bruteforce_random(spark):
     assert len(got) == len(
         rel.band_join(df, "v", eps=eps, id_col="id").collect()
     )  # no duplicate emissions
+
+
+def test_band_join_exact_eps_boundary_large_magnitude(spark):
+    """The IEEE headroom claim behind the 2*eps bucket width (ADVICE
+    r9): pairs at gap EXACTLY eps, placed at magnitudes where the
+    quotient v/eps is ~1e14 (half-ulp of the quotient ~0.008 -- far
+    beyond real-arithmetic slop), must all be emitted. With a width-eps
+    bucketing the adjacent-bucket invariant holds only in real
+    arithmetic; width 2*eps caps the true quotient gap at 0.5, so the
+    two rounded divisions can never straddle two integers. Brute force
+    is the oracle, same as the random property above."""
+    import itertools
+
+    import math
+
+    rows = []
+    rid = 0
+    eps = 0.01
+    for k in range(10**14, 10**14 + 400, 7):
+        b = k * eps  # lands next to a bucket boundary of width eps
+        # fl(b - eps) can round to a gap a hair ABOVE eps (ulp(b) here
+        # is ~1.2e-4); walk a up until the computed gap qualifies, so
+        # every fixture pair sits exactly AT the eps boundary
+        a = b - eps
+        while b - a > eps:
+            a = math.nextafter(a, b)
+        rows.append((rid, a))
+        rows.append((rid + 1, b))
+        rid += 2
+    df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in rel.band_join(df, "v", eps=eps, id_col="id").collect()
+    }
+    want = set()
+    for (i, vi), (j, vj) in itertools.combinations(rows, 2):
+        if 0 <= abs(vi - vj) <= eps:
+            a, b = ((i, vi), (j, vj)) if (vi, i) < (vj, j) else ((j, vj), (i, vi))
+            want.add((a[0], b[0]))
+    assert want, "fixture must produce boundary pairs"
+    assert got == want

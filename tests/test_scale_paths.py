@@ -305,6 +305,36 @@ def test_duplicate_spans_survives_hot_boilerplate(spark):
     assert elapsed < 120, f"hot winnowing span join took {elapsed:.1f}s"
 
 
+def test_band_join_survives_hot_value_spike(spark):
+    """band_join's docstring claims a spike of near-identical values is
+    real output, not a plan accident (AQE splits hot buckets): pin it
+    on a hostile fixture -- ONE value carried by 3,000 rows (all in one
+    bucket key, ~4.5M real pairs) beside a scattered background. The
+    plan must stay a hash equi-join (zero cartesian, zero row-Python),
+    the pair count must be exactly brute force's, and the job must
+    finish in bounded time -- the same contract the LSH hot-band and
+    boilerplate-line stresses pin for their families."""
+    import time
+
+    from sparkbigdatatextanalysis_spark.operators import relational as rel
+    from sparkbigdatatextanalysis_spark.plans import audit_plan
+
+    n_hot, n_bg = 3000, 2000
+    rows = [(i, 42.0) for i in range(n_hot)]
+    # background values spaced 1.0 apart: no background pair qualifies,
+    # and none is within eps of the spike
+    rows += [(n_hot + i, 100.0 + float(i)) for i in range(n_bg)]
+    df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
+    out = rel.band_join(df, "v", eps=0.01, id_col="id")
+    a = audit_plan(out)
+    assert a.cartesian_products == 0 and a.row_python_stages == 0
+    t0 = time.time()
+    n = out.count()
+    elapsed = time.time() - t0
+    assert n == n_hot * (n_hot - 1) // 2
+    assert elapsed < 120, f"hot-value band join took {elapsed:.1f}s"
+
+
 def test_semantic_dedup_survives_degenerate_cluster(spark):
     """SemDeDup's Σ cluster² bargain under hostile skew (r5 verdict
     item): one k-means cluster holds 25%+ of all vectors (200 IDENTICAL

@@ -297,3 +297,111 @@ def test_verdict_replay_after_partial_state_commit(spark, tmp_path):
         .collect()
     }
     assert ln[FOOTER] == 4
+
+
+def test_verdict_replay_heals_partial_count_commit(spark, tmp_path):
+    """The r9-advice crash window merge_counts_keyed now closes, driven
+    through the streaming loop: a failed attempt of batch 1 committed
+    only PART of a count family's keyed delta (one parquet file of a
+    multi-file append). The replay must append exactly the lost rows --
+    the probe totals afterwards equal a clean two-day run's, with no
+    key double-counted and none lost."""
+    from sparkbigdatatextanalysis_spark.streaming.ingest import (
+        verdict_batch_processor,
+    )
+
+    d1 = spark.createDataFrame(VDAY1, SCHEMA)
+    d2 = spark.createDataFrame(VDAY2, SCHEMA)
+
+    # clean twin run: the expected end state
+    clean_state = str(tmp_path / "clean_state")
+    clean_flags = str(tmp_path / "clean_flags")
+    clean = verdict_batch_processor(clean_state, clean_flags)
+    clean(d1, 0)
+    clean(d2, 1)
+    want = {
+        (r["line"], r["cnt"])
+        for r in spark.read.parquet(f"{clean_state}/line_counts")
+        .groupBy("line")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+
+    # crash run: day 1 commits, then batch 1's line_counts append dies
+    # mid-commit -- simulate by appending a strict SUBSET of the keyed
+    # delta the clean run recorded for batch 1
+    state = str(tmp_path / "state")
+    flags = str(tmp_path / "flags")
+    proc = verdict_batch_processor(state, flags)
+    proc(d1, 0)
+    batch1_rows = (
+        spark.read.parquet(f"{clean_state}/line_counts")
+        .where("batch_id = 1")
+        .collect()
+    )
+    assert len(batch1_rows) >= 2, "fixture must give batch 1 several keys"
+    partial = spark.createDataFrame(
+        batch1_rows[: len(batch1_rows) // 2],
+        spark.read.parquet(f"{clean_state}/line_counts").schema,
+    )
+    partial.write.mode("append").parquet(f"{state}/line_counts")
+
+    proc(d2, 1)  # the replay over the half-committed batch
+    got = {
+        (r["line"], r["cnt"])
+        for r in spark.read.parquet(f"{state}/line_counts")
+        .groupBy("line")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    # and no (batch_id, key) appears twice
+    dupes = (
+        spark.read.parquet(f"{state}/line_counts")
+        .groupBy("batch_id", "line")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dupes == 0
+
+
+def test_read_state_null_stamp_and_missing_stamp(spark, tmp_path):
+    """_read_state's stamp handling (r9 advice): NULL-stamped seed rows
+    (state migrated from un-stamped batch-contract tables) must stay
+    visible to every probe, and a table entirely LACKING the stamp
+    column must fail loudly instead of silently probing wrong."""
+    import pytest
+
+    from sparkbigdatatextanalysis_spark.streaming import ingest as ing
+
+    p = str(tmp_path / "hashes")
+    spark.createDataFrame(
+        [(11, None), (12, 0)],
+        "content_hash LONG, ingest_batch LONG",
+    ).write.parquet(p)
+    got = {r["content_hash"] for r in ing._read_state(spark, p, 1).collect()}
+    assert got == {11, 12}  # NULL-stamped row visible, batch-0 row visible
+    got0 = {r["content_hash"] for r in ing._read_state(spark, p, 0).collect()}
+    assert got0 == {11}  # own-batch rows excluded, NULL seed still kept
+
+    bad = str(tmp_path / "unstamped")
+    spark.createDataFrame([(7,)], "content_hash LONG").write.parquet(bad)
+    with pytest.raises(ValueError, match="ingest_batch"):
+        ing._read_state(spark, bad, 1)
+
+
+def test_count_probe_keeps_null_stamped_rows(spark, tmp_path):
+    from sparkbigdatatextanalysis_spark.streaming import ingest as ing
+
+    p = str(tmp_path / "line_counts")
+    spark.createDataFrame(
+        [(None, "seed", 5), (0, "seed", 2), (1, "fresh", 1)],
+        "batch_id LONG, line STRING, cnt LONG",
+    ).write.parquet(p)
+    view = {
+        r["line"]: r["cnt"]
+        for r in ing._count_probe(spark, p, "line", 1).collect()
+    }
+    # batch 1's own rows excluded; NULL-stamped seed counts included
+    assert view == {"seed": 7}

@@ -100,7 +100,12 @@ def test_estimate_accuracy_within_rsd_bound(spark):
 def test_register_updates_idempotent_and_order_free(spark):
     import random
 
-    ids = [random.Random(3).randrange(10**9) for _ in range(500)]
+    # one RNG hoisted OUT of the comprehension (ADVICE r9: re-seeding
+    # inside produced 500 copies of one id, testing the property on a
+    # single distinct value)
+    id_rng = random.Random(3)
+    ids = [id_rng.randrange(10**9) for _ in range(500)]
+    assert len(set(ids)) > 490  # the fixture is genuinely diverse
     a = bytearray(uq.M)
     uq._merge_ids(a, ids)
     b = bytearray(uq.M)
