@@ -3565,6 +3565,37 @@ def q_embeddings_knn_label(spark, sf_dir):
     )
 
 
+def q_embeddings_knn_label_ivf(spark, sf_dir):
+    """The at-scale twin of embeddings_knn_label (operators/ann.py::
+    knn_label_vote_ivf, r9 verdict item 4): same odd-queries /
+    even-labeled-corpus split, but neighbors come from the IVF probe --
+    literal-centroid map-only assignment on BOTH sides, candidates from
+    one plain hash equi-join on the cluster id -- so neither the query
+    nor the corpus side is ever broadcast or collected (the brute-force
+    gate streams the corpus past broadcast queries; this shape is the
+    one that survives queries outnumbering the seed set at 100 TB).
+    The index (Lloyd-refined centroids over the LABELED corpus) is
+    cached as a pipeline point like ann_topk_ivf's. The oracle replays
+    the identical kmeans/assign/probe/vote chain, so partial probing
+    (n_probe=2 of 16) is value-checked exactly, not bounded."""
+    emb = _emb(spark, sf_dir)
+    labeled = emb.where(
+        (F.col("vec_id") % 2 == 0) & F.col("label").isNotNull()
+    )
+    cents = _cached(
+        spark,
+        sf_dir,
+        "knn_ivf_cents",
+        lambda: ann_ops.kmeans_centroids(labeled),
+    )
+    return ann_ops.knn_label_vote_ivf(
+        emb.where(F.col("vec_id") % 2 == 1),
+        emb.where(F.col("vec_id") % 2 == 0),
+        k=5,
+        cents=cents,
+    )
+
+
 def q_events_value_mad(spark, sf_dir):
     """Median/MAD robust outliers (operators/stats.py::mad_outliers):
     per event type, values farther than 3 MADs from the median -- the
@@ -3645,7 +3676,16 @@ def q_attribution_linear(spark, sf_dir):
     floor(1e9 / n_clicks) parts-per-billion (one BIGINT division --
     bit-identical cross-engine), summed as BIGINTs, so no float
     summation order can wobble the hash. Click-less purchases simply
-    attribute nothing (the last-touch key keeps them visible)."""
+    attribute nothing (the last-touch key keeps them visible).
+
+    Scale shape (r9 verdict fix): the per-purchase click count attaches
+    via a count window over purchase_id -- matched rows exchange ONCE
+    on purchase_id and the count rides that partitioning. The earlier
+    form broadcast an O(|purchases|) aggregate to every executor:
+    correct at gate scale, a driver-collect cliff at 100 TB (billions
+    of purchase rows shipped whole to each task)."""
+    from pyspark.sql import Window
+
     ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -3666,10 +3706,15 @@ def q_attribution_linear(spark, sf_dir):
         (F.col("c_us") < F.col("p_us"))
         & (F.col("c_us") >= F.col("p_us") - F.lit(lookback_us)),
     )
-    per_purchase = matched.groupBy("purchase_id").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    credited = matched.join(F.broadcast(per_purchase), "purchase_id").select(
+    # click counts attach per purchase with ONE window over the same
+    # purchase_id partitioning the matched rows already need -- no
+    # second join, and (the r9 verdict's scale defect) no forced
+    # broadcast of an O(|purchases|) table to every executor: at 100 TB
+    # per_purchase is billions of rows, exactly the collected-to-driver
+    # failure class the triangle counter's degree attach fixed.
+    credited = matched.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    ).select(
         "click_id",
         # integral `div`, not floor(double /): bit-for-bit the oracle's
         # BIGINT floor division at any magnitude
@@ -3896,6 +3941,58 @@ def q_events_dau_wau(spark, sf_dir):
             "dau",
             "wau",
             F.round(F.col("dau") / F.col("wau"), 9).alias("stickiness"),
+        )
+    )
+
+
+def q_events_dau_wau_sketch(spark, sf_dir):
+    """The HLL swap q_events_dau_wau documents, implemented (r9 verdict
+    item 3): WAU from mergeable per-day DataSketches HLL sketches
+    instead of the exact (user, day) x7 fan-out. The fan-out here is
+    over DAILY SKETCH rows -- |days| x 7 rows of ~KB sketches, not
+    |user x day| x 7 user rows -- so the rolling-window cost is
+    decoupled from user cardinality entirely: at 100 TB the feed
+    collapses to one sketch per day at the first partial agg, and ANY
+    trailing window (7/28/90-day) re-merges the same daily sketch table
+    because HLL union is associative. Gated like X131
+    (events_monthly_uniques_sketch): DuckDB's HLL differs, so the
+    hashed columns are the exact DAU/WAU and the 'sketch WAU within
+    10% of exact' boolean the oracle pins to 1 (lgConfigK=12 rsd
+    ~1.6%; 10% is ~6 sigma)."""
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+    )
+    ud = ev.distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    fan = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    wau = fan.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    daily_sk = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    sk_fan = daily_sk.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "sk",
+    )
+    wau_est = sk_fan.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    return (
+        dau.join(wau, "day")
+        .join(wau_est, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.abs(F.col("_est") - F.col("wau")) <= 0.10 * F.col("wau"))
+            .cast("long")
+            .alias("wau_within_10pct"),
         )
     )
 
@@ -4165,23 +4262,106 @@ def q_events_value_band_join(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
-    # checks the FIRST 50 declared keys. Round-9 window (the rotation
-    # the r8 comment block promised, executed verbatim): all fifty
-    # r06-latest keys -- 3 rounds stale, the staleness maximum, they
-    # MUST gate now, and they exactly fill the window. Keys NEW in r9
-    # are sectioned immediately after the window: they lead the r10
-    # window, with the oldest r07-latest keys taking the remaining
-    # slots; the displaced r07 tail gates r11 beside the r08 cohort.
-    # CEILING NOTE: at 150 keys the 50-slot window saturates a 3-round
-    # cycle (every key gates every 3rd round, staleness <= 2); each
-    # key added beyond 150 pushes exactly one old key's next driver
-    # row out by one round, so the documented ceiling is now 3 rounds
-    # for the displaced tail. In-repo freshness does not lag: every
-    # key is re-verified against its DuckDB oracle on every suite run
-    # by tests/test_oracle_parity.py and by the per-round full driver
-    # sim, regardless of the window.
+    # checks the FIRST 50 declared keys. Round-10 window (the rotation
+    # the r9 comment block promised, executed verbatim): the 26 keys
+    # NEW in r9 lead (their FIRST external driver rows), and the 24
+    # OLDEST r07-latest keys fill the remaining slots. Keys NEW in r10
+    # are sectioned immediately after the window: they lead the r11
+    # window together with the displaced r07 tail (26 keys, latest row
+    # r07 -- they MUST gate r11), with the oldest r08-latest keys
+    # taking any remaining slots.
+    # CEILING NOTE: at 176+ keys the 50-slot window cycles in ~4
+    # rounds (staleness <= 3); every key added pushes one old key's
+    # next driver row out by one round. In-repo freshness does not
+    # lag: every key is re-verified against its DuckDB oracle on every
+    # suite run by tests/test_oracle_parity.py and by the per-round
+    # full driver sim, regardless of the window.
     return {
-        # --- latest driver row r06: 3 rounds stale, MUST gate now (50) ---
+        # --- NEW in r9 (26): first external driver rows NOW ---
+        "events_interval_union": q_events_interval_union,
+        "events_type_transitions": q_events_type_transitions,
+        "dedup_kcore": q_dedup_kcore,
+        "orders_price_trend": q_orders_price_trend,
+        "basket_brand_pairs": q_basket_brand_pairs,
+        "events_cumulative_users": q_events_cumulative_users,
+        "docs_keyterms": q_docs_keyterms,
+        "embeddings_knn_label": q_embeddings_knn_label,
+        "events_value_mad": q_events_value_mad,
+        "orders_unpivot": q_orders_unpivot,
+        "docs_bpe_segments": q_docs_bpe_segments,
+        "attribution_linear": q_attribution_linear,
+        "funnel_latency": q_funnel_latency,
+        "events_snapshot_diff": q_events_snapshot_diff,
+        "orders_repeat_share": q_orders_repeat_share,
+        "dedup_containment": q_dedup_containment,
+        "orders_abc_classes": q_orders_abc_classes,
+        "events_dau_wau": q_events_dau_wau,
+        "session_paths": q_session_paths,
+        "orders_mom_growth": q_orders_mom_growth,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "docs_shingle_novelty": q_docs_shingle_novelty,
+        "orders_mix_drift": q_orders_mix_drift,
+        "embeddings_profile": q_embeddings_profile,
+        "events_hourly_profile": q_events_hourly_profile,
+        "events_value_band_join": q_events_value_band_join,
+        # --- latest driver row r07, oldest 24: 3 rounds stale, gate now ---
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_decode": q_media_decode,
+        "media_frame_sample": q_media_frame_sample,
+        "events_windowed": q_events_windowed,
+        "events_sliding_users": q_events_sliding_users,
+        "pricing_rollup": q_pricing_rollup,
+        "top_parts_by_brand": q_top_parts_by_brand,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
+        "sales_cube": q_sales_cube,
+        "value_percentiles": q_value_percentiles,
+        "customers_no_orders": q_customers_no_orders,
+        "docs_prefix_blocking": q_docs_prefix_blocking,
+        "events_zorder_key": q_events_zorder_key,
+        "orders_profile_drift": q_orders_profile_drift,
+        "skew_join_auto": q_skew_join_auto,
+        "incremental_semantic_flags": q_incremental_semantic_flags,
+        "value_percentiles_approx": q_value_percentiles_approx,
+        "pair_jaccard_estimates": q_pair_jaccard_estimates,
+        "incremental_lines_batch": q_incremental_lines_batch,
+        "scan_gold_pairs": q_scan_gold_pairs,
+        # ---- end of the 50-key gate window ----
+        # --- NEW in r10: no driver row yet; these lead the r11 window,
+        # beside the displaced r07 tail below ---
+        "events_dau_wau_sketch": q_events_dau_wau_sketch,
+        "embeddings_knn_label_ivf": q_embeddings_knn_label_ivf,
+        # --- latest driver row r07, displaced tail (26): gate r11 ---
+        "dot_product": q_dot_product,
+        "str_strip_quotes": q_str_strip_quotes,
+        "tokenize": q_tokenize,
+        "docs_line_dedup": q_docs_line_dedup,
+        "docs_token_budget": q_docs_token_budget,
+        "docs_bm25_topk": q_docs_bm25_topk,
+        "dedup_best_rep": q_dedup_best_rep,
+        "docs_substring_dedup": q_docs_substring_dedup,
+        "docs_bm25_batch": q_docs_bm25_batch,
+        "docs_chunk_windows": q_docs_chunk_windows,
+        "embeddings_quantized": q_embeddings_quantized,
+        "dedup_semantic": q_dedup_semantic,
+        "docs_domain_caps": q_docs_domain_caps,
+        "dedup_near_clusters": q_dedup_near_clusters,
+        "tpch_q2_like": q_tpch_q2_like,
+        "tpch_q3_like": q_tpch_q3_like,
+        "tpch_q4_like": q_tpch_q4_like,
+        "tpch_q5_like": q_tpch_q5_like,
+        "tpch_q7_like": q_tpch_q7_like,
+        "tpch_q16_like": q_tpch_q16_like,
+        "tpch_q18_like": q_tpch_q18_like,
+        "curation_pipeline": q_curation_pipeline,
+        "events_hourly_from_minutely": q_events_hourly_from_minutely,
+        "docs_split_sample": q_docs_split_sample,
+        "text_repetition": q_text_repetition,
+        "events_value_zscore": q_events_value_zscore,
+        # --- latest driver row r09 (50): freshest, rotate last ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "events_sessionize": q_events_sessionize,
         "tokens_except": q_tokens_except,
@@ -4232,89 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
-        # ---- end of the 50-key gate window ----
-        # --- NEW in r9 (26): no driver row yet; these lead the r10 window,
-        # with the oldest r07-latest keys filling the remaining slots
-        # (the displaced r07 tail gates r11 -- see the ceiling note above) ---
-        "events_interval_union": q_events_interval_union,
-        "events_type_transitions": q_events_type_transitions,
-        "dedup_kcore": q_dedup_kcore,
-        "orders_price_trend": q_orders_price_trend,
-        "basket_brand_pairs": q_basket_brand_pairs,
-        "events_cumulative_users": q_events_cumulative_users,
-        "docs_keyterms": q_docs_keyterms,
-        "embeddings_knn_label": q_embeddings_knn_label,
-        "events_value_mad": q_events_value_mad,
-        "orders_unpivot": q_orders_unpivot,
-        "docs_bpe_segments": q_docs_bpe_segments,
-        # --- NEW in r9, later waves (15) ---
-        "attribution_linear": q_attribution_linear,
-        "funnel_latency": q_funnel_latency,
-        "events_snapshot_diff": q_events_snapshot_diff,
-        "orders_repeat_share": q_orders_repeat_share,
-        "dedup_containment": q_dedup_containment,
-        "orders_abc_classes": q_orders_abc_classes,
-        "events_dau_wau": q_events_dau_wau,
-        "session_paths": q_session_paths,
-        "orders_mom_growth": q_orders_mom_growth,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "docs_shingle_novelty": q_docs_shingle_novelty,
-        "orders_mix_drift": q_orders_mix_drift,
-        "embeddings_profile": q_embeddings_profile,
-        "events_hourly_profile": q_events_hourly_profile,
-        "events_value_band_join": q_events_value_band_join,
-        # --- latest driver row r07: gate next (50) ---
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "media_decode": q_media_decode,
-        "media_frame_sample": q_media_frame_sample,
-        "events_windowed": q_events_windowed,
-        "events_sliding_users": q_events_sliding_users,
-        "pricing_rollup": q_pricing_rollup,
-        "top_parts_by_brand": q_top_parts_by_brand,
-        "asof_join_events": q_asof_join_events,
-        "range_join_events": q_range_join_events,
-        "sales_cube": q_sales_cube,
-        "value_percentiles": q_value_percentiles,
-        "customers_no_orders": q_customers_no_orders,
-        "docs_prefix_blocking": q_docs_prefix_blocking,
-        "events_zorder_key": q_events_zorder_key,
-        "orders_profile_drift": q_orders_profile_drift,
-        "skew_join_auto": q_skew_join_auto,
-        "incremental_semantic_flags": q_incremental_semantic_flags,
-        "value_percentiles_approx": q_value_percentiles_approx,
-        "pair_jaccard_estimates": q_pair_jaccard_estimates,
-        "incremental_lines_batch": q_incremental_lines_batch,
-        "scan_gold_pairs": q_scan_gold_pairs,
-        "dot_product": q_dot_product,
-        "str_strip_quotes": q_str_strip_quotes,
-        "tokenize": q_tokenize,
-        "docs_line_dedup": q_docs_line_dedup,
-        "docs_token_budget": q_docs_token_budget,
-        "docs_bm25_topk": q_docs_bm25_topk,
-        "dedup_best_rep": q_dedup_best_rep,
-        "docs_substring_dedup": q_docs_substring_dedup,
-        "docs_bm25_batch": q_docs_bm25_batch,
-        "docs_chunk_windows": q_docs_chunk_windows,
-        "embeddings_quantized": q_embeddings_quantized,
-        "dedup_semantic": q_dedup_semantic,
-        "docs_domain_caps": q_docs_domain_caps,
-        "dedup_near_clusters": q_dedup_near_clusters,
-        "tpch_q2_like": q_tpch_q2_like,
-        "tpch_q3_like": q_tpch_q3_like,
-        "tpch_q4_like": q_tpch_q4_like,
-        "tpch_q5_like": q_tpch_q5_like,
-        "tpch_q7_like": q_tpch_q7_like,
-        "tpch_q16_like": q_tpch_q16_like,
-        "tpch_q18_like": q_tpch_q18_like,
-        "curation_pipeline": q_curation_pipeline,
-        "events_hourly_from_minutely": q_events_hourly_from_minutely,
-        "docs_split_sample": q_docs_split_sample,
-        "text_repetition": q_text_repetition,
-        "events_value_zscore": q_events_value_zscore,
-        # --- latest driver row r08: freshest, rotate last (50) ---
+        # --- latest driver row r08 (50): gate after the r07 tail ---
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_test_ngram_overlap": q_train_test_ngram_overlap,
         "docs_unigram_logprob": q_docs_unigram_logprob,
@@ -4522,14 +4620,16 @@ lsig AS (
 """
 
 
-def _kmeans_cents_sql(n_iter: int) -> tuple[str, str]:
+def _kmeans_cents_sql(n_iter: int, src: str = "nv") -> tuple[str, str]:
     """DuckDB CTE chain mirroring ann.kmeans_centroids exactly: returns
     (cte_sql, final_name). Assignment argmax and DECIMAL-exact
     per-dimension means per unrolled iteration; parallel unnests zip, so
     (pos, val) pairs mirror posexplode (pos base differs but is only
-    ever grouped/sorted on)."""
+    ever grouped/sorted on). ``src`` names the (vec_id, v, norm) CTE
+    the index is built over -- the full ``nv`` by default, a filtered
+    view for indexes built over a sub-corpus (the labeled-seed IVF)."""
     ctes = [
-        f"c0 AS (SELECT vec_id AS c_id, v AS cv, norm AS cn FROM nv "
+        f"c0 AS (SELECT vec_id AS c_id, v AS cv, norm AS cn FROM {src} "
         f"ORDER BY vec_id LIMIT {ann_ops.N_CENTROIDS})"
     ]
     for it in range(1, n_iter + 1):
@@ -4542,7 +4642,7 @@ def _kmeans_cents_sql(n_iter: int) -> tuple[str, str]:
                      PARTITION BY a.vec_id
                      ORDER BY round({_emb_dot_sql("a.v", "cv")} / (a.norm * cn), 9) DESC, c_id
                    ) AS rn
-            FROM nv a CROSS JOIN {prev}
+            FROM {src} a CROSS JOIN {prev}
           ) WHERE rn = 1
         ),
         m{it} AS (
@@ -7549,6 +7649,73 @@ def oracle_sql() -> dict[str, str]:
         ) v JOIN tot USING (q_id)
         WHERE v.r = 1
     """
+    _lk_ctes, _lk_final = _kmeans_cents_sql(ann_ops.KMEANS_ITERS, src="lnv")
+    sqls["embeddings_knn_label_ivf"] = f"""
+        WITH {_EMB_NORM_SQL},
+        lnv AS (
+          SELECT nv.vec_id, nv.v, nv.norm
+          FROM nv JOIN embeddings e USING (vec_id)
+          WHERE nv.vec_id % 2 = 0 AND e.label IS NOT NULL
+        ),
+        {_lk_ctes},
+        cents AS (SELECT c_id, cv, cn FROM {_lk_final}),
+        lab AS (
+          SELECT e.vec_id, e.label FROM embeddings e
+          WHERE e.vec_id % 2 = 0 AND e.label IS NOT NULL
+        ),
+        assign AS (
+          SELECT id, c_id AS cluster, v, norm FROM (
+            SELECT a.vec_id AS id, c_id, a.v, a.norm,
+                   row_number() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY round({_emb_dot_sql("a.v", "cv")} / (a.norm * cn), 9) DESC, c_id
+                   ) AS rn
+            FROM lnv a CROSS JOIN cents
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT q_id, qv, qn, c_id AS cluster FROM (
+            SELECT q.vec_id AS q_id, q.v AS qv, q.norm AS qn, c_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({_emb_dot_sql("q.v", "cv")} / (q.norm * cn), 9) DESC, c_id
+                   ) AS rn
+            FROM nv q CROSS JOIN cents WHERE q.vec_id % 2 = 1
+          ) WHERE rn <= {ann_ops.N_PROBE}
+        ),
+        scored AS (
+          SELECT p.q_id, a.id AS n_id,
+                 round({_emb_dot_sql("p.qv", "a.v")} / (p.qn * a.norm), 9) AS cos
+          FROM probes p JOIN assign a USING (cluster)
+          WHERE a.id <> p.q_id
+        ),
+        topk AS (
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, n_id) AS rank
+            FROM scored
+          ) WHERE rank <= 5
+        ),
+        votes AS (
+          SELECT t.q_id, lab.label, count(*)::BIGINT AS n_votes
+          FROM topk t JOIN lab ON lab.vec_id = t.n_id
+          GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT q_id, sum(n_votes)::BIGINT AS n_neighbors
+          FROM votes GROUP BY 1
+        )
+        SELECT v.q_id AS vec_id, v.label AS pred_label, v.n_votes,
+               tot.n_neighbors
+        FROM (
+          SELECT q_id, label, n_votes,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY n_votes DESC, label) AS r
+          FROM votes
+        ) v JOIN tot USING (q_id)
+        WHERE v.r = 1
+    """
     sqls["events_value_mad"] = """
         WITH ev AS (
           SELECT event_id, event_type, value FROM events
@@ -7910,6 +8077,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
                round(dau.dau / wau.wau, 9) AS stickiness
+        FROM dau JOIN wau USING (day)
+    """
+    sqls["events_dau_wau_sketch"] = """
+        WITH ud AS (
+          SELECT DISTINCT ts::DATE AS day, user_id
+          FROM events WHERE ts IS NOT NULL
+        ),
+        dau AS (
+          SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1
+        ),
+        fan AS (
+          SELECT DISTINCT day + to_days(j::INTEGER) AS day, user_id
+          FROM ud, UNNEST(range(0, 7)) AS t(j)
+        ),
+        wau AS (
+          SELECT day, count(*)::BIGINT AS wau FROM fan GROUP BY 1
+        )
+        SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+               1::BIGINT AS wau_within_10pct
         FROM dau JOIN wau USING (day)
     """
     sqls["dedup_containment"] = f"""

@@ -160,6 +160,10 @@ HEADLINE = [
     "embeddings_profile",
     "events_hourly_profile",
     "events_value_band_join",
+    # r10: the DAU/WAU HLL rolling-window swap and the production-shape
+    # (no-broadcast) IVF k-NN labeler
+    "events_dau_wau_sketch",
+    "embeddings_knn_label_ivf",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION
@@ -649,6 +653,19 @@ def main() -> None:
     settle_sec = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "8"))
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     time.sleep(settle_sec)
+    # Adaptive settle (r9 verdict item 5): when the bench is launched
+    # right after a test battery, the 1-min loadavg decays with a ~60 s
+    # time constant and the captured timings carry contention noise the
+    # next round's reader must footnote away. Wait until the machine is
+    # actually quiet (loadavg < threshold) before timing, bounded so a
+    # genuinely busy host still produces an artifact. No-op on an idle
+    # machine.
+    settle_load = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_LOAD", "2.0"))
+    settle_max = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_MAX", "240"))
+    waited = 0.0
+    while os.getloadavg()[0] >= settle_load and waited < settle_max:
+        time.sleep(5.0)
+        waited += 5.0
     # Settle metadata (recorded on the final JSON line so a reader can
     # verify the run was solo and quiesced): load average at timing
     # start/end and the count of java processes NOT spawned by this
@@ -657,6 +674,7 @@ def main() -> None:
     # with similar settle fields.
     settle_meta: dict = {
         "settle_sec": settle_sec,
+        "adaptive_settle_waited_sec": waited,
         "repeats": repeats,
         "loadavg_start": [round(v, 2) for v in os.getloadavg()],
         "other_java_procs": _other_java_procs(),

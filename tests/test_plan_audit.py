@@ -413,8 +413,10 @@ BUDGETS = {
     # cache's scan fan-out)
     "docs_bpe_segments": (1, 0),
     # linear attribution: purchase/click scans + user-key interval
-    # join + per-purchase count (broadcast back) + the click agg
-    "attribution_linear": (2, 3),
+    # join + per-purchase count WINDOW riding the purchase_id exchange
+    # (r10: replaced the forced O(|purchases|) broadcast-back) + the
+    # click agg
+    "attribution_linear": (2, 1),
     # funnel latency: the 3-step reach chain's monotonically shrinking
     # user-keyed joins flattened cache-free (the funnel_conversion
     # precedent) + the per-user pivot agg + the pair percentile agg
@@ -457,6 +459,15 @@ BUDGETS = {
     # shuffle-hash past it), x2 in-row emit -- NEVER a cartesian (the
     # naive theta form is one); ceiling covers the shuffle-join state
     "events_value_band_join": (2, 0),
+    # DAU/WAU sketch twin: the exact key's shape + the per-day HLL agg
+    # and the 7-day union-merge agg (fan-out is over |days| sketch
+    # rows, never user rows)
+    "events_dau_wau_sketch": (7, 2),
+    # knn IVF: map-only literal-centroid assignment on BOTH sides, one
+    # plain cluster-key equi-join (deliberately NOT broadcast -- query
+    # cardinality is unbounded in production), rank window, shared
+    # vote aggs + final joins
+    "embeddings_knn_label_ivf": (8, 4),
 }
 
 
