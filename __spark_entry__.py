@@ -3315,6 +3315,101 @@ def q_incremental_ingest_verdict(spark, sf_dir):
     return res.result
 
 
+def q_streaming_verdict_day2(spark, sf_dir):
+    """FIRST driver-gated STREAMING surface (r9 verdict stretch 7): the
+    continuous composed-verdict loop's foreachBatch body
+    (streaming/ingest.py::verdict_batch_processor) driven
+    deterministically with fixed batch ids -- day-1 state (the exact
+    four history tables + semantic reps the batch gate probes) is
+    seeded through the module's own stamped-append path as batch 0,
+    then the odd half streams through as micro-batch 1 into a fresh
+    per-invocation temp state dir, and the day-2 flags read back from
+    the flags sink ARE the result. Because the processor probes exactly
+    the seeded state and runs the same composed operator, the output is
+    byte-equal to the batch key's -- so the ORACLE IS
+    incremental_ingest_verdict's, giving the streaming read-state ->
+    probe -> append -> read-back path its first cross-engine value
+    check (the streamed-day-1 form is pytest-pinned byte-equal
+    separately). Eager by construction like ann_topk_ivf (the
+    micro-batch runs at query build); everything written lands under a
+    throwaway tempdir, so repeated invocations are independent."""
+    import tempfile
+
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+    from sparkbigdatatextanalysis_spark.streaming.ingest import (
+        _append_stamped,
+        verdict_batch_processor,
+    )
+
+    d = _docs(spark, sf_dir, wide=True)
+    hist = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    emb = _emb(spark, sf_dir)
+    cents = _cached(
+        spark, sf_dir, "ivf_cents", lambda: ann_ops.kmeans_centroids(emb)
+    )
+    hr = dd.incremental_semantic_dedup(
+        emb.where(F.col("vec_id") % 2 == 0),
+        None,
+        EMBED_NEAR_DUP_THRESHOLD,
+        cents,
+        persist_assignments=False,
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_verdict_gate_")
+    state, flags = f"{tmp}/state", f"{tmp}/flags"
+    _append_stamped(
+        hist.select(F.sha2(F.col("text"), 256).alias("content_hash")).distinct(),
+        f"{state}/hashes",
+        0,
+    )
+    _append_stamped(
+        dd.lsh_band_keys_flat(
+            dd.minhash_signatures_flat(dd.shingle_hashes(hist))
+        ).select("band", "key"),
+        f"{state}/bands",
+        0,
+    )
+    for name, delta in (
+        (
+            "span_counts",
+            dd.winnow_fingerprints(hist)
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("cnt")),
+        ),
+        ("line_counts", pl.line_counts(hist)),
+    ):
+        (
+            delta.withColumn("batch_id", F.lit(0).cast("long"))
+            .select("batch_id", *delta.columns)
+            .write.mode("append")
+            .parquet(f"{state}/{name}")
+        )
+    _append_stamped(hr.assignments, f"{state}/reps", 0)
+    proc = verdict_batch_processor(
+        state,
+        flags,
+        emb_lookup=emb,
+        cents=cents,
+        sem_threshold=EMBED_NEAR_DUP_THRESHOLD,
+    )
+    proc(batch, 1)
+    return spark.read.parquet(flags).select(
+        "doc_id",
+        "content_hash",
+        "exact_dup_history",
+        "exact_dup_batch",
+        "near_dup_history",
+        "near_dup_batch",
+        "n_dup_spans",
+        "dup_span_chars",
+        "n_lines",
+        "n_lines_removed",
+        "sem_dup_history",
+        "sem_dup_batch",
+        "keep",
+    )
+
+
 def q_history_merge_replay(spark, sf_dir):
     """Rerun-idempotent keyed history merge (operators/pipeline.py::
     merge_counts_keyed) -- closes the documented replay caveat of the
@@ -4334,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # beside the displaced r07 tail below ---
         "events_dau_wau_sketch": q_events_dau_wau_sketch,
         "embeddings_knn_label_ivf": q_embeddings_knn_label_ivf,
+        "streaming_verdict_day2": q_streaming_verdict_day2,
         # --- latest driver row r07, displaced tail (26): gate r11 ---
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -7421,6 +7517,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN lnb USING (doc_id)
         LEFT JOIN semb ON semb.vec_id = fl.doc_id
     """
+    # The streaming gate returns the SAME composed verdict (state seeded
+    # from the identical four history tables + reps, probed through
+    # verdict_batch_processor) -- one oracle, two execution paths.
+    sqls["streaming_verdict_day2"] = sqls["incremental_ingest_verdict"]
     # --- round-9 extension oracles ---
     sqls["events_interval_union"] = """
         WITH iv AS (

@@ -161,7 +161,12 @@ HEADLINE = [
     "events_hourly_profile",
     "events_value_band_join",
     # r10: the DAU/WAU HLL rolling-window swap and the production-shape
-    # (no-broadcast) IVF k-NN labeler
+    # (no-broadcast) IVF k-NN labeler. streaming_verdict_day2 is
+    # deliberately NOT timed: it is a correctness gate for the
+    # streaming read-state->probe->append path whose compute body is
+    # already the incremental_ingest_verdict / incremental_ingest_batch
+    # entries -- timing it twice would double-count the same operator
+    # plus throwaway tempdir IO.
     "events_dau_wau_sketch",
     "embeddings_knn_label_ivf",
     # bench-only entries (not driver-gated queries): the bucketed-layout

@@ -468,6 +468,10 @@ BUDGETS = {
     # cardinality is unbounded in production), rank window, shared
     # vote aggs + final joins
     "embeddings_knn_label_ivf": (8, 4),
+    # streaming verdict gate: the micro-batch runs EAGERLY at query
+    # construction (ann_topk_ivf precedent); the audited plan is the
+    # flags-sink parquet read-back
+    "streaming_verdict_day2": (0, 0),
 }
 
 
