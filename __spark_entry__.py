@@ -1988,6 +1988,165 @@ def q_tpch_q22_like(spark, sf_dir):
     )
 
 
+def q_tpch_q9_like(spark, sf_dir):
+    """TPC-H Q9-shaped product-type profit: revenue of 'widget' parts
+    by supplier nation and order year (the schema has no partsupp, so
+    profit is the discounted revenue term -- Q9's join tree and
+    grouping, minus the supplycost subtraction; q11/q20's partsupp
+    sides are the only TPC-H shapes the testdata cannot express, see
+    SURVEY). Part is name-FILTERED before its join (pushed to the
+    scan) and broadcast with supplier/nation; the one big shuffle is
+    lineitem-orders on the orderkey. Money through DECIMAL."""
+    p = (
+        _scan(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    s = _scan(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _scan(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    li = _scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(28,10)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("profit"),
+        )
+    )
+
+
+def q_tpch_q12_like(spark, sf_dir):
+    """TPC-H Q12-shaped priority split: per return flag (standing in
+    for the absent l_shipmode), how many lineitems shipped in the
+    pinned year belong to high-priority (1-URGENT/2-HIGH) vs lower
+    orders -- Q12's conditional-sum-over-join shape. One orderkey
+    shuffle join; the flag split is two in-row conditional sums."""
+    o = _scan(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("_high"),
+    )
+    li = (
+        _scan(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("_high"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q20_like(spark, sf_dir):
+    """TPC-H Q20-shaped nested semi-join chain: suppliers who shipped
+    MORE than 50 units of 'large' parts in the pinned year (the
+    partsupp availability threshold re-expressed over shipped
+    quantity), returned with their nation -- Q20's point is the
+    part-filter -> per-(supplier,part) HAVING -> supplier semi-join
+    nesting, preserved exactly. The quantity agg shuffles on the
+    composite key once; every dimension side broadcasts."""
+    p = (
+        _scan(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("large"))
+        .select("p_partkey")
+    )
+    li = (
+        _scan(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").cast("double").alias("_qty"))
+        .where(F.col("_qty") > 50.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _scan(spark, sf_dir, "supplier")
+    n = _scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+def q_tpch_q21_like(spark, sf_dir):
+    """TPC-H Q21-shaped sole-late-supplier count: per supplier, orders
+    with >= 2 suppliers where THIS supplier's latest line is strictly
+    the order's latest ship date (no other supplier ties it) -- Q21's
+    exists/not-exists double self-join re-expressed over l_shipdate
+    (the schema has no commit/receipt dates). Shape: one per-
+    (order, supplier) agg, one per-order agg over IT (order-local, no
+    second lineitem scan), then a max-tie count filter -- the
+    anti-join pair collapses into 'n_supps >= 2 AND exactly one
+    supplier at the max', which avoids Q21's notorious double scan
+    entirely while keeping its semantics."""
+    li = _scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("_last")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supps"),
+        F.max("_last").alias("_omax"),
+    )
+    late = (
+        per_os.join(per_o, "l_orderkey")
+        .where(F.col("_n_supps") >= 2)
+        .withColumn("_is_max", (F.col("_last") == F.col("_omax")).cast("int"))
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.sum("_is_max").alias("_n_at_max"),
+            F.max(F.when(F.col("_is_max") == 1, F.col("l_suppkey"))).alias(
+                "_the_supp"
+            ),
+        )
+        .where(F.col("_n_at_max") == 1)
+    )
+    s = _scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("_the_supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(s), F.col("_the_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
 def q_user_retention_cohorts(spark, sf_dir):
     """Cohort retention -- the canonical product-analytics query: users
     grouped by first-activity week (their cohort); for each
@@ -4355,6 +4514,313 @@ def q_events_value_band_join(spark, sf_dir):
     )
 
 
+def q_parts_copurchase_cosine(spark, sf_dir):
+    """Item-item collaborative filtering over co-purchases ("customers
+    who bought X also bought Y"): for part pairs appearing in >= 2
+    common orders, the cosine of their order-membership vectors --
+    n_together / sqrt(n_a * n_b). The pair mining is X139's in-row
+    generator (operators/relational.py::cooccurrence_pairs -- quadratic
+    only in per-order width, never a per-group self-join); the
+    normalization attaches per-item order counts via one broadcast
+    join (|parts| rows -- a dimension, broadcastable at any corpus
+    scale)."""
+    li = _scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = rel.cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    ic = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("item_b"), F.col("_n").alias("_nb"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_together",
+            F.round(
+                F.col("n_together") / F.sqrt(F.col("_na") * F.col("_nb")), 9
+            ).alias("cosine"),
+        )
+    )
+
+
+def q_events_value_moments(spark, sf_dir):
+    """Per-type skewness / excess kurtosis (operators/stats.py::
+    grouped_moments): distribution-shape profiling from four exact
+    DECIMAL power sums in ONE partial-agg pass -- each power computed
+    in doubles with a fixed left-associated shape (bit-identical
+    cross-engine), only the SUMs through DECIMAL (order-independent).
+    The single-pass complement to the two-pass exact-median MAD key."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return st.grouped_moments(ev, "value", ["event_type"])
+
+
+def q_docs_pmi_collocations(spark, sf_dir):
+    """PMI collocations: adjacent token pairs occurring >= 10 times,
+    scored ln((c_ab/B) * (N/c_a) * (N/c_b)) -- the classic phrase-
+    mining statistic (which bigrams co-occur far above chance), the
+    lift-scored complement of corpus_bigrams' raw counts. Bigrams form
+    in-row (zip_with, no positional self-join); unigram and bigram
+    counts are partial aggs; the scalar totals broadcast. The ln runs
+    over one fixed-shape double expression on both engines; round(6)
+    absorbs libm's last-ulp latitude (the unigram-LM precedent)."""
+    from sparkbigdatatextanalysis_spark.functions.arrays import adjacent_pairs
+
+    tok = _tok(spark, sf_dir)
+    uni = tok.select(F.explode("tokens").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_tot = uni.agg(F.sum("c").cast("long").alias("_n"))
+    bg = (
+        tok.where(F.size("tokens") >= 2)
+        .select(
+            F.explode(
+                adjacent_pairs(
+                    F.col("tokens"), lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+                )
+            ).alias("_p")
+        )
+        .select("_p.w1", "_p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= 10)
+    )
+    b_tot = (
+        tok.where(F.size("tokens") >= 2)
+        .select((F.size("tokens") - 1).alias("_k"))
+        .agg(F.sum("_k").cast("long").alias("_b"))
+    )
+    return (
+        bg.join(F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c").alias("_ca"))), "w1")
+        .join(F.broadcast(uni.select(F.col("t").alias("w2"), F.col("c").alias("_cb"))), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(b_tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair")
+                    / F.col("_b")
+                    * (F.col("_n") / F.col("_ca"))
+                    * (F.col("_n") / F.col("_cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def q_dedup_blocking_quality(spark, sf_dir):
+    """Blocking-quality report (operators/evaluation.py::
+    blocking_quality): the MinHash-LSH blocker's candidate pairs
+    audited against a 3-gram-Jaccard >= 0.5 ground truth --
+    pairs_completeness (blocking recall) and reduction_ratio (share of
+    the C(n,2) comparison space eliminated), the two standard record-
+    linkage metrics and the reference's own headline claim for its
+    inverted index (4,397,038 -> 2,441,100 candidates,
+    ScalableEntityResolutionTest.scala:86-87). Overlap is one equi-join
+    on the pair key; the doc count is a bounded eager aggregate."""
+    from sparkbigdatatextanalysis_spark.operators import evaluation as eva
+
+    docs = _docs(spark, sf_dir)
+    cand = _mh_pairs(spark, sf_dir).select("a_id", "b_id")
+    truth = dd.ngram_jaccard_pairs(docs, min_jaccard=0.5).select("a_id", "b_id")
+    n_docs = docs.count()
+    return eva.blocking_quality(cand, truth, n_docs)
+
+
+def q_events_ewma(spark, sf_dir):
+    """Per-user EWMA of purchase values over the trailing 8 events --
+    the smoothed-signal primitive (anomaly baselines, trend displays).
+    Weights are EXACT powers of two (2^-1 .. 2^-8), so every product is
+    a pure exponent shift (no rounding) and the fixed left-associated
+    sum is bit-identical cross-engine; the recursive EWMA definition,
+    by contrast, is order-dependent float folding no engine pair could
+    hash-match. 8 explicit lags over ONE user-keyed window (bounded
+    per-row state, no collect_list ordering hazard); truncation beyond
+    8 events changes weights by < 0.4%."""
+    from pyspark.sql import Window
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select("event_id", "user_id", F.unix_micros("ts").alias("_us"), "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    lags = [F.lag("value", j).over(w) for j in range(8)]
+    weights = [2.0 ** -(j + 1) for j in range(8)]
+    num = None
+    den = None
+    for lg, wt in zip(lags, weights):
+        term = F.coalesce(lg * F.lit(wt), F.lit(0.0))
+        have = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = have if den is None else den + have
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(num / den, 9).alias("ewma8"),
+    )
+
+
+def q_orders_near_duplicate_amounts(spark, sf_dir):
+    """Grouped near-tie detector: pairs of one CUSTOMER's orders whose
+    totals differ by <= one cent -- the double-charge / split-invoice
+    audit. band_join's partition_cols form (r10): the bucket equi-join
+    key becomes (custkey, floor(price/2eps)), so pairs form only within
+    a customer and every hash bucket shrinks by the customer
+    cardinality -- the banded theta join composed with an equi key,
+    still zero cartesian at any scale."""
+    o = _scan(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    out = rel.band_join(
+        o, "o_totalprice", eps=0.01, id_col="o_orderkey",
+        partition_cols=("o_custkey",),
+    )
+    return out.select(
+        "o_custkey",
+        "a_id",
+        "b_id",
+        "value_a",
+        "value_b",
+        F.round(F.col("value_b") - F.col("value_a"), 9).alias("dv"),
+    )
+
+
+def q_orders_price_psi(spark, sf_dir):
+    """Population Stability Index between the early and late halves of
+    the order stream, over decile bins fitted on the EARLY period --
+    the industry-standard drift score for a numeric feature (the binned
+    complement of orders_mix_drift's categorical TV distance). Bin
+    edges are ONE exact-percentile agg on the early period (9 cuts,
+    broadcast as a single row); binning is an in-row fold over the cut
+    array; the per-bin counts are one partial agg per period. Laplace
+    (+1) smoothing keeps ln finite when ties empty a bin; round(6)
+    absorbs libm's last ulp."""
+    o = _scan(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    split = F.lit("2000-01-01").cast("timestamp")
+    early = o.where(F.col("o_orderdate") < split)
+    late = o.where(F.col("o_orderdate") >= split)
+    cuts = early.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("_cuts")
+    )
+    bin_of = F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("o_totalprice") > c, 1).otherwise(0),
+    )
+
+    def bins(df, name):
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select(bin_of.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    a = bins(early, "n_early")
+    b = bins(late, "n_late")
+    na = early.agg(F.count(F.lit(1)).cast("long").alias("_na"))
+    nb = late.agg(F.count(F.lit(1)).cast("long").alias("_nb"))
+    pa = (F.col("n_early") + 1) / (F.col("_na") + 10)
+    pb = (F.col("n_late") + 1) / (F.col("_nb") + 10)
+    return (
+        a.join(b, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_early", F.lit(0).cast("long")).alias("n_early"),
+            F.coalesce("n_late", F.lit(0).cast("long")).alias("n_late"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bin",
+            "n_early",
+            "n_late",
+            F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_term"),
+        )
+    )
+
+
+def q_users_weekly_streaks(spark, sf_dir):
+    """Longest consecutive-week activity streak per user (plus active-
+    week count) -- the engagement-consistency metric behind 'N-week
+    streak' product features. Gaps-and-islands over the distinct
+    (user, week) grid: week index minus per-user row_number is the
+    island key (one user-keyed window over |user x week| rows, already
+    collapsed from raw events by the first partial agg)."""
+    from pyspark.sql import Window
+
+    uw = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.lit("1970-01-05").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("widx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("widx")
+    isl = uw.withColumn(
+        "_isl", F.col("widx") - F.row_number().over(w)
+    )
+    streaks = isl.groupBy("user_id", "_isl").agg(
+        F.count(F.lit(1)).cast("long").alias("_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("_len").cast("long").alias("n_active_weeks"),
+        F.max("_len").cast("long").alias("longest_streak"),
+    )
+
+
+def q_docs_zipf_fit(spark, sf_dir):
+    """Zipf-law fit of the corpus head: OLS slope/intercept/r2 of
+    ln(freq) on ln(rank) over the top-100 tokens -- the one-number
+    summary of vocabulary concentration (a healthy natural-language
+    corpus slopes ~-1; boilerplate floods flatten it). Reuses the
+    DECIMAL-moment OLS aggregate (operators/stats.py::grouped_linreg,
+    X138) over a 100-row ranked head (TakeOrdered cut); ln values are
+    rounded to 9 dp BEFORE the moment sums so both engines feed the
+    regression identical decimals."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+    from sparkbigdatatextanalysis_spark.operators import stats as st
+
+    top = pl.vocab_top_k(_tok(spark, sf_dir), k=100)
+    pts = top.select(
+        F.lit("corpus").alias("corpus"),
+        F.round(F.log(F.col("rank").cast("double")), 9).alias("ln_rank"),
+        F.round(F.log(F.col("n_occ").cast("double")), 9).alias("ln_freq"),
+    )
+    return st.grouped_linreg(pts, ["corpus"], "ln_rank", "ln_freq")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-10 window (the rotation
@@ -4430,6 +4896,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_wau_sketch": q_events_dau_wau_sketch,
         "embeddings_knn_label_ivf": q_embeddings_knn_label_ivf,
         "streaming_verdict_day2": q_streaming_verdict_day2,
+        "tpch_q9_like": q_tpch_q9_like,
+        "tpch_q12_like": q_tpch_q12_like,
+        "tpch_q20_like": q_tpch_q20_like,
+        "tpch_q21_like": q_tpch_q21_like,
+        "parts_copurchase_cosine": q_parts_copurchase_cosine,
+        "events_value_moments": q_events_value_moments,
+        "docs_pmi_collocations": q_docs_pmi_collocations,
+        "dedup_blocking_quality": q_dedup_blocking_quality,
+        "events_ewma": q_events_ewma,
+        "orders_near_duplicate_amounts": q_orders_near_duplicate_amounts,
+        "orders_price_psi": q_orders_price_psi,
+        "users_weekly_streaks": q_users_weekly_streaks,
+        "docs_zipf_fit": q_docs_zipf_fit,
         # --- latest driver row r07, displaced tail (26): gate r11 ---
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -6163,6 +6642,70 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_mktsegment
+    """
+    sqls["tpch_q9_like"] = """
+        SELECT n_name AS nation,
+               year(o_orderdate)::INTEGER AS o_year,
+               count(*)::BIGINT AS n_items,
+               (round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(28,10))), 4))::DOUBLE AS profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """
+    sqls["tpch_q12_like"] = """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """
+    sqls["tpch_q20_like"] = """
+        WITH heavy AS (
+          SELECT DISTINCT l_suppkey
+          FROM (
+            SELECT l_suppkey, l_partkey, sum(l_quantity)::DOUBLE AS qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'large%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+          ) WHERE qty > 50.0
+        )
+        SELECT s_suppkey, s_name, n_name AS nation
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """
+    sqls["tpch_q21_like"] = """
+        WITH per_os AS (
+          SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last
+          FROM lineitem GROUP BY 1, 2
+        ),
+        per_o AS (
+          SELECT l_orderkey, count(*)::BIGINT AS n_supps,
+                 max(last) AS omax
+          FROM per_os GROUP BY 1
+        ),
+        sole AS (
+          SELECT l_orderkey,
+                 max(CASE WHEN last = omax THEN l_suppkey END) AS the_supp
+          FROM per_os JOIN per_o USING (l_orderkey)
+          WHERE n_supps >= 2
+          GROUP BY 1
+          HAVING sum(CASE WHEN last = omax THEN 1 ELSE 0 END) = 1
+        )
+        SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+        FROM sole JOIN supplier ON s_suppkey = the_supp
+        GROUP BY 1, 2
     """
     sqls["funnel_conversion"] = """
         WITH s0 AS (
@@ -8225,5 +8768,286 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderstatus, 'n_orders' AS metric, n AS value FROM per
         UNION ALL
         SELECT o_orderstatus, 'total_price' AS metric, total AS value FROM per
+    """
+    # --- round-10 extension oracles ---
+    sqls["parts_copurchase_cosine"] = """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ic AS (SELECT l_partkey, count(*)::BIGINT AS n FROM li GROUP BY 1),
+        pairs AS (
+          SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                 count(*)::BIGINT AS n_together
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT item_a, item_b, n_together,
+               round(n_together / sqrt(na.n * nb.n), 9) AS cosine
+        FROM pairs
+        JOIN ic na ON na.l_partkey = item_a
+        JOIN ic nb ON nb.l_partkey = item_b
+    """
+    sqls["events_value_moments"] = """
+        WITH agg AS (
+          SELECT event_type,
+                 count(*)::BIGINT AS n_points,
+                 sum(CAST(value AS DECIMAL(38,10))) AS s1d,
+                 sum(CAST(value * value AS DECIMAL(38,10))) AS s2d,
+                 sum(CAST((value * value) * value AS DECIMAL(38,10))) AS s3d,
+                 sum(CAST(((value * value) * value) * value
+                          AS DECIMAL(38,10))) AS s4d
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1
+        ),
+        d AS (
+          SELECT event_type, n_points, n_points::DOUBLE AS n,
+                 s1d::DOUBLE AS s1, s2d::DOUBLE AS s2,
+                 s3d::DOUBLE AS s3, s4d::DOUBLE AS s4
+          FROM agg
+        ),
+        m AS (
+          SELECT event_type, n_points, n, s1 / n AS mean, s2, s3, s4
+          FROM d
+        ),
+        mm AS (
+          SELECT event_type, n_points, n, mean,
+                 s2 / n - mean * mean AS m2,
+                 s3 / n - 3 * mean * (s2 / n)
+                   + 2 * mean * mean * mean AS m3,
+                 s4 / n - 4 * mean * (s3 / n)
+                   + 6 * mean * mean * (s2 / n)
+                   - 3 * mean * mean * mean * mean AS m4
+          FROM m
+        )
+        SELECT event_type, n_points,
+               round(mean, 6) AS mean,
+               round(CASE WHEN n_points >= 2 AND m2 > 0
+                          THEN sqrt(m2) END, 6) AS stddev_pop,
+               round(CASE WHEN n_points >= 2 AND m2 > 0
+                          THEN m3 / pow(m2, 1.5) END, 6) AS skewness,
+               round(CASE WHEN n_points >= 2 AND m2 > 0
+                          THEN m4 / (m2 * m2) - 3 END, 6) AS kurtosis_excess
+        FROM mm
+    """
+    sqls["docs_pmi_collocations"] = f"""
+        WITH {_BASE},
+        uni AS (
+          SELECT t, count(*)::BIGINT AS c
+          FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1
+        ),
+        ntot AS (SELECT sum(c)::BIGINT AS n FROM uni),
+        pos AS (
+          SELECT doc_id, unnest(toks) AS token,
+                 unnest(range(1, len(toks) + 1)) AS pos
+          FROM tok
+        ),
+        bg AS (
+          SELECT a.token AS w1, b.token AS w2, count(*)::BIGINT AS n_pair
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          GROUP BY 1, 2 HAVING count(*) >= 10
+        ),
+        btot AS (
+          SELECT sum(len(toks) - 1)::BIGINT AS b FROM tok WHERE len(toks) >= 2
+        )
+        SELECT w1, w2, n_pair,
+               round(ln(n_pair / btot.b * (ntot.n / ca.c) * (ntot.n / cb.c)), 6)
+                 AS pmi
+        FROM bg
+        JOIN uni ca ON ca.t = w1
+        JOIN uni cb ON cb.t = w2
+        CROSS JOIN ntot CROSS JOIN btot
+    """
+    sqls["dedup_blocking_quality"] = f"""
+        WITH {_DEDUP_BASE}, {_MINHASH_PARAMS_SQL}, {_MINHASH_SIGS_SQL},
+        bands AS (
+          SELECT doc_id, (i // {dd.LSH_ROWS})::INT AS band,
+                 array_to_string(array_agg(sig ORDER BY i), ',') AS key
+          FROM sigs GROUP BY doc_id, band
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b USING (band, key)
+          WHERE a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+          FROM shh a JOIN shh b USING (sh)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT a_id, b_id FROM inter
+          JOIN sizes na ON na.doc_id = a_id
+          JOIN sizes nb ON nb.doc_id = b_id
+          WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.5
+        ),
+        nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+        cnts AS (
+          SELECT (SELECT count(*)::BIGINT FROM cand) AS n_candidates,
+                 (SELECT count(*)::BIGINT FROM truth) AS n_truth,
+                 (SELECT count(*)::BIGINT FROM truth t
+                  WHERE EXISTS (SELECT 1 FROM cand c
+                                WHERE c.a_id = t.a_id AND c.b_id = t.b_id))
+                   AS n_caught
+        )
+        SELECT n_candidates, n_truth, n_caught,
+               CASE WHEN n_truth > 0
+                    THEN round(n_caught / n_truth, 9) END
+                 AS pairs_completeness,
+               round(1.0 - n_candidates / ((nd.n * (nd.n - 1) // 2))::DOUBLE, 9)
+                 AS reduction_ratio
+        FROM cnts, nd
+    """
+    _ewma_num = " + ".join(
+        f"coalesce(l{j} * {2.0 ** -(j + 1)!r}, 0.0)" for j in range(8)
+    )
+    _ewma_den = " + ".join(
+        f"(CASE WHEN l{j} IS NOT NULL THEN {2.0 ** -(j + 1)!r} ELSE 0.0 END)"
+        for j in range(8)
+    )
+    _ewma_lags = ",\n                 ".join(
+        f"lag(value, {j}) OVER w AS l{j}" for j in range(8)
+    )
+    sqls["events_ewma"] = f"""
+        WITH ev AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us, value
+          FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL
+            AND value IS NOT NULL
+        ),
+        lagged AS (
+          SELECT event_id, user_id, value,
+                 {_ewma_lags}
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        )
+        SELECT event_id, user_id, value,
+               round(({_ewma_num}) / ({_ewma_den}), 9) AS ewma8
+        FROM lagged
+    """
+    sqls["orders_near_duplicate_amounts"] = """
+        SELECT a.o_custkey, a.o_orderkey AS a_id, b.o_orderkey AS b_id,
+               a.o_totalprice AS value_a, b.o_totalprice AS value_b,
+               round(b.o_totalprice - a.o_totalprice, 9) AS dv
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND (a.o_totalprice < b.o_totalprice
+              OR (a.o_totalprice = b.o_totalprice
+                  AND a.o_orderkey < b.o_orderkey))
+         AND b.o_totalprice - a.o_totalprice <= 0.01
+        WHERE a.o_totalprice IS NOT NULL AND b.o_totalprice IS NOT NULL
+    """
+    sqls["orders_price_psi"] = """
+        WITH early AS (
+          SELECT o_totalprice FROM orders
+          WHERE o_orderdate < TIMESTAMP '2000-01-01'
+        ),
+        late AS (
+          SELECT o_totalprice FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        ),
+        cuts AS (
+          SELECT list_transform(
+                   quantile_cont(o_totalprice,
+                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                   c -> round(c, 6)) AS cs
+          FROM early
+        ),
+        ea AS (
+          SELECT list_sum(list_transform(cs,
+                   c -> CASE WHEN o_totalprice > c THEN 1 ELSE 0 END))::INT
+                   AS bin
+          FROM early, cuts
+        ),
+        la AS (
+          SELECT list_sum(list_transform(cs,
+                   c -> CASE WHEN o_totalprice > c THEN 1 ELSE 0 END))::INT
+                   AS bin
+          FROM late, cuts
+        ),
+        a AS (SELECT bin, count(*)::BIGINT AS n_early FROM ea GROUP BY 1),
+        b AS (SELECT bin, count(*)::BIGINT AS n_late FROM la GROUP BY 1),
+        na AS (SELECT count(*)::BIGINT AS v FROM early),
+        nb AS (SELECT count(*)::BIGINT AS v FROM late),
+        j AS (
+          SELECT coalesce(a.bin, b.bin) AS bin,
+                 coalesce(n_early, 0)::BIGINT AS n_early,
+                 coalesce(n_late, 0)::BIGINT AS n_late
+          FROM a FULL JOIN b USING (bin)
+        )
+        SELECT bin, n_early, n_late,
+               round(((n_late + 1) / (nb.v + 10) - (n_early + 1) / (na.v + 10))
+                     * ln(((n_late + 1) / (nb.v + 10))
+                          / ((n_early + 1) / (na.v + 10))), 6) AS psi_term
+        FROM j, na, nb
+    """
+    sqls["users_weekly_streaks"] = """
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 (date_diff('day', DATE '1970-01-05',
+                            date_trunc('week', ts)) // 7)::BIGINT AS widx
+          FROM events WHERE ts IS NOT NULL
+        ),
+        isl AS (
+          SELECT user_id, widx,
+                 widx - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY widx) AS g
+          FROM uw
+        ),
+        st AS (
+          SELECT user_id, g, count(*)::BIGINT AS len
+          FROM isl GROUP BY 1, 2
+        )
+        SELECT user_id, sum(len)::BIGINT AS n_active_weeks,
+               max(len)::BIGINT AS longest_streak
+        FROM st GROUP BY 1
+    """
+    sqls["docs_zipf_fit"] = f"""
+        WITH {_BASE},
+        voc AS (SELECT token, count(*)::BIGINT AS n_occ FROM ex GROUP BY 1),
+        top AS (
+          SELECT token, n_occ,
+                 row_number() OVER (ORDER BY n_occ DESC, token) AS rank
+          FROM voc ORDER BY n_occ DESC, token LIMIT 100
+        ),
+        pts AS (
+          SELECT round(ln(rank::DOUBLE), 9) AS x,
+                 round(ln(n_occ::DOUBLE), 9) AS y
+          FROM top
+        ),
+        m AS (
+          SELECT count(*)::BIGINT AS n_points,
+                 sum(CAST(x AS DECIMAL(38,10))) AS sxd,
+                 sum(CAST(y AS DECIMAL(38,10))) AS syd,
+                 sum(CAST(x AS DECIMAL(38,10)) * CAST(y AS DECIMAL(38,10))) AS sxyd,
+                 sum(CAST(x AS DECIMAL(38,10)) * CAST(x AS DECIMAL(38,10))) AS sxxd,
+                 sum(CAST(y AS DECIMAL(38,10)) * CAST(y AS DECIMAL(38,10))) AS syyd
+          FROM pts
+        ),
+        d AS (
+          SELECT n_points, n_points::DOUBLE AS n, sxd::DOUBLE AS sx,
+                 syd::DOUBLE AS sy, sxyd::DOUBLE AS sxy,
+                 sxxd::DOUBLE AS sxx, syyd::DOUBLE AS syy
+          FROM m
+        ),
+        c AS (
+          SELECT n_points, n, sx, sy,
+                 n * sxy - sx * sy AS cov,
+                 n * sxx - sx * sx AS varx,
+                 n * syy - sy * sy AS vary
+          FROM d
+        ),
+        s AS (
+          SELECT n_points, n, sx, sy, cov, varx, vary,
+                 CASE WHEN n_points >= 2 AND varx <> 0
+                      THEN cov / varx END AS slope
+          FROM c
+        )
+        SELECT 'corpus' AS corpus, n_points,
+               round(slope, 6) AS slope,
+               round((sy - slope * sx) / n, 6) AS intercept,
+               CASE WHEN slope IS NOT NULL AND vary <> 0
+                    THEN round((cov * cov) / (varx * vary), 6) END AS r2
+        FROM s
     """
     return sqls

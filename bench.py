@@ -169,6 +169,22 @@ HEADLINE = [
     # plus throwaway tempdir IO.
     "events_dau_wau_sketch",
     "embeddings_knn_label_ivf",
+    # r10 second wave: the TPC-H completion quartet, item-item CF,
+    # shape moments, PMI collocations, blocking-quality audit, EWMA,
+    # grouped band join, PSI drift, weekly streaks, Zipf fit
+    "tpch_q9_like",
+    "tpch_q12_like",
+    "tpch_q20_like",
+    "tpch_q21_like",
+    "parts_copurchase_cosine",
+    "events_value_moments",
+    "docs_pmi_collocations",
+    "dedup_blocking_quality",
+    "events_ewma",
+    "orders_near_duplicate_amounts",
+    "orders_price_psi",
+    "users_weekly_streaks",
+    "docs_zipf_fit",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

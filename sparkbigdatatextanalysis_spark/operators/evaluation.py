@@ -172,3 +172,58 @@ def idf_histogram(idf_df: DataFrame, n_bins: int = 50) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select("bin", "cnt", (F.col("cnt") / F.col("n")).alias("rel_freq"))
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_items: int,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Blocking-scheme quality report: the two standard record-linkage
+    metrics for a candidate-pair generator (LSH bands, prefix blocking,
+    sorted neighborhoods) against a ground-truth pair set --
+
+    * ``pairs_completeness`` (recall of blocking): the share of true
+      pairs the blocker catches. A blocker that misses true matches
+      caps the whole pipeline's recall, silently.
+    * ``reduction_ratio``: 1 - |candidates| / C(n_items, 2), the share
+      of the quadratic comparison space the blocker eliminated -- the
+      entire reason blocking exists (the reference's inverted index
+      reports exactly this: 4,397,038 -> 2,441,100 pairs,
+      ScalableEntityResolutionTest.scala:86-87).
+
+    Both inputs are unordered (a_id, b_id) pair tables with a_id < b_id
+    (every blocker in this engine emits that orientation). The overlap
+    is ONE equi-join on the composite pair key -- never a cross
+    comparison; both sides are already pair-sized, so the metric costs
+    less than the blocking it evaluates. Returns a single row:
+    (n_candidates, n_truth, n_caught, pairs_completeness,
+    reduction_ratio).
+    """
+    if n_items < 2:
+        raise ValueError(f"blocking_quality: n_items must be >= 2, got {n_items}")
+    c = candidates.select("a_id", "b_id").distinct()
+    t = truth.select("a_id", "b_id").distinct()
+    caught = t.join(c, ["a_id", "b_id"], "left_semi")
+    total_pairs = n_items * (n_items - 1) // 2
+    counts = (
+        c.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .crossJoin(t.agg(F.count(F.lit(1)).cast("long").alias("n_truth")))
+        .crossJoin(
+            caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+        )
+    )
+    return counts.select(
+        "n_candidates",
+        "n_truth",
+        "n_caught",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_caught") / F.col("n_truth"), round_digits),
+        ).alias("pairs_completeness"),
+        F.round(
+            1.0 - F.col("n_candidates") / F.lit(float(total_pairs)),
+            round_digits,
+        ).alias("reduction_ratio"),
+    )

