@@ -4821,6 +4821,240 @@ def q_docs_zipf_fit(spark, sf_dir):
     return st.grouped_linreg(pts, ["corpus"], "ln_rank", "ln_freq")
 
 
+def q_orders_brand_rules(spark, sf_dir):
+    """Association rules over co-purchased brands: for every DIRECTED
+    brand pair (A -> B) in >= 2 common orders, confidence
+    (n_ab / n_a) and lift (confidence / p(B)) -- the step after X139's
+    support counts that actually ranks 'bought X, recommend Y'. The
+    unordered pair mining is the in-row generator; both directions then
+    emit map-side; brand order-counts attach via one broadcast join
+    (|brands| is a dimension at any scale)."""
+    li = _scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    pairs = rel.cooccurrence_pairs(ob, "l_orderkey", "p_brand", min_support=2)
+    # both directions emit IN-ROW from the one mined pair row (a union
+    # of two selects would duplicate the whole mining subtree into two
+    # executed scans)
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                ),
+            )
+        ).alias("_d"),
+        "n_together",
+    ).select("_d.antecedent", "_d.consequent", "n_together")
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    n_orders = ob.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_no")
+    )
+    return (
+        both.join(
+            F.broadcast(bc.select(F.col("p_brand").alias("antecedent"), F.col("_n").alias("_na"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(bc.select(F.col("p_brand").alias("consequent"), F.col("_n").alias("_nb"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_together",
+            F.round(F.col("n_together") / F.col("_na"), 9).alias("confidence"),
+            F.round(
+                (F.col("n_together") / F.col("_na"))
+                * F.col("_no")
+                / F.col("_nb"),
+                9,
+            ).alias("lift"),
+        )
+    )
+
+
+def q_events_scd2_lookup(spark, sf_dir):
+    """Point-in-time (temporal) dimension lookup: each purchase event
+    joined to the SCD2 version (scd2_history's validity intervals over
+    the user's tracked event_type) valid AT the purchase timestamp --
+    the as-of-the-fact join every warehouse runs against slowly-
+    changing dimensions. The match is the equi-key interval join
+    (hash join on user_id, validity range as a join-side predicate --
+    never a cartesian); exactly one version matches per fact by SCD2
+    construction."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    hist = rel.scd2_history(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        key="user_id",
+        ts="ts",
+        attrs=["event_type"],
+        tiebreaker="event_id",
+    ).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_type").alias("state_at_purchase"),
+        F.unix_micros("valid_from").alias("_from_us"),
+        F.unix_micros("valid_to").alias("_to_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("p_us")
+    )
+    out = rel.interval_join(
+        purchases,
+        hist,
+        "p_user",
+        "v_user",
+        (F.col("_from_us") <= F.col("p_us"))
+        & (F.col("_to_us").isNull() | (F.col("p_us") < F.col("_to_us"))),
+    )
+    return out.select(
+        "event_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_us").alias("ts_us"),
+        "state_at_purchase",
+        F.col("_from_us").alias("valid_from_us"),
+    )
+
+
+def q_docs_lexical_diversity(spark, sf_dir):
+    """Per-document lexical diversity: type-token ratio (distinct /
+    total tokens) and hapax share (tokens occurring once in the doc) --
+    cheap quality signals that catch keyword-stuffed and template pages
+    (TTR near 0) which length/stopword rules miss. ENTIRELY in-row over
+    the cached token arrays (array_distinct + one aggregate fold): a
+    map-only plan, zero shuffles at any corpus size."""
+    tok = _tok(spark, sf_dir).where(F.size("tokens") > 0)
+    distinct_n = F.size(F.array_distinct("tokens"))
+    # hapax count: tokens whose in-row frequency is exactly 1 -- one
+    # fold over the distinct set counting single-occurrence members
+    hapax = F.size(
+        F.filter(
+            F.array_distinct("tokens"),
+            lambda t: F.size(F.filter(F.col("tokens"), lambda u: u == t))
+            == 1,
+        )
+    )
+    return tok.select(
+        F.col("id").alias("doc_id"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        distinct_n.cast("long").alias("n_types"),
+        F.round(distinct_n / F.size("tokens"), 9).alias("ttr"),
+        F.round(hapax / distinct_n, 9).alias("hapax_share"),
+    )
+
+
+def q_users_burst_rate(spark, sf_dir):
+    """Burst detection: each user's maximum event count within any
+    trailing 60-second window (RANGE frame over epoch microseconds,
+    the events_rolling_1h discipline) -- the rate-based bot/abuse
+    signal. One shuffle on the user key; per-row state is the trailing
+    window. The flag threshold (>= 10 events/min) is an in-row
+    comparison after the per-user max."""
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("_us"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(-60_000_000, 0)
+    )
+    per_ev = ev.withColumn("_burst", F.count(F.lit(1)).over(w))
+    return per_ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("_burst").cast("long").alias("max_burst_60s"),
+        (F.max("_burst") >= 10).alias("is_burst"),
+    )
+
+
+def q_embeddings_cluster_inertia(spark, sf_dir):
+    """IVF index quality audit: per cluster, member count and the mean/
+    min cosine to the assigned centroid -- the inertia report that
+    decides n_centroids and flags degenerate clusters before they
+    become hot probe buckets. Assignment is the map-only literal-
+    centroid argmax (the shared _cent_scores kernel); the mean is a
+    DECIMAL sum of the 9-dp scores (order-independent, so the hash
+    cannot wobble with partitioning)."""
+    emb = _emb(spark, sf_dir)
+    cents = _cached(
+        spark, sf_dir, "ivf_cents", lambda: ann_ops.kmeans_centroids(emb)
+    )
+    cents_arr = ann_ops._cents_lit(ann_ops._collect_cents(cents))
+    nv = ann_ops._norm_vecs(emb, "vec_id", "embedding")
+    best = F.array_max(
+        ann_ops._cent_scores(F.col("v"), F.col("norm"), cents_arr)
+    )
+    sel = nv.select(
+        (-best["neg_cid"]).cast("long").alias("cluster"),
+        best["cos"].alias("_cos"),
+    )
+    return sel.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("_cos").cast("decimal(38,15)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_cos"),
+        F.round(F.min("_cos"), 9).alias("min_cos"),
+    )
+
+
+def q_docs_ngram_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: the share of ALL corpus token
+    occurrences covered by the top-10 / top-100 / top-1000 tokens --
+    the tokenizer-design statistic (how much of the stream a vocab
+    prefix explains). The global agg collapses the corpus to |vocab|
+    rows; the head is a TakeOrdered cut; the cumulative sum runs over
+    the 1000-row head only (never a corpus-wide global sort)."""
+    from pyspark.sql import Window
+
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    top = pl.vocab_top_k(_tok(spark, sf_dir), k=1000)
+    total = (
+        _tok(spark, sf_dir)
+        .select(F.size("tokens").alias("_k"))
+        .agg(F.sum("_k").cast("long").alias("_total"))
+    )
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    cum = top.withColumn("_cum", F.sum("n_occ").over(w).cast("long"))
+    return (
+        cum.where(F.col("rank").isin(10, 100, 1000))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("long").alias("top_n"),
+            F.col("_cum").alias("n_occ_covered"),
+            F.round(F.col("_cum") / F.col("_total"), 9).alias("coverage"),
+        )
+    )
+
+
+def q_embeddings_pca_power(spark, sf_dir):
+    """Leading principal direction by power iteration (operators/
+    ann.py::top_principal_component, 3 rounds): the iterative-numeric
+    showcase beside PageRank and the Lloyd refinement -- every per-row
+    product fixed-shape double arithmetic, every sum DECIMAL, every
+    stage rounded to 9 dp before feeding the next, so the oracle's
+    unrolled CTE replay is EQUAL by induction, not merely close. Per
+    iteration the corpus collapses to `dim` rows at the map-side
+    combiner; only the dim-sized iterate crosses the driver (kmeans
+    ferrying pattern)."""
+    return ann_ops.top_principal_component(_emb(spark, sf_dir), n_iter=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-10 window (the rotation
@@ -4909,6 +5143,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_psi": q_orders_price_psi,
         "users_weekly_streaks": q_users_weekly_streaks,
         "docs_zipf_fit": q_docs_zipf_fit,
+        "orders_brand_rules": q_orders_brand_rules,
+        "events_scd2_lookup": q_events_scd2_lookup,
+        "docs_lexical_diversity": q_docs_lexical_diversity,
+        "users_burst_rate": q_users_burst_rate,
+        "embeddings_cluster_inertia": q_embeddings_cluster_inertia,
+        "docs_ngram_coverage": q_docs_ngram_coverage,
+        "embeddings_pca_power": q_embeddings_pca_power,
         # --- latest driver row r07, displaced tail (26): gate r11 ---
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -9002,6 +9243,177 @@ def oracle_sql() -> dict[str, str]:
                max(len)::BIGINT AS longest_streak
         FROM st GROUP BY 1
     """
+    sqls["orders_brand_rules"] = """
+        WITH ob AS (
+          SELECT DISTINCT l_orderkey, p_brand
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+        ),
+        pairs AS (
+          SELECT a.p_brand AS item_a, b.p_brand AS item_b,
+                 count(*)::BIGINT AS n_together
+          FROM ob a JOIN ob b
+            ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        dirp AS (
+          SELECT item_a AS antecedent, item_b AS consequent, n_together
+          FROM pairs
+          UNION ALL
+          SELECT item_b AS antecedent, item_a AS consequent, n_together
+          FROM pairs
+        ),
+        bc AS (SELECT p_brand, count(*)::BIGINT AS n FROM ob GROUP BY 1),
+        no AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS v FROM ob)
+        SELECT antecedent, consequent, n_together,
+               round(n_together / na.n, 9) AS confidence,
+               round((n_together / na.n) * no.v / nb.n, 9) AS lift
+        FROM dirp
+        JOIN bc na ON na.p_brand = antecedent
+        JOIN bc nb ON nb.p_brand = consequent
+        CROSS JOIN no
+    """
+    sqls["events_scd2_lookup"] = """
+        WITH ordered AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER w AS prev_type,
+                 row_number() OVER w AS rn
+          FROM events
+          WHERE ts IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+          SELECT user_id, event_type, ts, event_id FROM ordered
+          WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+        ),
+        hist AS (
+          SELECT user_id AS v_user, event_type AS state_at_purchase,
+                 epoch_us(ts) AS from_us,
+                 epoch_us(lead(ts) OVER w) AS to_us
+          FROM changes
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        purch AS (
+          SELECT event_id, user_id, epoch_us(ts) AS p_us
+          FROM events
+          WHERE ts IS NOT NULL AND event_type = 'purchase'
+        )
+        SELECT event_id, user_id, p_us AS ts_us, state_at_purchase,
+               from_us AS valid_from_us
+        FROM purch JOIN hist
+          ON v_user = user_id
+         AND from_us <= p_us AND (to_us IS NULL OR p_us < to_us)
+    """
+    sqls["docs_lexical_diversity"] = f"""
+        WITH {_BASE}
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_distinct(toks))::BIGINT AS n_types,
+               round(len(list_distinct(toks)) / len(toks), 9) AS ttr,
+               round(len(list_filter(list_distinct(toks),
+                         t -> len(list_filter(toks, u -> u = t)) = 1))
+                     / len(list_distinct(toks)), 9) AS hapax_share
+        FROM tok WHERE len(toks) > 0
+    """
+    sqls["users_burst_rate"] = """
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us
+          FROM events WHERE ts IS NOT NULL
+        ),
+        per_ev AS (
+          SELECT user_id,
+                 count(*) OVER (PARTITION BY user_id ORDER BY us
+                                RANGE BETWEEN 60000000 PRECEDING
+                                      AND CURRENT ROW) AS burst
+          FROM ev
+        )
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               max(burst)::BIGINT AS max_burst_60s,
+               max(burst) >= 10 AS is_burst
+        FROM per_ev GROUP BY 1
+    """
+    sqls["embeddings_cluster_inertia"] = f"""
+        WITH {_EMB_NORM_SQL},
+        {_KMEANS_CTES},
+        cents AS (SELECT c_id, cv, cn FROM {_KMEANS_FINAL}),
+        scored AS (
+          SELECT a.vec_id, c_id,
+                 round({_emb_dot_sql("a.v", "cv")} / (a.norm * cn), 9) AS cos,
+                 row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({_emb_dot_sql("a.v", "cv")} / (a.norm * cn), 9) DESC, c_id
+                 ) AS rn
+          FROM nv a CROSS JOIN cents
+        ),
+        assign AS (
+          SELECT vec_id, c_id AS cluster, cos FROM scored WHERE rn = 1
+        )
+        SELECT cluster::BIGINT AS cluster,
+               count(*)::BIGINT AS n_vectors,
+               round(CAST(sum(CAST(cos AS DECIMAL(38,15))) AS DOUBLE)
+                     / count(*), 9) AS mean_cos,
+               round(min(cos), 9) AS min_cos
+        FROM assign GROUP BY 1
+    """
+    sqls["docs_ngram_coverage"] = f"""
+        WITH {_BASE},
+        voc AS (SELECT token, count(*)::BIGINT AS n_occ FROM ex GROUP BY 1),
+        top AS (
+          SELECT token, n_occ,
+                 row_number() OVER (ORDER BY n_occ DESC, token) AS rank
+          FROM voc ORDER BY n_occ DESC, token LIMIT 1000
+        ),
+        cum AS (
+          SELECT rank, sum(n_occ) OVER (ORDER BY rank
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)::BIGINT AS c
+          FROM top
+        ),
+        total AS (SELECT sum(len(toks))::BIGINT AS t FROM tok)
+        SELECT rank::BIGINT AS top_n, c AS n_occ_covered,
+               round(c / total.t, 9) AS coverage
+        FROM cum, total
+        WHERE rank IN (10, 100, 1000)
+    """
+    # Power iteration: 3 unrolled rounds with the SAME per-stage
+    # rounding discipline as ann.top_principal_component -- products in
+    # fixed-shape doubles, sums in DECIMAL, every stage rounded to 9 dp
+    # before the next -- so the iterates match Spark's EXACTLY (the
+    # kmeans/pagerank unrolled-CTE pattern).
+    _pi_ctes = [
+        "vt AS (SELECT [x::DOUBLE for x in embedding] AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
+        "dd0 AS (SELECT max(len(v)) AS d FROM vt)",
+        "p0 AS (SELECT list_transform(range(1, dd0.d + 1), "
+        "j -> round(1.0 / sqrt(dd0.d::DOUBLE), 9)) AS vv FROM dd0)",
+    ]
+    for _k in (1, 2, 3):
+        _pi_ctes.append(f"""
+        s{_k} AS (
+          SELECT round({_emb_dot_sql("a.v", "p.vv")}, 9) AS s, a.v
+          FROM vt a CROSS JOIN p{_k - 1} p
+        ),
+        t{_k} AS (
+          SELECT unnest(range(0, len(v))) AS pos, unnest(v) AS val, s
+          FROM s{_k}
+        ),
+        w{_k} AS (
+          SELECT pos,
+                 round(CAST(sum(CAST(val * s AS DECIMAL(38,15))) AS DOUBLE),
+                       9) AS w
+          FROM t{_k} GROUP BY 1
+        ),
+        n{_k} AS (
+          SELECT CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE) AS n2
+          FROM w{_k}
+        ),
+        c{_k} AS (
+          SELECT pos, round(w / sqrt(n2), 9) AS component FROM w{_k}, n{_k}
+        ),
+        p{_k} AS (SELECT list(component ORDER BY pos) AS vv FROM c{_k})""")
+    sqls["embeddings_pca_power"] = (
+        "WITH " + ",\n".join(_pi_ctes)
+        + "\nSELECT pos::BIGINT AS pos, component FROM c3"
+    )
     sqls["docs_zipf_fit"] = f"""
         WITH {_BASE},
         voc AS (SELECT token, count(*)::BIGINT AS n_occ FROM ex GROUP BY 1),

@@ -185,6 +185,16 @@ HEADLINE = [
     "orders_price_psi",
     "users_weekly_streaks",
     "docs_zipf_fit",
+    # r10 third wave: association rules, temporal dimension lookup,
+    # lexical diversity, burst detection, IVF inertia audit, vocab
+    # coverage curve, PCA power iteration
+    "orders_brand_rules",
+    "events_scd2_lookup",
+    "docs_lexical_diversity",
+    "users_burst_rate",
+    "embeddings_cluster_inertia",
+    "docs_ngram_coverage",
+    "embeddings_pca_power",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

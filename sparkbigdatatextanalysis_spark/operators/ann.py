@@ -835,3 +835,85 @@ def knn_label_vote_ivf(
         .select("q_id", "n_id")
     )
     return _vote_from_topk(topk, labeled, id_col, label_col)
+
+
+def top_principal_component(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Leading principal direction of the UNCENTERED second-moment
+    matrix X^T X by deterministic power iteration -- the one-component
+    PCA an embedding pipeline uses for drift axes, whitening checks and
+    all-but-the-top-component postprocessing (Mu & Viswanath 2018's
+    common-direction removal). Returns (pos, component): the unit
+    direction, dim rows.
+
+    Each iteration is ONE distributed pass: per row the scalar
+    s_i = round(<x_i, v>, 9) against the current iterate embedded as a
+    plan literal (dim doubles of model state -- the kmeans-centroid
+    ferrying pattern, ann.py::_collect_cents), then a posexplode to
+    (pos, x_ij * s_i) and a per-dimension sum. 100 TB of vectors
+    collapses to `dim` rows at the map-side combiner; between
+    iterations only the dim-sized iterate crosses the driver.
+
+    Determinism (the property that lets a DuckDB oracle hash-match an
+    iterative float algorithm): every per-row product is fixed-shape
+    double arithmetic (bit-identical on any engine), every SUM runs in
+    DECIMAL (associative -- partitioning cannot wobble it), and every
+    stage's output is rounded to 9 dp before it feeds the next stage,
+    so the iterates are EQUAL across engines by induction, not merely
+    close. The uncentered matrix is deliberate: centering first would
+    need a mean pass; subtract the mean upstream if the centered
+    component is wanted.
+    """
+    if n_iter < 1:
+        raise ValueError(f"top_principal_component: n_iter must be >= 1, got {n_iter}")
+    v = emb.select(F.col(vec_col).cast("array<double>").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    dims = v.agg(F.max(F.size("v")).alias("d")).first()
+    if dims is None or dims["d"] is None:
+        raise ValueError("top_principal_component: empty embedding table")
+    dim = int(dims["d"])
+    spark = emb.sparkSession
+    # v0 = uniform unit vector, rounded THROUGH THE ENGINE (half-up,
+    # matching the oracle's round) rather than python's banker rounding
+    c0 = spark.range(1).select(
+        F.round(F.lit(1.0) / F.sqrt(F.lit(float(dim))), 9).alias("c")
+    ).first()["c"]
+    cur = [float(c0)] * dim
+    out = None
+    for it in range(n_iter):
+        vlit = F.array(*[F.lit(float(x)) for x in cur])
+        s = F.round(_dot(F.col("v"), vlit), 9)
+        terms = v.select(
+            s.alias("_s"), F.posexplode(F.col("v")).alias("pos", "val")
+        )
+        w = (
+            terms.groupBy("pos")
+            .agg(
+                F.sum(
+                    (F.col("val") * F.col("_s")).cast("decimal(38,15)")
+                ).alias("_wd")
+            )
+            .select("pos", F.round(F.col("_wd").cast("double"), 9).alias("_w"))
+        )
+        norm2 = w.agg(
+            F.sum((F.col("_w") * F.col("_w")).cast("decimal(38,18)")).alias(
+                "_n2"
+            )
+        )
+        comp = w.crossJoin(F.broadcast(norm2)).select(
+            "pos",
+            F.round(
+                F.col("_w") / F.sqrt(F.col("_n2").cast("double")), 9
+            ).alias("component"),
+        )
+        if it == n_iter - 1:
+            out = comp
+        else:
+            got = {int(r["pos"]): float(r["component"]) for r in comp.collect()}
+            cur = [got[j] for j in range(dim)]
+    return out.select(F.col("pos").cast("long").alias("pos"), "component")

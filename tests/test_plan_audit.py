@@ -509,6 +509,27 @@ BUDGETS = {
     # zipf: vocab agg + TakeOrdered head; the OLS is one agg over 100
     # rows
     "docs_zipf_fit": (2, 0),
+    # brand rules: the order-brand distinct subtree feeds three
+    # consumers (pair mining + brand counts + order total) un-persisted
+    # -- counted per consumer; directions fan out in-row
+    "orders_brand_rules": (9, 9),
+    # SCD2 lookup: the version build's user-key window SHARES the
+    # interval join's user partitioning; versions broadcast
+    "events_scd2_lookup": (1, 1),
+    # lexical diversity: in-row folds over the cached token table (the
+    # 1 is the tok cache's scan fan-out)
+    "docs_lexical_diversity": (1, 0),
+    # burst: ONE user-keyed RANGE window + the per-user agg riding it
+    "users_burst_rate": (1, 0),
+    # inertia: map-only literal-centroid argmax + one cluster agg
+    "embeddings_cluster_inertia": (2, 0),
+    # coverage: vocab agg + TakeOrdered head + 1000-row cumsum window +
+    # broadcast scalar total
+    "docs_ngram_coverage": (4, 1),
+    # PCA power: final iteration's posexplode fan-out + per-dim agg +
+    # broadcast norm scalar (earlier iterations ran eagerly at build,
+    # kmeans precedent)
+    "embeddings_pca_power": (5, 1),
 }
 
 

@@ -155,3 +155,56 @@ def test_ewma_weights_exact_and_truncated(spark):
     # two events: (20*.5 + 10*.25) / .75
     assert abs(got[2] - (20 * 0.5 + 10 * 0.25) / 0.75) < 2e-9
     assert abs(got[3] - (40 * 0.5 + 20 * 0.25 + 10 * 0.125) / 0.875) < 2e-9
+
+
+# --- top_principal_component -------------------------------------------------
+
+
+def test_power_iteration_matches_numpy_eigvec(spark):
+    """3 rounds from the uniform start must land close to numpy's
+    leading eigenvector of X^T X on a fixture with a dominant
+    direction (alignment |cos| > 0.99; the per-stage 9-dp rounding and
+    finite iterations keep it from being exact)."""
+    import random
+
+    import numpy as np
+
+    from sparkbigdatatextanalysis_spark.operators import ann as ann_ops
+
+    rng = random.Random(53)
+    dim, n = 12, 300
+    main = np.array([rng.gauss(0, 1) for _ in range(dim)])
+    main /= np.linalg.norm(main)
+    rows = []
+    X = []
+    for i in range(n):
+        x = 5.0 * rng.gauss(0, 1) * main + np.array(
+            [rng.gauss(0, 0.5) for _ in range(dim)]
+        )
+        x = np.round(x, 6)
+        X.append(x)
+        rows.append((i, [float(v) for v in x]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        r["pos"]: r["component"]
+        for r in ann_ops.top_principal_component(emb, n_iter=3).collect()
+    }
+    v = np.array([got[j] for j in range(dim)])
+    X = np.array(X)
+    evals, evecs = np.linalg.eigh(X.T @ X)
+    lead = evecs[:, -1]
+    assert abs(float(np.dot(v, lead))) > 0.99
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-6
+
+
+def test_power_iteration_guards(spark):
+    import pytest
+
+    from sparkbigdatatextanalysis_spark.operators import ann as ann_ops
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="n_iter"):
+        ann_ops.top_principal_component(emb, n_iter=0)
+    empty = emb.where("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        ann_ops.top_principal_component(empty)
