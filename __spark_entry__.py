@@ -5055,16 +5055,169 @@ def q_embeddings_pca_power(spark, sf_dir):
     return ann_ops.top_principal_component(_emb(spark, sf_dir), n_iter=3)
 
 
+def q_nation_revenue_share(spark, sf_dir):
+    """Percent-of-total within a hierarchy: each nation's share of its
+    REGION's customer revenue -- the drill-down ratio every BI layer
+    asks of a dimension tree. Nation revenues aggregate once through
+    DECIMAL (rounded to 4 dp, the money convention); the region total
+    re-aggregates those |nations| rounded values through DECIMAL again
+    (NOT a window sum over doubles, whose fold order no two engines
+    share), so the share is deterministic at any partitioning."""
+    c = _scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _scan(spark, sf_dir, "nation")
+    r = _scan(spark, sf_dir, "region")
+    o = _scan(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 4)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    reg = nat.groupBy(F.col("r_name").alias("_r")).agg(
+        F.round(F.sum(F.col("revenue").cast("decimal(28,10)")), 4)
+        .cast("double")
+        .alias("region_revenue")
+    )
+    return (
+        nat.join(F.broadcast(reg), nat.r_name == F.col("_r"))
+        .drop("_r")
+        .select(
+            "r_name",
+            "n_name",
+            "revenue",
+            "region_revenue",
+            F.round(F.col("revenue") / F.col("region_revenue"), 9).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def q_event_type_audience_overlap(spark, sf_dir):
+    """Audience overlap matrix: exact Jaccard of the user sets of every
+    event-type pair -- the cross-feature / cross-surface reach question
+    ("how many clickers also purchase"). The |types| dimension is tiny,
+    so the exact form is one self-join of the distinct (type, user)
+    grid on the user key (per-user fan-out bounded by |types|^2); at a
+    bigger type cardinality the MinHash estimate (X95's signature
+    machinery) is the documented swap."""
+    tu = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    common = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("_n").alias("_na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("_n").alias("_nb"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_events_dow_deseasonalize(spark, sf_dir):
+    """Additive day-of-week deseasonalization of the daily purchase-
+    value mean: deseasonalized(day) = day_mean - dow_mean + global_mean
+    -- the first step of every ops-metrics trend read ("is Monday low
+    or is the WEEK low"). Three aggregation levels, each a DECIMAL sum
+    over the previous level's ROUNDED output (day means 9 dp), so all
+    three are engine- and partitioning-exact; the weekday index is pure
+    date arithmetic (days since a known Monday mod 7), immune to the
+    engines' different DAYOFWEEK numbering conventions."""
+    ev = (
+        _events(spark, sf_dir)
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(F.to_date("ts").alias("day"), "value")
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("day_mean"),
+    ).withColumn(
+        "dow",
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")), 7
+        ).cast("int"),
+    )
+    dowm = daily.groupBy(F.col("dow").alias("_dow")).agg(
+        F.round(
+            F.sum(F.col("day_mean").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("dow_mean")
+    )
+    glob = daily.agg(
+        F.round(
+            F.sum(F.col("day_mean").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("global_mean")
+    )
+    return (
+        daily.join(F.broadcast(dowm), daily.dow == F.col("_dow"))
+        .drop("_dow")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            "n_events",
+            F.round("day_mean", 6).alias("day_mean"),
+            F.round("dow_mean", 6).alias("dow_mean"),
+            F.round(
+                F.col("day_mean") - F.col("dow_mean") + F.col("global_mean"),
+                6,
+            ).alias("deseasonalized"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-10 window (the rotation
     # the r9 comment block promised, executed verbatim): the 26 keys
     # NEW in r9 lead (their FIRST external driver rows), and the 24
     # OLDEST r07-latest keys fill the remaining slots. Keys NEW in r10
-    # are sectioned immediately after the window: they lead the r11
-    # window together with the displaced r07 tail (26 keys, latest row
-    # r07 -- they MUST gate r11), with the oldest r08-latest keys
-    # taking any remaining slots.
+    # are sectioned immediately after the window: the 26 of them lead
+    # the r11 window, with the OLDEST 24 of the displaced r07 tail
+    # (latest row r07, the staleness maximum) filling the remaining
+    # slots; the final 2 r07 keys gate r12 beside the r08 cohort.
     # CEILING NOTE: at 176+ keys the 50-slot window cycles in ~4
     # rounds (staleness <= 3); every key added pushes one old key's
     # next driver row out by one round. In-repo freshness does not
@@ -5150,6 +5303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_cluster_inertia": q_embeddings_cluster_inertia,
         "docs_ngram_coverage": q_docs_ngram_coverage,
         "embeddings_pca_power": q_embeddings_pca_power,
+        "nation_revenue_share": q_nation_revenue_share,
+        "event_type_audience_overlap": q_event_type_audience_overlap,
+        "events_dow_deseasonalize": q_events_dow_deseasonalize,
         # --- latest driver row r07, displaced tail (26): gate r11 ---
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -9373,6 +9529,79 @@ def oracle_sql() -> dict[str, str]:
                round(c / total.t, 9) AS coverage
         FROM cum, total
         WHERE rank IN (10, 100, 1000)
+    """
+    sqls["nation_revenue_share"] = """
+        WITH nat AS (
+          SELECT r_name, n_name,
+                 (round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 4))::DOUBLE
+                   AS revenue
+          FROM orders
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation ON n_nationkey = c_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          GROUP BY 1, 2
+        ),
+        reg AS (
+          SELECT r_name AS rr,
+                 (round(sum(CAST(revenue AS DECIMAL(28,10))), 4))::DOUBLE
+                   AS region_revenue
+          FROM nat GROUP BY 1
+        )
+        SELECT r_name, n_name, revenue, region_revenue,
+               round(revenue / region_revenue, 9) AS share
+        FROM nat JOIN reg ON rr = r_name
+    """
+    sqls["event_type_audience_overlap"] = """
+        WITH tu AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE event_type IS NOT NULL
+        ),
+        sizes AS (
+          SELECT event_type, count(*)::BIGINT AS n FROM tu GROUP BY 1
+        ),
+        common AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*)::BIGINT AS n_common
+          FROM tu a JOIN tu b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_common,
+               round(n_common / (na.n + nb.n - n_common), 9) AS jaccard
+        FROM common
+        JOIN sizes na ON na.event_type = type_a
+        JOIN sizes nb ON nb.event_type = type_b
+    """
+    sqls["events_dow_deseasonalize"] = """
+        WITH ev AS (
+          SELECT ts::DATE AS day, value FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL
+            AND value IS NOT NULL
+        ),
+        daily AS (
+          SELECT day, count(*)::BIGINT AS n_events,
+                 round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                       / count(*), 9) AS day_mean,
+                 (((date_diff('day', DATE '1970-01-05', day) % 7) + 7) % 7)
+                   ::INTEGER AS dow
+          FROM ev GROUP BY 1
+        ),
+        dowm AS (
+          SELECT dow,
+                 round(CAST(sum(CAST(day_mean AS DECIMAL(38,10))) AS DOUBLE)
+                       / count(*), 9) AS dow_mean
+          FROM daily GROUP BY 1
+        ),
+        overall AS (
+          SELECT round(CAST(sum(CAST(day_mean AS DECIMAL(38,10))) AS DOUBLE)
+                       / count(*), 9) AS global_mean
+          FROM daily
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, daily.dow, n_events,
+               round(day_mean, 6) AS day_mean,
+               round(dow_mean, 6) AS dow_mean,
+               round(day_mean - dow_mean + global_mean, 6) AS deseasonalized
+        FROM daily JOIN dowm USING (dow), overall
     """
     # Power iteration: 3 unrolled rounds with the SAME per-stage
     # rounding discipline as ann.top_principal_component -- products in

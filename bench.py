@@ -195,6 +195,9 @@ HEADLINE = [
     "embeddings_cluster_inertia",
     "docs_ngram_coverage",
     "embeddings_pca_power",
+    "nation_revenue_share",
+    "event_type_audience_overlap",
+    "events_dow_deseasonalize",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

@@ -530,6 +530,15 @@ BUDGETS = {
     # broadcast norm scalar (earlier iterations ran eagerly at build,
     # kmeans precedent)
     "embeddings_pca_power": (5, 1),
+    # share-of-region: nation DECIMAL agg + |nations| re-agg; all
+    # dimension joins broadcast
+    "nation_revenue_share": (3, 7),
+    # audience overlap: distinct grid feeds the user-key self-join and
+    # both broadcast size sides un-persisted (counted per consumer)
+    "event_type_audience_overlap": (7, 3),
+    # deseasonalize: day agg + the dow/global re-aggs over |days| rows
+    # (both broadcast back)
+    "events_dow_deseasonalize": (5, 2),
 }
 
 
