@@ -4630,7 +4630,10 @@ def q_dedup_blocking_quality(spark, sf_dir):
     linkage metrics and the reference's own headline claim for its
     inverted index (4,397,038 -> 2,441,100 candidates,
     ScalableEntityResolutionTest.scala:86-87). Overlap is one equi-join
-    on the pair key; the doc count is a bounded eager aggregate."""
+    on the pair key; the doc count is a bounded eager aggregate. At
+    100 TB the TRUTH side (all-pairs Jaccard) is the expensive half by
+    nature -- run the audit over a stratified sample (X59's salted
+    split): both metrics are ratios, sample-stable by construction."""
     from sparkbigdatatextanalysis_spark.operators import evaluation as eva
 
     docs = _docs(spark, sf_dir)
@@ -4710,10 +4713,13 @@ def q_orders_price_psi(spark, sf_dir):
     the industry-standard drift score for a numeric feature (the binned
     complement of orders_mix_drift's categorical TV distance). Bin
     edges are ONE exact-percentile agg on the early period (9 cuts,
-    broadcast as a single row); binning is an in-row fold over the cut
-    array; the per-bin counts are one partial agg per period. Laplace
-    (+1) smoothing keeps ln finite when ties empty a bin; round(6)
-    absorbs libm's last ulp."""
+    broadcast as a single row; exact percentile holds the period's
+    values in executor memory -- at 100 TB swap in approx_percentile,
+    the engine's relative_error convention, and the PSI math is
+    unchanged); binning is an in-row fold over the cut array; the
+    per-bin counts are one partial agg per period. Laplace (+1)
+    smoothing keeps ln finite when ties empty a bin; round(6) absorbs
+    libm's last ulp."""
     o = _scan(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
     split = F.lit("2000-01-01").cast("timestamp")
     early = o.where(F.col("o_orderdate") < split)

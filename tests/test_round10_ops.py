@@ -208,3 +208,174 @@ def test_power_iteration_guards(spark):
     empty = emb.where("vec_id < 0")
     with pytest.raises(ValueError, match="empty"):
         ann_ops.top_principal_component(empty)
+
+
+# --- query-shape brute-force twins --------------------------------------------
+
+
+def test_weekly_streaks_matches_python(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(61)
+    rows = []
+    eid = 0
+    for u in range(25):
+        base = datetime(2024, 1, 1)
+        for _ in range(rng.randrange(1, 30)):
+            d = base + timedelta(days=rng.randrange(0, 120))
+            rows.append((eid, d, u, "view", None, None))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    from pyspark.sql import Window
+
+    uw = (
+        df.where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.lit("1970-01-05").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("widx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("widx")
+    isl = uw.withColumn("_isl", F.col("widx") - F.row_number().over(w))
+    got = {
+        r["user_id"]: (r["n"], r["m"])
+        for r in isl.groupBy("user_id", "_isl")
+        .count()
+        .groupBy("user_id")
+        .agg(F.sum("count").alias("n"), F.max("count").alias("m"))
+        .collect()
+    }
+    # python twin: weeks are Mondays; index by iso-days-from-epoch//7
+    from collections import defaultdict
+
+    weeks = defaultdict(set)
+    for _, d, u, *_ in rows:
+        monday = d - timedelta(days=d.weekday())
+        weeks[u].add((monday.date() - datetime(1970, 1, 5).date()).days // 7)
+    for u, ws in weeks.items():
+        ws = sorted(ws)
+        longest = cur = 1
+        for a, b in zip(ws, ws[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            longest = max(longest, cur)
+        assert got[u] == (len(ws), longest), u
+
+
+def test_audience_overlap_matches_itertools(spark):
+    import itertools
+    import random
+
+    rng = random.Random(67)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (eid, None, rng.randrange(40), rng.choice("abcd"), None, None)
+        )
+    sets: dict = {}
+    for _, _, u, t, *_ in rows:
+        sets.setdefault(t, set()).add(u)
+    df = spark.createDataFrame(
+        [(t, u) for _, _, u, t, *_ in rows], "event_type STRING, user_id LONG"
+    )
+    tu = df.distinct()
+    sizes = tu.groupBy("event_type").count()
+    a = tu.select(F.col("event_type").alias("ta"), "user_id")
+    b = tu.select(F.col("event_type").alias("tb"), "user_id")
+    got = {
+        (r["ta"], r["tb"]): r["n"]
+        for r in a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for x, y in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[x] & sets[y])
+        if inter:
+            assert got[(x, y)] == inter, (x, y)
+        else:
+            assert (x, y) not in got
+
+
+def test_psi_terms_match_python(spark):
+    """The PSI expression shape over a hand-built two-period fixture:
+    Laplace-smoothed per-bin terms equal the plain python formula, and a
+    shifted late period yields a clearly positive total PSI."""
+    import math
+    import random
+
+    rng = random.Random(71)
+    early = [round(rng.uniform(0, 100), 2) for _ in range(500)]
+    late = [round(rng.uniform(20, 140), 2) for _ in range(400)]
+
+    import numpy as np
+
+    cuts = [
+        round(float(np.percentile(early, q, method="linear")), 6)
+        for q in range(10, 100, 10)
+    ]
+
+    def bin_of(v):
+        return sum(1 for c in cuts if v > c)
+
+    na, nb = len(early), len(late)
+    ca: dict = {}
+    cb: dict = {}
+    for v in early:
+        ca[bin_of(v)] = ca.get(bin_of(v), 0) + 1
+    for v in late:
+        cb[bin_of(v)] = cb.get(bin_of(v), 0) + 1
+    want = {}
+    for b in set(ca) | set(cb):
+        pa = (ca.get(b, 0) + 1) / (na + 10)
+        pb = (cb.get(b, 0) + 1) / (nb + 10)
+        want[b] = round((pb - pa) * math.log(pb / pa), 6)
+
+    edf = spark.createDataFrame([(v,) for v in early], "o_totalprice DOUBLE")
+    ldf = spark.createDataFrame([(v,) for v in late], "o_totalprice DOUBLE")
+    cuts_df = edf.agg(
+        F.expr(
+            "transform(percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,"
+            "0.6,0.7,0.8,0.9)), c -> round(c, 6))"
+        ).alias("_cuts")
+    )
+    bin_expr = F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("o_totalprice") > c, 1).otherwise(0),
+    )
+
+    def bins(df, name):
+        return (
+            df.crossJoin(F.broadcast(cuts_df))
+            .select(bin_expr.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    aa = bins(edf, "n_early")
+    bb = bins(ldf, "n_late")
+    pa = (F.coalesce("n_early", F.lit(0)) + 1) / F.lit(na + 10)
+    pb = (F.coalesce("n_late", F.lit(0)) + 1) / F.lit(nb + 10)
+    got = {
+        r["bin"]: r["t"]
+        for r in aa.join(bb, "bin", "full")
+        .select("bin", F.round((pb - pa) * F.log(pb / pa), 6).alias("t"))
+        .collect()
+    }
+    assert got == want
+    assert sum(want.values()) > 0.05  # the shifted period drifts
