@@ -5214,16 +5214,213 @@ def q_events_dow_deseasonalize(spark, sf_dir):
     )
 
 
+def q_customers_acctbal_gini(spark, sf_dir):
+    """Gini coefficient of customer account balances -- the one-number
+    inequality/concentration summary (how top-heavy is the balance
+    distribution). Gini = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over the
+    ascending-ranked values: the rank comes from the two-phase bucketed
+    global_rank (X130 -- NEVER the single-partition ORDER BY window),
+    the two weighted sums run through DECIMAL (rank*value products are
+    fixed-shape doubles), and the closed form evaluates on the one
+    result row. Negative balances are kept (the standard caveat: Gini
+    can exceed 1 when totals near zero -- here totals are large and
+    positive)."""
+    c = _scan(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = rel.global_rank(
+        c, key="c_acctbal", tiebreaker="c_custkey", rank_col="rk"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,10)")).alias("_s0"),
+        F.sum(
+            (F.col("rk") * F.col("c_acctbal")).cast("decimal(38,10)")
+        ).alias("_s1"),
+    )
+    n = F.col("n_customers").cast("double")
+    s0 = F.col("_s0").cast("double")
+    s1 = F.col("_s1").cast("double")
+    return agg.select(
+        "n_customers",
+        F.round(s0, 4).alias("total_balance"),
+        F.round(2 * s1 / (n * s0) - (n + 1) / n, 9).alias("gini"),
+    )
+
+
+def q_events_peak_concurrency(spark, sf_dir):
+    """Per-day peak concurrency of 5-minute activity intervals (each
+    event opens [ts, ts+300s), truncated at its day's end): the
+    capacity-planning number behind every 'max simultaneous sessions'
+    dashboard. Classic sweep-line as SQL: +1/-1 boundary deltas emit
+    in-row (x2, map-side), one day-partitioned running-sum window
+    ordered (time, delta) -- -1 before +1 at ties, the half-open
+    convention -- and a per-day max. Partitions are DAYS (bounded
+    rows), so the running sum never becomes the single-partition
+    global-sort straggler; day-crossing intervals are truncated by
+    construction and documented as start-day attribution."""
+    from pyspark.sql import Window
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("day"), F.unix_micros("ts").alias("_s"))
+    )
+    day_end = (
+        F.unix_micros(F.date_add(F.col("day"), 1).cast("timestamp"))
+    )
+    deltas = ev.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("_s").alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    F.least(F.col("_s") + 300_000_000, day_end).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("_e"),
+    ).select("day", "_e.t", "_e.d")
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = deltas.withColumn("_c", F.sum("d").over(w))
+    return run.groupBy("day").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        F.max("_c").cast("long").alias("peak_concurrency"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_intervals",
+        "peak_concurrency",
+    )
+
+
+def q_events_conversion_survival(spark, sf_dir):
+    """Kaplan-Meier survival of view->purchase conversion at day
+    granularity: for each duration day, the number still at risk, the
+    conversions, the right-censored (users who never purchased --
+    censored at the corpus horizon), and the KM survival estimate
+    S(d) = prod(1 - d_i/n_i) -- the time-to-event analysis (media
+    mix, onboarding funnels) that naive conversion rates get wrong by
+    ignoring censoring. The product evaluates as exp(cumsum(ln(.)))
+    over the |duration-days| table (bounded -- the cumulative_users
+    single-partition-over-days convention); each factor is one
+    fixed-shape ln over exact integer counts, rounded at the end."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    v0 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("_t0")
+    )
+    p1 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v0, "user_id")
+        .where(F.col("ts") > F.col("_t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t1"))
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("_h"))
+    per_user = (
+        v0.join(p1, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("_t1").isNotNull(),
+                F.datediff(F.to_date("_t1"), F.to_date("_t0")),
+            )
+            .otherwise(F.datediff(F.col("_h"), F.to_date("_t0")))
+            .cast("long")
+            .alias("dur_day"),
+            F.col("_t1").isNotNull().alias("_conv"),
+        )
+    )
+    daily = per_user.groupBy("dur_day").agg(
+        F.sum(F.when(F.col("_conv"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.sum(F.when(F.col("_conv"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    wcum = Window.orderBy("dur_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = per_user.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    at_risk = daily.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk",
+        (
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("n_converted") + F.col("n_censored")).over(wcum),
+                F.lit(0),
+            )
+        ).cast("long"),
+    )
+    wkm = Window.orderBy("dur_day").rowsBetween(Window.unboundedPreceding, 0)
+    # a day where EVERYONE at risk converts has factor 0: ln is
+    # undefined (NULL in Spark -- silently DROPPED by the window sum --
+    # and an error in DuckDB), so the zero factor is handled explicitly:
+    # survival pins to 0 from that day onward
+    factor = 1.0 - F.col("n_converted") / F.col("n_at_risk")
+    safe_ln = F.log(F.when(factor > 0, factor).otherwise(F.lit(1.0)))
+    return at_risk.withColumn(
+        "survival",
+        F.round(
+            F.when(
+                F.min(factor).over(wkm) > 0,
+                F.exp(F.sum(safe_ln).over(wkm)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    ).select("dur_day", "n_at_risk", "n_converted", "n_censored", "survival")
+
+
+def q_embeddings_remove_top_component(spark, sf_dir):
+    """All-but-the-top-component postprocessing (Mu & Viswanath 2018):
+    project every vector against the power-iteration direction (X185)
+    and report the projection plus the norms before/after removal --
+    the standard embedding-isotropy fix, here as the per-vector audit.
+    The direction is bounded model state (dim doubles) embedded as a
+    literal, so the removal pass is MAP-ONLY at any corpus size;
+    ||v - proj*u||^2 folds in-row as dot(v,v) - proj^2 (u is unit),
+    clamped at 0 against rounding."""
+    emb = _emb(spark, sf_dir)
+    u = _cached(
+        spark,
+        sf_dir,
+        "pca_top_u",
+        lambda: ann_ops.top_principal_component(emb, n_iter=3),
+    )
+    comps = [
+        float(r["component"])
+        for r in sorted(u.collect(), key=lambda r: r["pos"])
+    ]
+    ulit = F.array(*[F.lit(x) for x in comps])
+    v = F.col("embedding").cast("array<double>")
+    from sparkbigdatatextanalysis_spark.operators.ann import _dot
+
+    proj = F.round(_dot(v, ulit), 9)
+    n2 = _dot(v, v)
+    return emb.select(
+        "vec_id",
+        proj.alias("proj"),
+        F.round(F.sqrt(n2), 6).alias("norm_before"),
+        F.round(
+            F.sqrt(F.greatest(n2 - proj * proj, F.lit(0.0))), 6
+        ).alias("norm_after"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-10 window (the rotation
     # the r9 comment block promised, executed verbatim): the 26 keys
     # NEW in r9 lead (their FIRST external driver rows), and the 24
     # OLDEST r07-latest keys fill the remaining slots. Keys NEW in r10
-    # are sectioned immediately after the window: the 26 of them lead
-    # the r11 window, with the OLDEST 24 of the displaced r07 tail
+    # are sectioned immediately after the window: the 30 of them lead
+    # the r11 window, with the OLDEST 20 of the displaced r07 tail
     # (latest row r07, the staleness maximum) filling the remaining
-    # slots; the final 2 r07 keys gate r12 beside the r08 cohort.
+    # slots; the final 6 r07 keys gate r12 beside the r08 cohort.
     # CEILING NOTE: at 176+ keys the 50-slot window cycles in ~4
     # rounds (staleness <= 3); every key added pushes one old key's
     # next driver row out by one round. In-repo freshness does not
@@ -5312,6 +5509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_share": q_nation_revenue_share,
         "event_type_audience_overlap": q_event_type_audience_overlap,
         "events_dow_deseasonalize": q_events_dow_deseasonalize,
+        "customers_acctbal_gini": q_customers_acctbal_gini,
+        "events_peak_concurrency": q_events_peak_concurrency,
+        "events_conversion_survival": q_events_conversion_survival,
+        "embeddings_remove_top_component": q_embeddings_remove_top_component,
         # --- latest driver row r07, displaced tail (26): gate r11 ---
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -9649,6 +9850,114 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ",\n".join(_pi_ctes)
         + "\nSELECT pos::BIGINT AS pos, component FROM c3"
     )
+    _rm_dot_u = _emb_dot_sql("ve.v", "u.uu")
+    _rm_dot_v = _emb_dot_sql("ve.v", "ve.v")
+    sqls["embeddings_remove_top_component"] = (
+        "WITH " + ",\n".join(_pi_ctes)
+        + f""",
+        u AS (SELECT list(component ORDER BY pos) AS uu FROM c3),
+        ve AS (
+          SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+          FROM embeddings
+        )
+        SELECT vec_id,
+               round({_rm_dot_u}, 9) AS proj,
+               round(sqrt({_rm_dot_v}), 6) AS norm_before,
+               round(sqrt(greatest(
+                 {_rm_dot_v} - round({_rm_dot_u}, 9) * round({_rm_dot_u}, 9),
+                 0.0)), 6) AS norm_after
+        FROM ve CROSS JOIN u
+    """
+    )
+    sqls["customers_acctbal_gini"] = """
+        WITH rk AS (
+          SELECT c_acctbal,
+                 row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rk
+          FROM customer
+        ),
+        agg AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(CAST(c_acctbal AS DECIMAL(38,10))) AS s0d,
+                 sum(CAST(rk * c_acctbal AS DECIMAL(38,10))) AS s1d
+          FROM rk
+        )
+        SELECT n AS n_customers,
+               round(s0d::DOUBLE, 4) AS total_balance,
+               round(2 * s1d::DOUBLE / (n::DOUBLE * s0d::DOUBLE)
+                     - (n::DOUBLE + 1) / n::DOUBLE, 9) AS gini
+        FROM agg
+    """
+    sqls["events_peak_concurrency"] = """
+        WITH ev AS (
+          SELECT ts::DATE AS day, epoch_us(ts) AS s
+          FROM events WHERE ts IS NOT NULL
+        ),
+        del AS (
+          SELECT day, s AS t, 1 AS d FROM ev
+          UNION ALL
+          SELECT day,
+                 least(s + 300000000,
+                       epoch_us((day + 1)::TIMESTAMP)) AS t,
+                 -1 AS d
+          FROM ev
+        ),
+        run AS (
+          SELECT day,
+                 sum(d) OVER (PARTITION BY day ORDER BY t, d
+                              ROWS UNBOUNDED PRECEDING) AS c
+          FROM del
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               (count(*) / 2)::BIGINT AS n_intervals,
+               max(c)::BIGINT AS peak_concurrency
+        FROM run GROUP BY 1
+    """
+    sqls["events_conversion_survival"] = """
+        WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+        v0 AS (
+          SELECT user_id, min(ts) AS t0 FROM ev
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        p1 AS (
+          SELECT e.user_id, min(e.ts) AS t1
+          FROM ev e JOIN v0 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > v0.t0
+          GROUP BY 1
+        ),
+        hz AS (SELECT max(ts::DATE) AS h FROM ev),
+        pu AS (
+          SELECT (CASE WHEN t1 IS NOT NULL
+                       THEN date_diff('day', t0::DATE, t1::DATE)
+                       ELSE date_diff('day', t0::DATE, h) END)::BIGINT
+                   AS dur_day,
+                 t1 IS NOT NULL AS conv
+          FROM v0 LEFT JOIN p1 USING (user_id) CROSS JOIN hz
+        ),
+        daily AS (
+          SELECT dur_day,
+                 sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+                 sum(CASE WHEN conv THEN 0 ELSE 1 END)::BIGINT AS n_censored
+          FROM pu GROUP BY 1
+        ),
+        tot AS (SELECT count(*)::BIGINT AS n FROM pu),
+        ar AS (
+          SELECT dur_day, n_converted, n_censored,
+                 (tot.n - coalesce(sum(n_converted + n_censored)
+                    OVER (ORDER BY dur_day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
+          FROM daily, tot
+        )
+        SELECT dur_day, n_at_risk, n_converted, n_censored,
+               round(CASE WHEN min(1.0 - n_converted / n_at_risk)
+                            OVER w > 0
+                          THEN exp(sum(ln(CASE WHEN
+                                 1.0 - n_converted / n_at_risk > 0
+                                 THEN 1.0 - n_converted / n_at_risk
+                                 ELSE 1.0 END)) OVER w)
+                          ELSE 0.0 END, 6) AS survival
+        FROM ar
+        WINDOW w AS (ORDER BY dur_day ROWS UNBOUNDED PRECEDING)
+    """
     sqls["docs_zipf_fit"] = f"""
         WITH {_BASE},
         voc AS (SELECT token, count(*)::BIGINT AS n_occ FROM ex GROUP BY 1),

@@ -198,6 +198,10 @@ HEADLINE = [
     "nation_revenue_share",
     "event_type_audience_overlap",
     "events_dow_deseasonalize",
+    "customers_acctbal_gini",
+    "events_peak_concurrency",
+    "events_conversion_survival",
+    "embeddings_remove_top_component",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

@@ -539,6 +539,19 @@ BUDGETS = {
     # deseasonalize: day agg + the dow/global re-aggs over |days| rows
     # (both broadcast back)
     "events_dow_deseasonalize": (5, 2),
+    # gini: the two-phase global_rank decomposition (cuts + per-bucket
+    # windows) + one DECIMAL weighted-sum agg
+    "customers_acctbal_gini": (6, 3),
+    # sweep line: in-row +-1 delta fan-out, ONE day-partitioned running
+    # sum shared with the per-day max
+    "events_peak_concurrency": (1, 0),
+    # KM survival: first-view/first-purchase aggs + the per-user join,
+    # then |duration-days|-sized windows; the un-persisted v0 subtree
+    # feeds two consumers (counted per consumer)
+    "events_conversion_survival": (9, 5),
+    # top-component removal: map-only against the literal direction
+    # (the 1 is the scan fan-out; iterations ran eagerly at build)
+    "embeddings_remove_top_component": (1, 0),
 }
 
 

@@ -379,3 +379,19 @@ def test_psi_terms_match_python(spark):
     }
     assert got == want
     assert sum(want.values()) > 0.05  # the shifted period drifts
+
+
+# --- bench entry-list integrity -----------------------------------------------
+
+
+def test_bench_entries_all_resolve():
+    """bench.py's _run silently skips names missing from queries() --
+    a typo'd HEADLINE/WITNESS entry would vanish from the artifact
+    without a trace. Pin that every bench name resolves to a gated key
+    or a declared bench-only EXTRA."""
+    import bench
+    import __spark_entry__ as em
+
+    known = set(em.queries()) | set(bench.EXTRA)
+    missing = [n for n in list(bench.HEADLINE) + list(bench.WITNESS) if n not in known]
+    assert missing == [], missing
