@@ -5411,16 +5411,246 @@ def q_embeddings_remove_top_component(spark, sf_dir):
     )
 
 
+def q_events_daily_acf(spark, sf_dir):
+    """Autocorrelation function of the daily event-count series at
+    lags 1..7 (operators/timeseries.py::autocorrelation): the
+    seasonality detector -- a weekly cycle shows as a positive lag-7
+    spike, which the X188 deseasonalizer then removes. The series
+    table is one row per DAY regardless of event volume (bounded time
+    dimension), so the lag fan-out and self-join are trivially small
+    at any scale; all moments are exact integer/DECIMAL sums and the
+    centered estimator expands algebraically so only fixed-shape
+    double arithmetic remains (no order-dependent float sum)."""
+    from sparkbigdatatextanalysis_spark.operators import timeseries as tsr
+
+    daily = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    return tsr.autocorrelation(daily, day_col="day", x_col="x", max_lag=7)
+
+
+def q_docs_length_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the n_chars
+    distributions of the even- and odd-numbered document sources
+    (operators/stats.py::ks_two_sample) -- the shape-sensitive
+    distribution-shift test a mean/stddev drift check misses (two
+    corpora can share a mean while one is bimodal). A/B split follows
+    the catalog convention: source 'srcN' with even N is sample A. The
+    ECDF gap compares as an exact integer cross product per distinct
+    length; the one float division happens on the single result row."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st_mod
+
+    d = _docs(spark, sf_dir).select(
+        "n_chars",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0).alias("_is_a"),
+    )
+    return st_mod.ks_two_sample(
+        d, "n_chars", F.col("_is_a"), value_out="ks_at_n_chars"
+    )
+
+
+def q_dedup_assortativity(spark, sf_dir):
+    """Degree assortativity of the n-gram-Jaccard candidate graph
+    (operators/components.py::degree_assortativity): the one-number
+    shape audit of the pair generator -- near-dup graphs of template
+    families trend NEGATIVE (star centers attached to leaves), while a
+    positive drift signals dense clique growth (a mass-duplication
+    event) before cluster sizes blow up. Same jaccard >= 0.05 edge set
+    as the triangle-density key, so the two audits read the same
+    graph; the degree attach is two PLAIN equi-joins by design (the
+    degree table is O(|V|) -- the count_triangles broadcast lesson)."""
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    pairs = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), min_jaccard=0.05
+    ).select("a_id", "b_id")
+    return cc.degree_assortativity(pairs, "a_id", "b_id")
+
+
+def q_orders_interpurchase_dist(spark, sf_dir):
+    """Inter-purchase gap distribution per market segment: consecutive
+    same-customer order-date gaps bucketed (0-7 / 8-30 / 31-90 / 90+
+    days) with each bucket's share and exact mean gap -- the
+    replenishment-cadence read behind every churn-risk window choice.
+    Gaps come from ONE customer-partitioned lag window (per-customer
+    row counts are bounded); the segment attach is a plain equi-join
+    on the customer key (AQE broadcasts at small scale); bucket shares
+    divide exact BIGINT counts re-aggregated from the bucket table
+    (X186's re-aggregate-the-rounded-level convention), never a
+    window-over-doubles."""
+    from pyspark.sql import Window
+
+    o = _scan(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    c = _scan(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn(
+            "_gap",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).cast("long"),
+        )
+        .where(F.col("_gap").isNotNull())
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "_gap",
+            F.when(F.col("_gap") <= 7, "0-7")
+            .when(F.col("_gap") <= 30, "8-30")
+            .when(F.col("_gap") <= 90, "31-90")
+            .otherwise("90+")
+            .alias("gap_bucket"),
+        )
+    )
+    per = gaps.groupBy("c_mktsegment", "gap_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("_gap").cast("decimal(18,0)").alias("_sg"),
+    )
+    seg = per.groupBy(F.col("c_mktsegment").alias("_seg")).agg(
+        F.sum("n_gaps").cast("long").alias("_tot")
+    )
+    return (
+        per.join(F.broadcast(seg), per.c_mktsegment == F.col("_seg"))
+        .select(
+            "c_mktsegment",
+            "gap_bucket",
+            "n_gaps",
+            F.round(
+                F.col("n_gaps").cast("double") / F.col("_tot").cast("double"),
+                9,
+            ).alias("share"),
+            F.round(
+                F.col("_sg").cast("double") / F.col("n_gaps").cast("double"),
+                9,
+            ).alias("mean_gap_days"),
+        )
+    )
+
+
+def q_events_chisq_type_dow(spark, sf_dir):
+    """Chi-square statistic of independence between event_type and
+    day-of-week: the contingency-table test behind "does the type mix
+    shift across the week" -- the categorical complement of the X188
+    additive decomposition. Observed cells are one bounded
+    groupBy(type, dow); marginals RE-AGGREGATE the cell table (never a
+    second raw scan) and broadcast back as true dimensions; expected
+    counts and per-cell terms are fixed-shape doubles over exact
+    BIGINTs, each term rounded to 9 dp before the DECIMAL sum (the 35
+    cells would otherwise fold in engine order). Weekday is pure date
+    arithmetic, days-since-Monday mod 7 (the X188 convention)."""
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.pmod(
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-05").cast("date")
+                ),
+                7,
+            ).cast("int").alias("dow"),
+        )
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rt = cells.groupBy(F.col("event_type").alias("_t")).agg(
+        F.sum("n").cast("long").alias("_rt")
+    )
+    ct = cells.groupBy(F.col("dow").alias("_d")).agg(
+        F.sum("n").cast("long").alias("_ct")
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("_n"))
+    j = (
+        cells.join(F.broadcast(rt), cells.event_type == F.col("_t"))
+        .join(F.broadcast(ct), cells.dow == F.col("_d"))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("_rt").cast("double")
+        * F.col("_ct").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term = F.round(
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e,
+        9,
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("_n").alias("n_total"),
+        (
+            (F.count_distinct(F.col("event_type")) - 1)
+            * (F.count_distinct(F.col("dow")) - 1)
+        ).cast("long").alias("dof"),
+        F.round(
+            F.sum(term.cast("decimal(38,10)")).cast("double"), 6
+        ).alias("chi2"),
+    )
+
+
+def q_brand_supplier_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each part brand: HHI = sum(share^2) over suppliers -- the
+    supply-risk number behind single-source alerts (1.0 = one
+    supplier, 1/n = perfectly split). Revenue products are fixed-shape
+    doubles summed through DECIMAL per (brand, supplier); the brand
+    total re-aggregates the ROUNDED supplier revenues (X186's
+    convention), shares divide two exact doubles, and share^2 terms
+    round to 12 dp before their DECIMAL sum. The brand re-join reuses
+    the groupBy's hash partitioning (no forced broadcast -- the
+    attribution_linear lesson: the supplier-level table is
+    O(|brands| x |suppliers|))."""
+    li = _scan(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).cast("decimal(38,10)").alias("_rev"),
+    )
+    p = _scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.round(F.sum("_rev").cast("double"), 4).alias("_rev_s"))
+    )
+    btot = bs.groupBy(F.col("p_brand").alias("_b")).agg(
+        F.sum(F.col("_rev_s").cast("decimal(38,10)")).alias("_totd")
+    )
+    share = F.col("_rev_s") / F.col("_totd").cast("double")
+    return (
+        bs.join(btot, bs.p_brand == F.col("_b"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.max(F.col("_totd").cast("double")), 4).alias(
+                "brand_revenue"
+            ),
+            F.round(
+                F.sum(
+                    F.round(share * share, 12).cast("decimal(38,18)")
+                ).cast("double"),
+                9,
+            ).alias("hhi"),
+            F.round(F.max(share), 9).alias("top_share"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-10 window (the rotation
     # the r9 comment block promised, executed verbatim): the 26 keys
     # NEW in r9 lead (their FIRST external driver rows), and the 24
     # OLDEST r07-latest keys fill the remaining slots. Keys NEW in r10
-    # are sectioned immediately after the window: the 30 of them lead
-    # the r11 window, with the OLDEST 20 of the displaced r07 tail
-    # (latest row r07, the staleness maximum) filling the remaining
-    # slots; the final 6 r07 keys gate r12 beside the r08 cohort.
+    # are sectioned immediately after the window: the 36 of them lead
+    # the r11 window (36 > 50-26 means r11 is 36 new + the OLDEST 14 of
+    # the displaced r07 tail, latest row r07, the staleness maximum);
+    # the final 12 r07 keys gate r12 beside the r08 cohort.
     # CEILING NOTE: at 176+ keys the 50-slot window cycles in ~4
     # rounds (staleness <= 3); every key added pushes one old key's
     # next driver row out by one round. In-repo freshness does not
@@ -5513,6 +5743,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_peak_concurrency": q_events_peak_concurrency,
         "events_conversion_survival": q_events_conversion_survival,
         "embeddings_remove_top_component": q_embeddings_remove_top_component,
+        "events_daily_acf": q_events_daily_acf,
+        "docs_length_ks": q_docs_length_ks,
+        "dedup_assortativity": q_dedup_assortativity,
+        "orders_interpurchase_dist": q_orders_interpurchase_dist,
+        "events_chisq_type_dow": q_events_chisq_type_dow,
+        "brand_supplier_hhi": q_brand_supplier_hhi,
         # --- latest driver row r07, displaced tail (26): gate r11 ---
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -10005,5 +10241,219 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN slope IS NOT NULL AND vary <> 0
                     THEN round((cov * cov) / (varx * vary), 6) END AS r2
         FROM s
+    """
+    sqls["events_daily_acf"] = """
+        WITH daily AS (
+          SELECT ts::DATE AS day, count(*)::BIGINT AS x
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        base AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(CAST(x AS DECIMAL(18,0))) AS sx,
+                 sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+                   AS sxx
+          FROM daily
+        ),
+        lags AS (SELECT unnest(range(1, 8)) AS lag),
+        pairs AS (
+          SELECT l.lag, d1.x AS x1, d2.x AS x2
+          FROM daily d1 CROSS JOIN lags l
+          JOIN daily d2 ON d2.day = d1.day + l.lag::INT
+        ),
+        per AS (
+          SELECT lag, count(*)::BIGINT AS n_pairs,
+                 sum(CAST(x1 AS DECIMAL(18,0))) AS sh,
+                 sum(CAST(x2 AS DECIMAL(18,0))) AS st,
+                 sum(CAST(x1 AS DECIMAL(18,0)) * CAST(x2 AS DECIMAL(18,0)))
+                   AS sxy
+          FROM pairs GROUP BY 1
+        )
+        SELECT lag::INT AS lag, n_pairs,
+               round(CASE WHEN sxx::DOUBLE - n::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+                              * (sx::DOUBLE / n::DOUBLE) > 0
+                     THEN (sxy::DOUBLE
+                           - (sx::DOUBLE / n::DOUBLE) * (sh::DOUBLE + st::DOUBLE)
+                           + n_pairs::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+                             * (sx::DOUBLE / n::DOUBLE))
+                          / (sxx::DOUBLE - n::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+                             * (sx::DOUBLE / n::DOUBLE))
+                     END, 9) AS acf
+        FROM per CROSS JOIN base
+    """
+    sqls["docs_length_ks"] = """
+        WITH d AS (
+          SELECT n_chars,
+                 (CAST(substr(source, 4) AS INT) % 2 = 0) AS is_a
+          FROM documents WHERE n_chars IS NOT NULL
+        ),
+        per AS (
+          SELECT n_chars,
+                 sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+                 sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS cb
+          FROM d GROUP BY 1
+        ),
+        cum AS (
+          SELECT n_chars,
+                 CAST(sum(ca) OVER w AS DECIMAL(18,0)) AS cuma,
+                 CAST(sum(cb) OVER w AS DECIMAL(18,0)) AS cumb
+          FROM per
+          WINDOW w AS (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+        ),
+        tot AS (
+          SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM per
+        )
+        SELECT n_a, n_b,
+               round(abs(cuma * CAST(n_b AS DECIMAL(18,0))
+                         - cumb * CAST(n_a AS DECIMAL(18,0)))::DOUBLE
+                     / (n_a::DOUBLE * n_b::DOUBLE), 9) AS ks_stat,
+               n_chars AS ks_at_n_chars
+        FROM cum CROSS JOIN tot
+        ORDER BY abs(cuma * CAST(n_b AS DECIMAL(18,0))
+                     - cumb * CAST(n_a AS DECIMAL(18,0))) DESC,
+                 n_chars ASC
+        LIMIT 1
+    """
+    sqls["dedup_assortativity"] = f"""
+        WITH {_DEDUP_BASE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_inter
+          FROM shh a JOIN shh b USING (sh)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        und AS (
+          SELECT x, y FROM inter
+          JOIN sizes na ON na.doc_id = x
+          JOIN sizes nb ON nb.doc_id = y
+          WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.05
+        ),
+        deg AS (
+          SELECT n, count(*)::BIGINT AS deg
+          FROM (SELECT x AS n FROM und UNION ALL SELECT y FROM und)
+          GROUP BY n
+        ),
+        dir AS (
+          SELECT x AS s, y AS t FROM und
+          UNION ALL SELECT y AS s, x AS t FROM und
+        ),
+        lab AS (
+          SELECT ds.deg AS dx, dt.deg AS dy
+          FROM dir
+          JOIN deg ds ON ds.n = dir.s
+          JOIN deg dt ON dt.n = dir.t
+        ),
+        mom AS (
+          SELECT count(*)::BIGINT AS m,
+                 sum(CAST(dx AS DECIMAL(18,0))) AS sx,
+                 sum(CAST(dy AS DECIMAL(18,0))) AS sy,
+                 sum(CAST(dx AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0)))
+                   AS sxy,
+                 sum(CAST(dx AS DECIMAL(18,0)) * CAST(dx AS DECIMAL(18,0)))
+                   AS sxx,
+                 sum(CAST(dy AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0)))
+                   AS syy
+          FROM lab
+        ),
+        cnt AS (
+          SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+                 (SELECT count(*)::BIGINT FROM und) AS n_edges
+        )
+        SELECT n_nodes, n_edges,
+               round(CASE WHEN m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                           AND m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+                     THEN (m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                          / sqrt((m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                                 * (m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                     END, 9) AS assortativity
+        FROM mom CROSS JOIN cnt
+    """
+    sqls["orders_interpurchase_dist"] = """
+        WITH g AS (
+          SELECT o_custkey,
+                 date_diff('day',
+                   lag(o_orderdate::DATE) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate::DATE)::BIGINT AS gap
+          FROM orders
+        ),
+        gb AS (
+          SELECT c_mktsegment, gap,
+                 CASE WHEN gap <= 7 THEN '0-7'
+                      WHEN gap <= 30 THEN '8-30'
+                      WHEN gap <= 90 THEN '31-90'
+                      ELSE '90+' END AS gap_bucket
+          FROM g JOIN customer ON o_custkey = c_custkey
+          WHERE gap IS NOT NULL
+        ),
+        per AS (
+          SELECT c_mktsegment, gap_bucket, count(*)::BIGINT AS n_gaps,
+                 CAST(sum(gap) AS DECIMAL(18,0)) AS sg
+          FROM gb GROUP BY 1, 2
+        ),
+        seg AS (
+          SELECT c_mktsegment, sum(n_gaps)::BIGINT AS tot
+          FROM per GROUP BY 1
+        )
+        SELECT per.c_mktsegment, gap_bucket, n_gaps,
+               round(n_gaps::DOUBLE / tot::DOUBLE, 9) AS share,
+               round(sg::DOUBLE / n_gaps::DOUBLE, 9) AS mean_gap_days
+        FROM per JOIN seg USING (c_mktsegment)
+    """
+    sqls["events_chisq_type_dow"] = """
+        WITH ev AS (
+          SELECT event_type,
+                 (((date_diff('day', DATE '1970-01-05', ts::DATE) % 7) + 7)
+                   % 7)::INT AS dow
+          FROM events WHERE ts IS NOT NULL
+        ),
+        cells AS (
+          SELECT event_type, dow, count(*)::BIGINT AS n FROM ev GROUP BY 1, 2
+        ),
+        rt AS (SELECT event_type, sum(n)::BIGINT AS rtot FROM cells GROUP BY 1),
+        ct AS (SELECT dow, sum(n)::BIGINT AS ctot FROM cells GROUP BY 1),
+        tot AS (SELECT sum(n)::BIGINT AS nt FROM cells),
+        j AS (
+          SELECT cells.event_type, cells.dow, cells.n, rtot, ctot, nt
+          FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+          CROSS JOIN tot
+        )
+        SELECT count(*)::BIGINT AS n_cells,
+               max(nt)::BIGINT AS n_total,
+               ((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1))::BIGINT AS dof,
+               round(CAST(sum(CAST(round(
+                 (n::DOUBLE - rtot::DOUBLE * ctot::DOUBLE / nt::DOUBLE)
+                 * (n::DOUBLE - rtot::DOUBLE * ctot::DOUBLE / nt::DOUBLE)
+                 / (rtot::DOUBLE * ctot::DOUBLE / nt::DOUBLE), 9)
+                 AS DECIMAL(38,10))) AS DOUBLE), 6) AS chi2
+        FROM j
+    """
+    sqls["brand_supplier_hhi"] = """
+        WITH li AS (
+          SELECT p_brand, l_suppkey,
+                 CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(38,10)) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        bs AS (
+          SELECT p_brand, l_suppkey,
+                 round(CAST(sum(rev) AS DOUBLE), 4) AS rev_s
+          FROM li GROUP BY 1, 2
+        ),
+        bt AS (
+          SELECT p_brand,
+                 CAST(sum(CAST(rev_s AS DECIMAL(38,10))) AS DOUBLE) AS tot
+          FROM bs GROUP BY 1
+        )
+        SELECT p_brand,
+               count(*)::BIGINT AS n_suppliers,
+               round(max(tot), 4) AS brand_revenue,
+               round(CAST(sum(CAST(round((rev_s / tot) * (rev_s / tot), 12)
+                 AS DECIMAL(38,18))) AS DOUBLE), 9) AS hhi,
+               round(max(rev_s / tot), 9) AS top_share
+        FROM bs JOIN bt USING (p_brand)
+        GROUP BY 1
     """
     return sqls

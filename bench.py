@@ -202,6 +202,14 @@ HEADLINE = [
     "events_peak_concurrency",
     "events_conversion_survival",
     "embeddings_remove_top_component",
+    # r10 fifth wave: ACF, two-sample KS, graph assortativity,
+    # inter-purchase cadence, chi-square independence, supplier HHI
+    "events_daily_acf",
+    "docs_length_ks",
+    "dedup_assortativity",
+    "orders_interpurchase_dist",
+    "events_chisq_type_dow",
+    "brand_supplier_hhi",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

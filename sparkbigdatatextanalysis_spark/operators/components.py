@@ -558,3 +558,90 @@ def kcore_peel(
             (F.coalesce("deg", F.lit(0)) >= k).alias("in_core"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, a: str = "u", b: str = "v"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    graph: the Pearson correlation of endpoint degrees over the
+    DIRECTED edge list (each undirected edge contributes both
+    orientations -- the standard symmetric convention). Positive means
+    hubs attach to hubs (a social/core-periphery shape); near-dup
+    candidate graphs trend negative (star centers attached to leaves),
+    so the sign is a one-number shape audit of the pair generator.
+
+    Scale shape: canonical-edge distinct + ONE degree aggregation
+    (O(|V|) rows), both orientations emitted IN-ROW from each
+    undirected edge (explode x2, map-side -- never a union rescan of
+    the pair-generation subtree), then two PLAIN equi-joins to attach
+    endpoint degrees -- deliberately NOT broadcast: the degree table is
+    O(|V|) and cannot ship to executors on a 100 TB graph (the
+    count_triangles degree-attach lesson; AQE still broadcasts when
+    genuinely small). The Pearson moments are exact: degrees are
+    BIGINT, every product runs through DECIMAL(18,0)xDECIMAL(18,0) ->
+    DECIMAL(37,0) (never a lossy double sum), and the closed form
+    evaluates on the single result row.
+
+    Returns one row: (n_nodes, n_edges, assortativity) -- NULL when a
+    degree variance is 0 (e.g. a perfect matching or a single clique).
+    """
+    und = (
+        edges.select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("x").alias("n"))
+        .unionByName(und.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    directed = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("s"), F.col("y").alias("t")),
+                F.struct(F.col("y").alias("s"), F.col("x").alias("t")),
+            )
+        ).alias("_e")
+    ).select("_e.s", "_e.t")
+    ds = deg.select(F.col("n").alias("s"), F.col("deg").alias("dx"))
+    dt = deg.select(F.col("n").alias("t"), F.col("deg").alias("dy"))
+    lab = directed.join(ds, "s").join(dt, "t")
+    dxd = F.col("dx").cast("decimal(18,0)")
+    dyd = F.col("dy").cast("decimal(18,0)")
+    mom = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(dxd).alias("_sx"),
+        F.sum(dyd).alias("_sy"),
+        F.sum(dxd * dyd).alias("_sxy"),
+        F.sum(dxd * dxd).alias("_sxx"),
+        F.sum(dyd * dyd).alias("_syy"),
+    )
+    counts = und.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(
+        F.broadcast(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    )
+    md = F.col("m").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    varx = md * sxx - sx * sx
+    vary = md * syy - sy * sy
+    out = mom.crossJoin(F.broadcast(counts)).select(
+        "n_nodes",
+        "n_edges",
+        F.round(
+            F.when(
+                (varx > 0) & (vary > 0),
+                (md * sxy - sx * sy) / F.sqrt(varx * vary),
+            ),
+            9,
+        ).alias("assortativity"),
+    )
+    return out

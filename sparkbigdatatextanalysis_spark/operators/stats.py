@@ -598,3 +598,72 @@ def grouped_moments(
             "kurtosis_excess"
         ),
     )
+
+
+def ks_two_sample(
+    df: DataFrame, value_col: str, is_a_col, value_out: str = "ks_at_value"
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the rows where
+    ``is_a_col`` is true (sample A) and the rest (sample B): the
+    largest absolute ECDF gap sup_v |F_A(v) - F_B(v)| -- the standard
+    distribution-shift test behind "did this corpus slice's length /
+    score distribution move" questions, where mean-based drift checks
+    miss shape changes.
+
+    Exactness: per distinct value the two conditional counts are
+    BIGINT; the ECDF gap compares as the INTEGER cross product
+    |cumA*nB - cumB*nA| (DECIMAL(18,0) operands so 100 TB counts cannot
+    overflow) -- no float division until the single final row, where
+    ks = gap/(nA*nB) is one fixed-shape double. The argmax value is
+    tie-broken to the SMALLEST value (a struct max over (gap, -value)),
+    so the result is deterministic under any partitioning.
+
+    Scale shape: ONE groupBy(value) partial agg (output bounded by the
+    value DOMAIN, not the row count), one ordered cumulative-sum window
+    over that bounded table (the cumulative-users convention: a
+    global window is safe exactly because the domain is bounded), and
+    single-row broadcast totals. NULL values drop.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(is_a_col, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(is_a_col, 0).otherwise(1)).cast("long").alias("_cb"),
+        )
+    )
+    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        v.alias("_v"),
+        F.sum("_ca").over(w).cast("decimal(18,0)").alias("_cuma"),
+        F.sum("_cb").over(w).cast("decimal(18,0)").alias("_cumb"),
+    )
+    tot = per.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("_cuma") * F.col("n_b").cast("decimal(18,0)")
+            - F.col("_cumb") * F.col("n_a").cast("decimal(18,0)")
+        ).alias("_gap"),
+        F.col("_v"),
+    )
+    best = gap.groupBy("n_a", "n_b").agg(
+        F.max(F.struct(F.col("_gap"), (-F.col("_v")).alias("_nv"))).alias("_m")
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("_m._gap").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            9,
+        ).alias("ks_stat"),
+        (-F.col("_m._nv")).alias(value_out),
+    )

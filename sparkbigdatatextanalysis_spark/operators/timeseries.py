@@ -184,3 +184,73 @@ def markov_transitions(
             ),
         )
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    day_col: str = "day",
+    x_col: str = "x",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function of a regular daily series at
+    lags 1..max_lag: r_k = sum_t (x_t - mean)(x_{t+k} - mean) /
+    sum_t (x_t - mean)^2 with the GLOBAL mean (the standard ACF
+    estimator) -- the seasonality detector behind "is there a weekly
+    cycle" reads. ``series`` is one row per day (day_col DATE, x_col
+    integer-valued, e.g. a daily count); missing days simply form no
+    pair at the lags they'd anchor.
+
+    Exactness: x is integer, so every moment is an exact integer sum --
+    lag cross products run through DECIMAL(18,0)xDECIMAL(18,0) (100 TB
+    daily counts cannot overflow), and the final r_k expands the
+    centered numerator algebraically (Sxy_k - mean*(Sh_k + St_k) +
+    m_k*mean^2) so only fixed-shape double arithmetic on exact sums
+    remains: identical on every engine, no order-dependent float sum
+    anywhere.
+
+    Scale shape: the series table is O(|days|) rows REGARDLESS of the
+    underlying event volume (a bounded time dimension), so the lag
+    fan-out (explode x max_lag, in-row) and the self-equi-join on
+    date_add(day, lag) stay trivially small; the join side is
+    broadcast by that same boundedness.
+    """
+    d = F.col(day_col)
+    xd = F.col(x_col).cast("decimal(18,0)")
+    base = series.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(xd * xd).alias("_sxx"),
+    )
+    lagged = series.select(
+        d.alias("_d1"),
+        F.col(x_col).cast("long").alias("_x1"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+    ).withColumn("_d2", F.expr("date_add(_d1, lag)"))
+    right = series.select(d.alias("_d2"), F.col(x_col).cast("long").alias("_x2"))
+    pairs = lagged.join(F.broadcast(right), "_d2")
+    x1d = F.col("_x1").cast("decimal(18,0)")
+    x2d = F.col("_x2").cast("decimal(18,0)")
+    per = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_x1").cast("decimal(18,0)").alias("_sh"),
+        F.sum("_x2").cast("decimal(18,0)").alias("_st"),
+        F.sum(x1d * x2d).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    mean = sx / n
+    m = F.col("n_pairs").cast("double")
+    num = (
+        F.col("_sxy").cast("double")
+        - mean * (F.col("_sh").cast("double") + F.col("_st").cast("double"))
+        + m * mean * mean
+    )
+    den = sxx - n * mean * mean
+    return per.crossJoin(F.broadcast(base)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(F.when(den > 0, num / den), 9).alias("acf"),
+    )

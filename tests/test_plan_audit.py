@@ -552,6 +552,24 @@ BUDGETS = {
     # top-component removal: map-only against the literal direction
     # (the 1 is the scan fan-out; iterations ran eagerly at build)
     "embeddings_remove_top_component": (1, 0),
+    # ACF: daily agg + global-moment agg + the lag-join/per-lag aggs
+    # over the bounded |days| table (broadcast by boundedness)
+    "events_daily_acf": (5, 2),
+    # KS: one value-domain agg + ordered cumsum window + totals agg +
+    # the single-row struct-max agg
+    "docs_length_ks": (4, 1),
+    # assortativity: pair-gen agg + degree agg + two PLAIN degree-attach
+    # equi-joins (O(|V|) table, deliberately not broadcast) + moment agg
+    "dedup_assortativity": (5, 1),
+    # interpurchase: customer-keyed lag window + segment equi-join +
+    # bucket agg + the broadcast segment-total re-agg
+    "orders_interpurchase_dist": (5, 3),
+    # chi-square: cell agg + three marginal re-aggs over the bounded
+    # cell table (each broadcast back) + final agg
+    "events_chisq_type_dow": (9, 3),
+    # HHI: (brand,supplier) agg + brand re-agg; the brand re-join
+    # reuses the groupBy partitioning (no forced broadcast)
+    "brand_supplier_hhi": (4, 2),
 }
 
 
