@@ -210,6 +210,13 @@ HEADLINE = [
     "orders_interpurchase_dist",
     "events_chisq_type_dow",
     "brand_supplier_hhi",
+    # r10 sixth wave: MMR diversified top-k, CUSUM changepoint, token
+    # entropy, 2-D skyline, session bounce rate
+    "embeddings_mmr_topk",
+    "events_cusum_changepoint",
+    "docs_token_entropy",
+    "customers_pareto_front",
+    "sessions_bounce_rate",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

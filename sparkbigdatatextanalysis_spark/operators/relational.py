@@ -600,3 +600,38 @@ def band_join(
     # value_a < value_b and bucket(value_b)-1 == bucket(value_a) means
     # different buckets. Each surviving pair is therefore unique.
     return pairs.select(*pc, "a_id", "b_id", "value_a", "value_b")
+
+
+def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """2-D skyline (Pareto front), maximizing BOTH columns: the rows no
+    other row strictly dominates (x' >= x, y' >= y, one strict) -- the
+    multi-objective shortlist behind "best customers by frequency AND
+    spend" questions, where any single score would bury one axis.
+
+    Decomposition instead of the quadratic NOT-EXISTS: (1) collapse to
+    the per-x maximum of y -- one partial agg whose output is bounded
+    by the X DOMAIN, not the row count; (2) one ordered prefix-max
+    window over that bounded table (the cumulative-users convention:
+    safe exactly because |distinct x| is bounded -- for continuous x
+    domains, pre-bucket x or run a per-salt local skyline first, since
+    skyline(S) is a subset of the skyline of local skylines); a row of
+    the collapsed table survives iff its y strictly exceeds every
+    larger-x maximum; (3) join survivors back on (x, y) -- ties on
+    both axes are mutually non-dominating and ALL kept. The oracle IS
+    the quadratic NOT-EXISTS form, so the decomposition is proven
+    equal.
+    """
+    from pyspark.sql import Window
+
+    per_x = df.groupBy(x).agg(F.max(y).alias("_ym"))
+    w = Window.orderBy(F.col(x).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    surv = (
+        per_x.withColumn("_pm", F.max("_ym").over(w))
+        .where(F.col("_pm").isNull() | (F.col("_ym") > F.col("_pm")))
+        .select(F.col(x).alias("_sx"), F.col("_ym").alias("_sy"))
+    )
+    return df.join(
+        surv, (df[x] == F.col("_sx")) & (df[y] == F.col("_sy"))
+    ).select(*[df[c] for c in df.columns])

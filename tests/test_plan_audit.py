@@ -570,6 +570,21 @@ BUDGETS = {
     # HHI: (brand,supplier) agg + brand re-agg; the brand re-join
     # reuses the groupBy partitioning (no forced broadcast)
     "brand_supplier_hhi": (4, 2),
+    # MMR: the greedy ran EAGERLY at build (bounded pool, kmeans
+    # ferrying); the gated surface is the map-side re-derive of the 5
+    # picks' relevance (the 1 is the scan fan-out)
+    "embeddings_mmr_topk": (1, 0),
+    # CUSUM: daily agg + ordered cumsum/row_number windows over the
+    # bounded |days| table + broadcast totals + struct-max agg
+    "events_cusum_changepoint": (4, 1),
+    # entropy: explode agg + per-doc total re-agg; the total join
+    # reuses the doc partitioning (the 1 is the tok cache fan-out)
+    "docs_token_entropy": (5, 1),
+    # skyline: per-customer agg + per-x collapse + bounded prefix-max
+    # window + the (x,y) join-back
+    "customers_pareto_front": (4, 1),
+    # bounce: the sessionize windows share one user exchange; day agg
+    "sessions_bounce_rate": (2, 0),
 }
 
 
