@@ -5919,16 +5919,265 @@ def q_sessions_bounce_rate(spark, sf_dir):
     )
 
 
+def q_sources_similarity_matrix(spark, sf_dir):
+    """Pairwise cosine similarity between per-source TF-IDF centroids:
+    the corpus-curation "source redundancy map" -- two crawls with
+    near-identical centroids are candidates for dedup/deprioritization
+    before any pair-level work runs. Centroid components are mean
+    TF-IDF weights per (source, token) -- exact-scalar weights summed
+    through DECIMAL, mean rounded 9 dp -- and the source-pair dot/norms
+    re-aggregate those ROUNDED components (X186's convention). The
+    token self-join fans out |sources| per token (a bounded dimension),
+    so cost scales with vocabulary, never with pairs of documents."""
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "source")
+
+    def _build_cent():
+        w = _weights(spark, sf_dir).join(d, "id")
+        nsrc = d.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("_nd")
+        )
+        return (
+            w.groupBy("source", "token")
+            .agg(F.sum(F.col("weight").cast("decimal(38,10)")).alias("_sw"))
+            .join(F.broadcast(nsrc), "source")
+            .select(
+                "source",
+                "token",
+                F.round(
+                    F.col("_sw").cast("double") / F.col("_nd").cast("double"),
+                    9,
+                ).alias("m"),
+            )
+        )
+
+    # persisted: the centroid table (|sources| x |vocab| -- sublinear
+    # in the corpus) feeds THREE consumers (norms + both join sides);
+    # un-persisted, the whole TF-IDF lineage would re-run per consumer
+    cent = _cached(spark, sf_dir, "src_centroids", _build_cent)
+    nrm = cent.groupBy(F.col("source").alias("_s")).agg(
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,18)")).alias("_n2")
+    )
+    a = cent.select(
+        F.col("source").alias("source_a"), "token", F.col("m").alias("_ma")
+    )
+    b = cent.select(
+        F.col("source").alias("source_b"), "token", F.col("m").alias("_mb")
+    )
+    dots = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common_tokens"),
+            F.sum((F.col("_ma") * F.col("_mb")).cast("decimal(38,18)")).alias(
+                "_dot"
+            ),
+        )
+    )
+    na = nrm.select(F.col("_s").alias("source_a"), F.col("_n2").alias("_na2"))
+    nb = nrm.select(F.col("_s").alias("source_b"), F.col("_n2").alias("_nb2"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common_tokens",
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_na2").cast("double"))
+                    * F.sqrt(F.col("_nb2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+def q_dedup_bfs_depths(spark, sf_dir):
+    """Bounded BFS level census from the (degree, id)-argmax seed of
+    the n-gram-Jaccard candidate graph (operators/components.py::
+    bfs_levels): how far the densest near-dup family spreads hop by
+    hop -- component SIZE (X33/X156) without SHAPE misses chain
+    topologies that transitive dedup then over-merges. Frontier
+    expansion is exact set algebra, so the oracle replays every hop as
+    an unrolled CTE; the unreachable remainder (dist = -1) covers the
+    rest of the graph."""
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    pairs = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), min_jaccard=0.05
+    ).select("a_id", "b_id")
+    return cc.bfs_levels(pairs, "a_id", "b_id", max_hops=4)
+
+
+def q_embeddings_knn_hubness(spark, sf_dir):
+    """k-NN in-degree (hubness) audit: how often each vector appears
+    in OTHER vectors' top-5 neighbor lists -- the classic
+    high-dimensional pathology check (Radovanovic et al. 2010): hub
+    vectors dominate retrieval and poison k-NN labeling (X142), so the
+    in-degree distribution is the go/no-go on cosine k-NN before it
+    ships. Reuses the X7 brute-force top-k (every vector as query; the
+    IVF path X8b is the documented swap at scale); the in-degree is
+    one groupBy over the top-k edge list, left-joined back so
+    zero-in-degree anti-hubs are reported too."""
+    emb = _emb(spark, sf_dir)
+    topk = ann_ops.cosine_topk_bruteforce(
+        emb, emb.select("vec_id"), k=ANN_K
+    )
+    indeg = topk.groupBy(F.col("n_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    return (
+        emb.select("vec_id")
+        .join(indeg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+        )
+    )
+
+
+def q_referential_integrity_audit(spark, sf_dir):
+    """Cross-table referential-integrity audit: per foreign-key
+    relationship, the child row count, orphan count (no matching
+    parent), and orphan rate -- the first data-quality gate of every
+    warehouse load (a broken upstream export shows here before any
+    metric silently drops rows at an inner join). The four TPC-H legs
+    are clean by construction; the events->customer leg genuinely
+    carries orphans (event user ids are not all customer keys), so the
+    audit's non-zero path is exercised at gate scale. Each leg is one
+    left join against the DISTINCT parent key set (key-only, plain
+    equi-join -- parent key sets are NOT force-broadcast; AQE
+    broadcasts the genuinely small ones)."""
+    li = _scan(spark, sf_dir, "lineitem")
+    legs = [
+        (
+            "lineitem->orders",
+            li.select(F.col("l_orderkey").alias("k")),
+            _scan(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("k")
+            ),
+        ),
+        (
+            "orders->customer",
+            _scan(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("k")
+            ),
+            _scan(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("k")
+            ),
+        ),
+        (
+            "lineitem->part",
+            li.select(F.col("l_partkey").alias("k")),
+            _scan(spark, sf_dir, "part").select(F.col("p_partkey").alias("k")),
+        ),
+        (
+            "lineitem->supplier",
+            li.select(F.col("l_suppkey").alias("k")),
+            _scan(spark, sf_dir, "supplier").select(
+                F.col("s_suppkey").alias("k")
+            ),
+        ),
+        (
+            "events->customer",
+            _events(spark, sf_dir).select(F.col("user_id").alias("k")),
+            _scan(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("k")
+            ),
+        ),
+    ]
+    out = None
+    for name, child, parent in legs:
+        pk = parent.distinct().withColumn("_hit", F.lit(1))
+        leg = (
+            child.join(pk, "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child").cast("double"),
+                    9,
+                ).alias("orphan_rate"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    year, cumulative revenue per cohort customer by years-since-first
+    -- the growth metric that separates "new cohorts spend faster"
+    from "we just have more cohorts" (X123's retention counts say who
+    came back, not what they were worth). Yearly revenue sums run
+    through DECIMAL and round at the (cohort, age) grid; the
+    cumulative sum re-aggregates those ROUNDED cells over an ordered
+    window whose partitions are cohorts (bounded grid -- the
+    cumulative-users convention); LTV divides by the fixed cohort
+    size, so later-age rows stay comparable as activity thins."""
+    from pyspark.sql import Window
+
+    o = _scan(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_totalprice").cast("decimal(38,10)").alias("_p"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort_year"))
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_year", (F.col("yr") - F.col("cohort_year")).alias("age_years")
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_active"),
+            F.round(F.sum("_p").cast("double"), 4).alias("_rev"),
+        )
+    )
+    csize = first.groupBy(F.col("cohort_year").alias("_cy")).agg(
+        F.count(F.lit(1)).cast("long").alias("_nc")
+    )
+    w = Window.partitionBy("cohort_year").orderBy("age_years").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.withColumn(
+            "_cum",
+            F.sum(F.col("_rev").cast("decimal(38,10)")).over(w).cast("double"),
+        )
+        .join(F.broadcast(csize), cells.cohort_year == F.col("_cy"))
+        .select(
+            "cohort_year",
+            F.col("age_years").cast("int").alias("age_years"),
+            "n_active",
+            F.round("_cum", 4).alias("cum_revenue"),
+            F.round(
+                F.col("_cum") / F.col("_nc").cast("double"), 6
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-10 window (the rotation
     # the r9 comment block promised, executed verbatim): the 26 keys
     # NEW in r9 lead (their FIRST external driver rows), and the 24
     # OLDEST r07-latest keys fill the remaining slots. Keys NEW in r10
-    # are sectioned immediately after the window: the 41 of them lead
-    # the r11 window (41 > 50-26 means r11 is 41 new + the OLDEST 9 of
+    # are sectioned immediately after the window: the 46 of them lead
+    # the r11 window (46 > 50-26 means r11 is 46 new + the OLDEST 4 of
     # the displaced r07 tail, latest row r07, the staleness maximum);
-    # the final 17 r07 keys gate r12 beside the r08 cohort.
+    # the final 22 r07 keys gate r12 beside the r08 cohort.
     # CEILING NOTE: at 176+ keys the 50-slot window cycles in ~4
     # rounds (staleness <= 3); every key added pushes one old key's
     # next driver row out by one round. In-repo freshness does not
@@ -6032,6 +6281,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_entropy": q_docs_token_entropy,
         "customers_pareto_front": q_customers_pareto_front,
         "sessions_bounce_rate": q_sessions_bounce_rate,
+        "sources_similarity_matrix": q_sources_similarity_matrix,
+        "dedup_bfs_depths": q_dedup_bfs_depths,
+        "embeddings_knn_hubness": q_embeddings_knn_hubness,
+        "referential_integrity_audit": q_referential_integrity_audit,
+        "cohort_ltv": q_cohort_ltv,
         # --- latest driver row r07, displaced tail (26): gate r11 ---
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -10897,5 +11151,170 @@ def oracle_sql() -> dict[str, str]:
                round(dur::DOUBLE / n_sessions::DOUBLE / 1000000.0, 6)
                  AS mean_duration_s
         FROM d
+    """
+    sqls["sources_similarity_matrix"] = f"""
+        WITH {_BASE},
+        dsrc AS (SELECT doc_id, source FROM documents),
+        nsrc AS (SELECT source, count(*)::BIGINT AS nd FROM dsrc GROUP BY 1),
+        cent AS (
+          SELECT source, token,
+                 round(CAST(sum(CAST(weight AS DECIMAL(38,10))) AS DOUBLE)
+                       / nd::DOUBLE, 9) AS m
+          FROM w JOIN dsrc USING (doc_id) JOIN nsrc USING (source)
+          GROUP BY source, token, nd
+        ),
+        nrm AS (
+          SELECT source, sum(CAST(m * m AS DECIMAL(38,18))) AS n2
+          FROM cent GROUP BY 1
+        ),
+        dots AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*)::BIGINT AS n_common_tokens,
+                 sum(CAST(a.m * b.m AS DECIMAL(38,18))) AS dot
+          FROM cent a JOIN cent b USING (token)
+          WHERE a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_common_tokens,
+               round(dot::DOUBLE
+                     / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6)
+                 AS cosine
+        FROM dots
+        JOIN nrm na ON na.source = source_a
+        JOIN nrm nb ON nb.source = source_b
+    """
+    # BFS: each hop replays as an unrolled frontier/reached CTE pair --
+    # exact set algebra, so levels are proven, not trusted.
+    _bfs_levels_sql = []
+    for h in range(1, 5):
+        _bfs_levels_sql.append(
+            f"""l{h} AS (
+          SELECT DISTINCT t AS node FROM dirE JOIN l{h-1} ON s = l{h-1}.node
+          WHERE t NOT IN (SELECT node FROM r{h-1})
+        ),
+        r{h} AS (SELECT node FROM r{h-1} UNION ALL SELECT node FROM l{h})"""
+        )
+    sqls["dedup_bfs_depths"] = f"""
+        WITH {_DEDUP_BASE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_inter
+          FROM shh a JOIN shh b USING (sh)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        und AS (
+          SELECT x, y FROM inter
+          JOIN sizes na ON na.doc_id = x
+          JOIN sizes nb ON nb.doc_id = y
+          WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.05
+        ),
+        deg AS (
+          SELECT n, count(*)::BIGINT AS deg
+          FROM (SELECT x AS n FROM und UNION ALL SELECT y FROM und)
+          GROUP BY n
+        ),
+        seed AS (SELECT n FROM deg ORDER BY deg DESC, n LIMIT 1),
+        dirE AS (
+          SELECT x AS s, y AS t FROM und
+          UNION ALL SELECT y AS s, x AS t FROM und
+        ),
+        l0 AS (SELECT n AS node FROM seed),
+        r0 AS (SELECT node FROM l0),
+        {",".join(_bfs_levels_sql)},
+        lvl AS (
+          SELECT 0 AS dist, count(*)::BIGINT AS n_nodes FROM l0
+          UNION ALL SELECT 1, count(*)::BIGINT FROM l1
+          UNION ALL SELECT 2, count(*)::BIGINT FROM l2
+          UNION ALL SELECT 3, count(*)::BIGINT FROM l3
+          UNION ALL SELECT 4, count(*)::BIGINT FROM l4
+        ),
+        unr AS (
+          SELECT -1 AS dist,
+                 ((SELECT count(*) FROM deg)
+                  - (SELECT count(*) FROM r4))::BIGINT AS n_nodes
+        )
+        SELECT dist::INT AS dist, n_nodes FROM (
+          SELECT * FROM lvl WHERE n_nodes > 0
+          UNION ALL SELECT * FROM unr
+        )
+    """
+    sqls["embeddings_knn_hubness"] = f"""
+        WITH {_EMB_NORM_SQL},
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 round({_emb_dot_sql("q.v", "c.v")}
+                       / (q.norm * c.norm), 9) AS cos
+          FROM nv q CROSS JOIN nv c WHERE c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rank
+          FROM scored
+        ),
+        indeg AS (
+          SELECT n_id, count(*)::BIGINT AS ind
+          FROM ranked WHERE rank <= {ANN_K} GROUP BY 1
+        )
+        SELECT e.vec_id, coalesce(ind, 0)::BIGINT AS in_degree
+        FROM embeddings e LEFT JOIN indeg ON indeg.n_id = e.vec_id
+    """
+    _ri_legs_sql = []
+    for name, child_tbl, child_key, parent_tbl, parent_key in [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        (
+            "lineitem->supplier",
+            "lineitem",
+            "l_suppkey",
+            "supplier",
+            "s_suppkey",
+        ),
+        ("events->customer", "events", "user_id", "customer", "c_custkey"),
+    ]:
+        _ri_legs_sql.append(
+            f"""SELECT '{name}' AS relationship,
+                 count(*)::BIGINT AS n_child,
+                 sum(CASE WHEN p.{parent_key} IS NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_orphans
+          FROM {child_tbl} c
+          LEFT JOIN (SELECT DISTINCT {parent_key} FROM {parent_tbl}) p
+            ON c.{child_key} = p.{parent_key}"""
+        )
+    sqls["referential_integrity_audit"] = f"""
+        SELECT relationship, n_child, n_orphans,
+               round(n_orphans::DOUBLE / n_child::DOUBLE, 9) AS orphan_rate
+        FROM ({" UNION ALL ".join(_ri_legs_sql)})
+    """
+    sqls["cohort_ltv"] = """
+        WITH o AS (
+          SELECT o_custkey, year(o_orderdate)::INT AS yr,
+                 CAST(o_totalprice AS DECIMAL(38,10)) AS p
+          FROM orders
+        ),
+        fo AS (SELECT o_custkey, min(yr) AS cohort_year FROM o GROUP BY 1),
+        cells AS (
+          SELECT cohort_year, (yr - cohort_year) AS age_years,
+                 count(DISTINCT o.o_custkey)::BIGINT AS n_active,
+                 round(CAST(sum(p) AS DOUBLE), 4) AS rev
+          FROM o JOIN fo USING (o_custkey)
+          GROUP BY 1, 2
+        ),
+        csize AS (
+          SELECT cohort_year, count(*)::BIGINT AS nc FROM fo GROUP BY 1
+        ),
+        cum AS (
+          SELECT cohort_year, age_years, n_active,
+                 CAST(sum(CAST(rev AS DECIMAL(38,10))) OVER (
+                   PARTITION BY cohort_year ORDER BY age_years
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS c
+          FROM cells
+        )
+        SELECT cohort_year, age_years::INT AS age_years, n_active,
+               round(c, 4) AS cum_revenue,
+               round(c / nc::DOUBLE, 6) AS ltv_per_customer
+        FROM cum JOIN csize USING (cohort_year)
     """
     return sqls

@@ -217,6 +217,13 @@ HEADLINE = [
     "docs_token_entropy",
     "customers_pareto_front",
     "sessions_bounce_rate",
+    # r10 seventh wave: source redundancy map, BFS census, hubness,
+    # referential-integrity audit, cohort LTV
+    "sources_similarity_matrix",
+    "dedup_bfs_depths",
+    "embeddings_knn_hubness",
+    "referential_integrity_audit",
+    "cohort_ltv",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

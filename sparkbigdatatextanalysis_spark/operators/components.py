@@ -645,3 +645,91 @@ def degree_assortativity(
         ).alias("assortativity"),
     )
     return out
+
+
+def bfs_levels(
+    edges: DataFrame, a: str = "u", b: str = "v", max_hops: int = 4
+) -> DataFrame:
+    """Bounded breadth-first search from the (degree, id)-argmax seed:
+    per-hop reachable-node counts plus the unreachable remainder -- the
+    connectivity/diameter probe behind "how far does this near-dup
+    family actually spread" questions, where component SIZE (X33)
+    says nothing about SHAPE. Returns (dist, n_nodes) with dist 0..h
+    for non-empty levels and a dist = -1 row for graph nodes not
+    reached within ``max_hops``.
+
+    Scale shape: the iterative-graph discipline (CC/PageRank/k-core):
+    each hop is ONE equi-join of the directed edge list against the
+    frontier plus one anti-join against the reached set, both plain
+    shuffles (frontier and reached are O(|V|) -- never broadcast), and
+    the loop eagerly localCheckpoints so lineage stays bounded; the
+    driver sees only O(1) per-round counts. The seed argmax is a
+    TakeOrdered (heap, no global sort). Frontier expansion is pure set
+    algebra over exact keys, so an unrolled per-hop SQL replay is
+    value-identical -- the oracle proves each level.
+    """
+    und = (
+        edges.select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("x").alias("n"))
+        .unionByName(und.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    directed = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("s"), F.col("y").alias("t")),
+                    F.struct(F.col("y").alias("s"), F.col("x").alias("t")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.s", "_e.t")
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    seed_row = deg.orderBy(F.col("deg").desc(), "n").limit(1).collect()
+    spark = edges.sparkSession
+    if not seed_row:
+        return spark.createDataFrame([], "dist INT, n_nodes LONG")
+    seed = seed_row[0]["n"]
+    reached = (
+        deg.where(F.col("n") == seed)
+        .select(F.col("n").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = reached
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            directed.join(
+                frontier.select(F.col("node").alias("s")), "s"
+            )
+            .select(F.col("t").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    counts = reached.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    unreachable = (
+        deg.join(
+            reached.select(F.col("node").alias("n")), "n", "left_anti"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.lit(-1).alias("dist"), "n_nodes")
+    )
+    return counts.unionByName(unreachable).select(
+        F.col("dist").cast("int").alias("dist"), "n_nodes"
+    )

@@ -585,6 +585,25 @@ BUDGETS = {
     "customers_pareto_front": (4, 1),
     # bounce: the sessionize windows share one user exchange; day agg
     "sessions_bounce_rate": (2, 0),
+    # source centroids: the PERSISTED centroid table feeds 3 consumers
+    # (norms + both join sides) and the auditor counts the cached
+    # TF-IDF lineage per consumer -- executed count is ~8 (weights agg
+    # + centroid agg + token join + pair agg + norm joins)
+    "sources_similarity_matrix": (37, 18),
+    # BFS: hops ran EAGERLY at build (localCheckpoint per hop, the
+    # CC/k-core discipline); the gated surface aggregates the
+    # checkpointed reached table + the anti-join remainder
+    "dedup_bfs_depths": (2, 1),
+    # hubness: the X7 brute-force topk window + in-degree agg + the
+    # zero-fill left join
+    "embeddings_knn_hubness": (7, 2),
+    # referential audit: five one-row leg aggregates, each one
+    # distinct + one left join (plain equi -- AQE broadcasts small
+    # parents)
+    "referential_integrity_audit": (10, 5),
+    # cohort LTV: first-order agg + cell agg (reuses the custkey
+    # exchange) + bounded cohort-window cumsum + broadcast cohort size
+    "cohort_ltv": (6, 2),
 }
 
 
