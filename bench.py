@@ -224,6 +224,13 @@ HEADLINE = [
     "embeddings_knn_hubness",
     "referential_integrity_audit",
     "cohort_ltv",
+    # r10 eighth wave: decile QQ, medoid representatives, OLS forecast
+    # backtest (docs_heaps_law was built and DROPPED: the synthetic
+    # corpus has a closed ~30-word vocabulary, so the fit is degenerate
+    # -- beta identically 0 -- and a vacuous gate is worse than none)
+    "orders_price_qq",
+    "dedup_medoid_reps",
+    "nation_revenue_forecast_backtest",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION
