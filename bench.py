@@ -231,6 +231,12 @@ HEADLINE = [
     "orders_price_qq",
     "dedup_medoid_reps",
     "nation_revenue_forecast_backtest",
+    # r10 ninth wave: hashing-trick featurizer, WoW retention, Lorenz
+    # deciles, within-session type association
+    "docs_feature_hash",
+    "users_wow_retention",
+    "customers_lorenz_deciles",
+    "session_type_pairs",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

@@ -615,6 +615,19 @@ BUDGETS = {
     # forecast backtest: cell agg + per-nation moment agg + the actual
     # join riding the nation partitioning; nation dim broadcast
     "nation_revenue_forecast_backtest": (4, 4),
+    # feature hash: one explode + one partial agg (the 1 extra is the
+    # tok cache's scan fan-out)
+    "docs_feature_hash": (2, 0),
+    # WoW retention: distinct grid + the (user, week-1) self-join +
+    # three bounded weekly re-aggs and their joins
+    "users_wow_retention": (8, 3),
+    # Lorenz: the PERSISTED per-customer revenue + 10-row decile
+    # tables still audit per consumer through the global_rank
+    # decomposition -- executed count is ~8
+    "customers_lorenz_deciles": (26, 9),
+    # session pairs: the PERSISTED sessionized grid feeds the miner
+    # and both lift sides -- counted per consumer; executed ~5
+    "session_type_pairs": (16, 4),
 }
 
 
