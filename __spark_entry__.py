@@ -6587,15 +6587,172 @@ def q_session_type_pairs(spark, sf_dir):
     )
 
 
+_MARKOV_ROUNDS = 3
+
+
+def q_events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the X145 event-type Markov chain by
+    power iteration (3 rounds from uniform): where user behavior
+    settles if the observed transition dynamics persist -- the
+    equilibrium read behind "what share of long-run activity is
+    purchases". The kmeans/PCA ferrying discipline: each round is one
+    bounded groupBy over the |states|^2 transition table with the
+    current iterate embedded as literals, per-term products rounded 12
+    dp then DECIMAL-summed, the new iterate rounded 9 dp BY THE ENGINE
+    before it crosses the driver (the MMR lesson); the oracle unrolls
+    all three rounds as CTEs, so the iteration is equal by induction.
+    States with no incoming transitions settle at 0."""
+    from sparkbigdatatextanalysis_spark.operators import timeseries as tsr
+
+    trans = _cached(
+        spark,
+        sf_dir,
+        "markov_trans",
+        lambda: tsr.markov_transitions(_events(spark, sf_dir)).select(
+            "prev_state", "next_state", "p_transition"
+        ),
+    )
+    states = sorted(
+        r["s"]
+        for r in trans.select(F.col("prev_state").alias("s"))
+        .unionByName(trans.select(F.col("next_state").alias("s")))
+        .distinct()
+        .collect()
+    )
+    pi = {s: 1.0 / len(states) for s in states}
+
+    def round_plan(cur: dict):
+        pi_expr = F.lit(None).cast("double")
+        for s, p in cur.items():
+            pi_expr = F.when(
+                F.col("prev_state") == s, F.lit(p)
+            ).otherwise(pi_expr)
+        term = F.round(F.col("p_transition") * pi_expr, 12).cast(
+            "decimal(38,18)"
+        )
+        nxt = trans.groupBy(F.col("next_state").alias("s")).agg(
+            F.round(F.sum(term).cast("double"), 9).alias("pi")
+        )
+        sdf = spark.createDataFrame([(s,) for s in states], "s STRING")
+        return sdf.join(nxt, "s", "left").select(
+            "s", F.coalesce("pi", F.lit(0.0)).alias("pi")
+        )
+
+    for _ in range(_MARKOV_ROUNDS - 1):
+        pi = {r["s"]: float(r["pi"]) for r in round_plan(pi).collect()}
+    return round_plan(pi).select(
+        F.col("s").alias("state"), F.col("pi").alias("stationary_prob")
+    )
+
+
+def q_embeddings_triplet_margin(spark, sf_dir):
+    """Label-consistency (triplet-margin) audit of the embedding
+    space: per vector, the best same-label cosine (excluding self)
+    minus the best other-label cosine, summarized per label -- the
+    are-my-labels-linearly-recoverable eval run before any k-NN
+    labeling (X142) ships: a label with negative mean margin or low
+    positive share will mislabel under ANY neighbor rule. Brute-force
+    all-pairs at gate scale (the X7 precedent; IVF X8b is the swap);
+    margins are differences of two 9-dp-rounded cosines, per-label
+    means through DECIMAL."""
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    nv = emb.select(
+        "vec_id", "label", v.alias("v"), F.sqrt(ann_ops._dot(v, v)).alias("n")
+    )
+    q = nv.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    cos = F.round(
+        ann_ops._dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n")), 9
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(nv)
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("label").alias("n_label"),
+            cos.alias("cos"),
+        )
+    )
+    per_q = scored.groupBy("q_id", "q_label").agg(
+        F.max(F.when(F.col("q_label") == F.col("n_label"), F.col("cos"))).alias(
+            "_bs"
+        ),
+        F.max(F.when(F.col("q_label") != F.col("n_label"), F.col("cos"))).alias(
+            "_bd"
+        ),
+    )
+    margin = F.round(F.col("_bs") - F.col("_bd"), 9)
+    return (
+        per_q.where(F.col("_bs").isNotNull() & F.col("_bd").isNotNull())
+        .select("q_label", margin.alias("_m"))
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("_m").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_margin"),
+            F.round(
+                F.sum(F.when(F.col("_m") > 0, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                9,
+            ).alias("share_positive"),
+        )
+    )
+
+
+def q_users_power_curve(spark, sf_dir):
+    """Power-user curve: users bucketed by log2 of their event count
+    (1, 2-3, 4-7, 8-15, ...), with each bucket's user share -- the
+    activity-concentration histogram behind every "1% of users
+    generate X% of events" claim (the engagement complement of X189's
+    revenue Gini). One per-user partial agg; bucketing is an unrolled
+    exact-integer CASE over powers of two (never a float log2, whose
+    boundary values differ per libm); the share divides exact BIGINTs."""
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    bucket = F.lit(20)
+    for k in range(19, -1, -1):
+        bucket = F.when(F.col("_n") < F.lit(2 ** (k + 1)), F.lit(k)).otherwise(
+            bucket
+        )
+    buckets = per_user.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    tot = buckets.agg(F.sum("n_users").cast("long").alias("_t"))
+    return buckets.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("lo_events"),
+        (F.pow(F.lit(2.0), F.col("bucket") + 1).cast("long") - 1).alias(
+            "hi_events"
+        ),
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("_t").cast("double"), 9
+        ).alias("user_share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-10 window (the rotation
     # the r9 comment block promised, executed verbatim): the 26 keys
     # NEW in r9 lead (their FIRST external driver rows), and the 24
     # OLDEST r07-latest keys fill the remaining slots. Keys NEW in r10
-    # are sectioned immediately after the window: 53 are new in r10,
+    # are sectioned immediately after the window: 56 are new in r10,
     # so the FIRST 50 of them (declaration order) ARE the r11 window;
-    # the last 3 r10 keys plus the displaced 26-key r07 tail (latest
+    # the last 6 r10 keys plus the displaced 26-key r07 tail (latest
     # row r07, the staleness maximum) lead r12 beside the r08 cohort.
     # CEILING NOTE: at 176+ keys the 50-slot window cycles in ~4
     # rounds (staleness <= 3); every key added pushes one old key's
@@ -6712,6 +6869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_wow_retention": q_users_wow_retention,
         "customers_lorenz_deciles": q_customers_lorenz_deciles,
         "session_type_pairs": q_session_type_pairs,
+        "events_markov_stationary": q_events_markov_stationary,
+        "embeddings_triplet_margin": q_embeddings_triplet_margin,
+        "users_power_curve": q_users_power_curve,
         # --- latest driver row r07, displaced tail (26): gate r11 ---
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -12001,5 +12161,106 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz na ON na.event_type = type_a
         JOIN sz nb ON nb.event_type = type_b
         CROSS JOIN nall
+    """
+    # Markov stationary: the three power-iteration rounds unroll as
+    # CTE pairs (new iterate / zero-filled state join), equal to the
+    # ferried Spark loop by induction on the 9-dp round.
+    _mk_rounds = []
+    prev_pi = "p0"
+    for k in range(1, _MARKOV_ROUNDS + 1):
+        _mk_rounds.append(
+            f"""r{k} AS (
+          SELECT t.next_state AS s,
+                 round(CAST(sum(CAST(round(t.p_transition * {prev_pi}.pi, 12)
+                       AS DECIMAL(38,18))) AS DOUBLE), 9) AS pi
+          FROM trans t JOIN {prev_pi} ON {prev_pi}.s = t.prev_state
+          GROUP BY 1
+        ),
+        p{k} AS (
+          SELECT states.s, coalesce(r{k}.pi, 0.0) AS pi
+          FROM states LEFT JOIN r{k} USING (s)
+        )"""
+        )
+        prev_pi = f"p{k}"
+    sqls["events_markov_stationary"] = f"""
+        WITH seq AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events WHERE ts IS NOT NULL
+        ),
+        pairs AS (
+          SELECT prev_type AS prev_state, event_type AS next_state,
+                 count(*)::BIGINT AS n_transitions
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT prev_state, sum(n_transitions) AS t FROM pairs GROUP BY 1
+        ),
+        trans AS (
+          SELECT p.prev_state, p.next_state,
+                 round(p.n_transitions / t.t, 9) AS p_transition
+          FROM pairs p JOIN tot t USING (prev_state)
+        ),
+        states AS (
+          SELECT DISTINCT s FROM (
+            SELECT prev_state AS s FROM trans
+            UNION ALL SELECT next_state FROM trans
+          )
+        ),
+        u AS (SELECT 1.0 / count(*) AS u0 FROM states),
+        p0 AS (SELECT s, u0 AS pi FROM states CROSS JOIN u),
+        {",".join(_mk_rounds)}
+        SELECT s AS state, pi AS stationary_prob FROM p{_MARKOV_ROUNDS}
+    """
+    sqls["embeddings_triplet_margin"] = f"""
+        WITH ve AS (
+          SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v
+          FROM embeddings
+        ),
+        nv AS (
+          SELECT vec_id, label, v,
+                 sqrt({_emb_dot_sql("v", "v")}) AS n
+          FROM ve
+        ),
+        scored AS (
+          SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS n_label,
+                 round({_emb_dot_sql("q.v", "c.v")} / (q.n * c.n), 9) AS cos
+          FROM nv q CROSS JOIN nv c WHERE c.vec_id <> q.vec_id
+        ),
+        per_q AS (
+          SELECT q_id, q_label,
+                 max(CASE WHEN q_label = n_label THEN cos END) AS bs,
+                 max(CASE WHEN q_label <> n_label THEN cos END) AS bd
+          FROM scored GROUP BY 1, 2
+        )
+        SELECT q_label AS label,
+               count(*)::BIGINT AS n_vectors,
+               round(CAST(sum(CAST(round(bs - bd, 9) AS DECIMAL(38,18)))
+                     AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_margin,
+               round(sum(CASE WHEN round(bs - bd, 9) > 0 THEN 1 ELSE 0 END)
+                     / count(*), 9) AS share_positive
+        FROM per_q
+        WHERE bs IS NOT NULL AND bd IS NOT NULL
+        GROUP BY 1
+    """
+    _pc_case = "CASE " + " ".join(
+        f"WHEN n < {2 ** (k + 1)} THEN {k}" for k in range(0, 20)
+    ) + " ELSE 20 END"
+    sqls["users_power_curve"] = f"""
+        WITH pu AS (
+          SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1
+        ),
+        b AS (
+          SELECT ({_pc_case})::INT AS bucket, count(*)::BIGINT AS n_users
+          FROM pu GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_users)::BIGINT AS t FROM b)
+        SELECT bucket,
+               CAST(pow(2.0, bucket) AS BIGINT) AS lo_events,
+               CAST(pow(2.0, bucket + 1) AS BIGINT) - 1 AS hi_events,
+               n_users,
+               round(n_users::DOUBLE / t::DOUBLE, 9) AS user_share
+        FROM b CROSS JOIN tot
     """
     return sqls

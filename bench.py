@@ -237,6 +237,11 @@ HEADLINE = [
     "users_wow_retention",
     "customers_lorenz_deciles",
     "session_type_pairs",
+    # r10 tenth wave: Markov stationary distribution, triplet-margin
+    # embedding audit, power-user curve
+    "events_markov_stationary",
+    "embeddings_triplet_margin",
+    "users_power_curve",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

@@ -628,6 +628,14 @@ BUDGETS = {
     # session pairs: the PERSISTED sessionized grid feeds the miner
     # and both lift sides -- counted per consumer; executed ~5
     "session_type_pairs": (16, 4),
+    # Markov stationary: earlier rounds ran eagerly (ferrying); the
+    # gated surface is one bounded groupBy + the zero-fill state join
+    "events_markov_stationary": (4, 2),
+    # triplet margin: broadcast all-pairs (X7 shape) + per-vector agg
+    # + per-label agg
+    "embeddings_triplet_margin": (4, 1),
+    # power curve: per-user agg + bucket agg + broadcast total
+    "users_power_curve": (5, 1),
 }
 
 
