@@ -6744,15 +6744,132 @@ def q_users_power_curve(spark, sf_dir):
     )
 
 
+_DEDUP_CURVE_THRESHOLDS = [0.05, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5]
+_LSH_CURVE_BANDS = [2, 4, 8, 16]
+_LSH_CURVE_TRUE_J = 0.3
+
+
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Dedup threshold tuning curve: for each candidate jaccard
+    threshold, the surviving pair count and the number of documents in
+    >= 1 surviving pair -- the sensitivity sweep every dedup deployment
+    runs before pinning its threshold (X5 runs ONE point of this
+    curve; the cliff between points is where template families sit).
+    One pass over the candidate-pair table: each pair emits its
+    surviving thresholds IN-ROW (bounded fan-out x |thresholds|), doc
+    membership is a distinct over (threshold, doc); the exact IEEE
+    jaccard compares against the same literals on both engines."""
+    pairs = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), min_jaccard=0.0
+    ).select("a_id", "b_id", "jaccard").persist()
+    th = F.array(*[F.lit(t) for t in _DEDUP_CURVE_THRESHOLDS])
+    surv = pairs.select(
+        "a_id",
+        "b_id",
+        F.explode(
+            F.filter(th, lambda t: F.col("jaccard") >= t)
+        ).alias("threshold"),
+    )
+    n_pairs = surv.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        surv.select(
+            "threshold",
+            F.explode(F.array("a_id", "b_id")).alias("doc_id"),
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_in_pairs"))
+    )
+    return n_pairs.join(n_docs, "threshold").select(
+        F.round("threshold", 2).alias("threshold"),
+        "n_pairs",
+        "n_docs_in_pairs",
+    )
+
+
+def q_dedup_lsh_band_curve(spark, sf_dir):
+    """MinHash-LSH band-count tuning curve: candidate volume,
+    true-pair capture (jaccard >= 0.3), precision, and recall for 2 /
+    4 / 8 / 16 bands over the SAME 16 minhashes -- the S-curve trade
+    (more bands = higher recall, more junk candidates) that X2/X3 run
+    at one fixed point. The signature table builds ONCE (persisted);
+    each band count re-keys it in-row and runs one (band, key)
+    equi-join; truth is the exact-jaccard candidate table (pairs
+    sharing no shingle CAN collide by minhash chance -- they join as
+    jaccard 0). Recall denominates in all true pairs (scalar
+    broadcast)."""
+    docs = _docs(spark, sf_dir)
+    flat = _cached(
+        spark,
+        sf_dir,
+        "lshcurve_sigs",
+        lambda: dd.minhash_signatures_flat(dd.shingle_hashes(docs)),
+    )
+    truth = _cached(
+        spark,
+        sf_dir,
+        "lshcurve_truth",
+        lambda: dd.ngram_jaccard_pairs(docs, min_jaccard=0.0).select(
+            "a_id", "b_id", "jaccard"
+        ),
+    )
+    cand = None
+    for b in _LSH_CURVE_BANDS:
+        keys = dd.lsh_band_keys_flat(flat, bands=b)
+        a = keys.select("band", "key", F.col("id").alias("a_id"))
+        bb = keys.select("band", "key", F.col("id").alias("b_id"))
+        p = (
+            a.join(bb, ["band", "key"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+            .withColumn("n_bands", F.lit(b))
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    lab = cand.join(truth, ["a_id", "b_id"], "left").select(
+        "n_bands",
+        (F.coalesce("jaccard", F.lit(0.0)) >= _LSH_CURVE_TRUE_J).alias("_t"),
+    )
+    per_b = lab.groupBy("n_bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_captured"),
+    )
+    tot_true = truth.where(
+        F.col("jaccard") >= _LSH_CURVE_TRUE_J
+    ).agg(F.count(F.lit(1)).cast("long").alias("_nt"))
+    return per_b.crossJoin(F.broadcast(tot_true)).select(
+        F.col("n_bands").cast("int").alias("n_bands"),
+        (F.lit(dd.MINHASH_K) / F.col("n_bands")).cast("int").alias(
+            "rows_per_band"
+        ),
+        "n_candidates",
+        "n_true_captured",
+        F.round(
+            F.col("n_true_captured").cast("double")
+            / F.col("n_candidates").cast("double"),
+            9,
+        ).alias("precision"),
+        F.round(
+            F.col("n_true_captured").cast("double")
+            / F.col("_nt").cast("double"),
+            9,
+        ).alias("recall"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-10 window (the rotation
     # the r9 comment block promised, executed verbatim): the 26 keys
     # NEW in r9 lead (their FIRST external driver rows), and the 24
     # OLDEST r07-latest keys fill the remaining slots. Keys NEW in r10
-    # are sectioned immediately after the window: 56 are new in r10,
+    # are sectioned immediately after the window: 58 are new in r10,
     # so the FIRST 50 of them (declaration order) ARE the r11 window;
-    # the last 6 r10 keys plus the displaced 26-key r07 tail (latest
+    # the last 8 r10 keys plus the displaced 26-key r07 tail (latest
     # row r07, the staleness maximum) lead r12 beside the r08 cohort.
     # CEILING NOTE: at 176+ keys the 50-slot window cycles in ~4
     # rounds (staleness <= 3); every key added pushes one old key's
@@ -6872,6 +6989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": q_events_markov_stationary,
         "embeddings_triplet_margin": q_embeddings_triplet_margin,
         "users_power_curve": q_users_power_curve,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
+        "dedup_lsh_band_curve": q_dedup_lsh_band_curve,
         # --- latest driver row r07, displaced tail (26): gate r11 ---
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
@@ -12262,5 +12381,108 @@ def oracle_sql() -> dict[str, str]:
                n_users,
                round(n_users::DOUBLE / t::DOUBLE, 9) AS user_share
         FROM b CROSS JOIN tot
+    """
+    _curve_ts = ", ".join(str(t) for t in _DEDUP_CURVE_THRESHOLDS)
+    sqls["dedup_threshold_curve"] = f"""
+        WITH {_DEDUP_BASE},
+        ssz AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_inter
+          FROM shh a JOIN shh b USING (sh)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        jp AS (
+          SELECT x AS a_id, y AS b_id,
+                 n_inter / (na.n_sh + nb.n_sh - n_inter) AS j
+          FROM inter
+          JOIN ssz na ON na.doc_id = x
+          JOIN ssz nb ON nb.doc_id = y
+        ),
+        surv AS (
+          SELECT a_id, b_id, t AS threshold
+          FROM jp, (SELECT unnest([{_curve_ts}]::DOUBLE[]) AS t)
+          WHERE j >= t
+        ),
+        np AS (
+          SELECT threshold, count(*)::BIGINT AS n_pairs FROM surv GROUP BY 1
+        ),
+        nd AS (
+          SELECT threshold, count(*)::BIGINT AS n_docs_in_pairs FROM (
+            SELECT DISTINCT threshold, doc_id FROM (
+              SELECT threshold, a_id AS doc_id FROM surv
+              UNION ALL SELECT threshold, b_id FROM surv
+            )
+          ) GROUP BY 1
+        )
+        SELECT round(threshold, 2) AS threshold, n_pairs, n_docs_in_pairs
+        FROM np JOIN nd USING (threshold)
+    """
+    _lsh_kb = []
+    _lsh_pb = []
+    for b in _LSH_CURVE_BANDS:
+        r = dd.MINHASH_K // b
+        _lsh_kb.append(
+            f"""kb{b} AS (
+          SELECT doc_id, (i // {r})::INT AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY i) AS key
+          FROM sigs GROUP BY doc_id, i // {r}
+        )"""
+        )
+        _lsh_pb.append(
+            f"""pb{b} AS (
+          SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                 {b} AS n_bands
+          FROM kb{b} x JOIN kb{b} y
+            ON x.band = y.band AND x.key = y.key
+          WHERE x.doc_id < y.doc_id
+        )"""
+        )
+    _lsh_union = " UNION ALL ".join(
+        f"SELECT * FROM pb{b}" for b in _LSH_CURVE_BANDS
+    )
+    sqls["dedup_lsh_band_curve"] = f"""
+        WITH {_DEDUP_BASE},
+        {_MINHASH_PARAMS_SQL},
+        {_MINHASH_SIGS_SQL},
+        ssz AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_inter
+          FROM shh a JOIN shh b USING (sh)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        jp AS (
+          SELECT x AS a_id, y AS b_id,
+                 n_inter / (na.n_sh + nb.n_sh - n_inter) AS j
+          FROM inter
+          JOIN ssz na ON na.doc_id = x
+          JOIN ssz nb ON nb.doc_id = y
+        ),
+        {",".join(_lsh_kb)},
+        {",".join(_lsh_pb)},
+        cand AS ({_lsh_union}),
+        lab AS (
+          SELECT n_bands,
+                 (coalesce(j, 0.0) >= {_LSH_CURVE_TRUE_J}) AS t
+          FROM cand LEFT JOIN jp USING (a_id, b_id)
+        ),
+        perb AS (
+          SELECT n_bands, count(*)::BIGINT AS n_candidates,
+                 sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT
+                   AS n_true_captured
+          FROM lab GROUP BY 1
+        ),
+        tt AS (
+          SELECT count(*)::BIGINT AS nt FROM jp
+          WHERE j >= {_LSH_CURVE_TRUE_J}
+        )
+        SELECT n_bands::INT AS n_bands,
+               ({dd.MINHASH_K} / n_bands)::INT AS rows_per_band,
+               n_candidates, n_true_captured,
+               round(n_true_captured::DOUBLE / n_candidates::DOUBLE, 9)
+                 AS precision,
+               round(n_true_captured::DOUBLE / nt::DOUBLE, 9) AS recall
+        FROM perb CROSS JOIN tt
     """
     return sqls

@@ -242,6 +242,10 @@ HEADLINE = [
     "events_markov_stationary",
     "embeddings_triplet_margin",
     "users_power_curve",
+    # r10 eleventh wave: the dedup tuning curves (threshold sweep,
+    # LSH band-count precision/recall trade)
+    "dedup_threshold_curve",
+    "dedup_lsh_band_curve",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION

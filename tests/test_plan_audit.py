@@ -636,6 +636,13 @@ BUDGETS = {
     "embeddings_triplet_margin": (4, 1),
     # power curve: per-user agg + bucket agg + broadcast total
     "users_power_curve": (5, 1),
+    # threshold curve: the PERSISTED pair table feeds pair and doc
+    # counts -- counted per consumer; executed ~5
+    "dedup_threshold_curve": (27, 6),
+    # LSH band curve: the cached signature table re-keys for 4 band
+    # counts (one equi-join each) and the cached truth feeds label +
+    # denominator -- counted per consumer; executed ~11
+    "dedup_lsh_band_curve": (53, 11),
 }
 
 
