@@ -6214,41 +6214,64 @@ def q_dedup_medoid_reps(spark, sf_dir):
     smaller id) -- the centrality-based survivor policy beside
     X102's quality-based one (the medoid is the least-mangled copy by
     construction, no quality model needed). Cluster-internal pair sims
-    come from the shingle-candidate pairs restricted to same-cluster
-    members (pairs sharing no shingle contribute 0 -- transitive
-    members); per-member sums run through DECIMAL on the 9-dp-rounded
-    jaccards; the mean divides by (cluster_size - 1) and the per-
-    cluster argmax is a struct max. Singleton clusters keep NULL mean."""
+    come from a CLUSTER-KEYED shingle self-join -- the cluster label
+    attaches to the shingle rows first and the pair join keys on
+    (keep_id, sh), so cross-cluster candidates are pruned INSIDE the
+    join (the raw >=1-shared-shingle graph is quadratically dense in
+    hot shingle buckets; generating it only to filter afterwards is
+    the plan that dies at 100 TB). Pairs sharing no shingle contribute
+    0 (transitive members); per-member sums run through DECIMAL on the
+    9-dp-rounded jaccards; the mean divides by (cluster_size - 1) and
+    the per-cluster argmax is a struct max. Singletons keep NULL mean.
+    The oracle computes the same jaccards from the UNKEYED candidate
+    graph + an after-the-fact cluster filter, so the pruned join is
+    proven equal to the naive shape."""
     cl = _dedup_clusters(spark, sf_dir).select("doc_id", "keep_id")
-    pairs = dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), min_jaccard=0.0
-    ).select("a_id", "b_id", "jaccard")
-    sym = pairs.select(
+    sh = dd.shingle_hashes(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "sh"
+    )
+    sizes_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_nsh")
+    )
+    shc = sh.join(cl, "doc_id").persist()
+    a = shc.select("keep_id", "sh", F.col("doc_id").alias("_a"))
+    b = shc.select("keep_id", "sh", F.col("doc_id").alias("_b"))
+    inter = (
+        a.join(b, ["keep_id", "sh"])
+        .where(F.col("_a") < F.col("_b"))
+        .groupBy("keep_id", "_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ni"))
+    )
+    jpair = (
+        inter.join(
+            sizes_doc.select(F.col("doc_id").alias("_a"), F.col("_nsh").alias("_na")),
+            "_a",
+        )
+        .join(
+            sizes_doc.select(F.col("doc_id").alias("_b"), F.col("_nsh").alias("_nb")),
+            "_b",
+        )
+        .select(
+            "keep_id",
+            "_a",
+            "_b",
+            (
+                F.col("_ni")
+                / (F.col("_na") + F.col("_nb") - F.col("_ni"))
+            ).alias("_j"),
+        )
+    )
+    sym = jpair.select(
+        "keep_id",
         F.explode(
             F.array(
-                F.struct(
-                    F.col("a_id").alias("m"),
-                    F.col("b_id").alias("o"),
-                    F.col("jaccard").alias("j"),
-                ),
-                F.struct(
-                    F.col("b_id").alias("m"),
-                    F.col("a_id").alias("o"),
-                    F.col("jaccard").alias("j"),
-                ),
+                F.struct(F.col("_a").alias("m"), F.col("_j").alias("j")),
+                F.struct(F.col("_b").alias("m"), F.col("_j").alias("j")),
             )
-        ).alias("_e")
-    ).select("_e.m", "_e.o", "_e.j")
-    cm = cl.select(F.col("doc_id").alias("m"), F.col("keep_id").alias("_km"))
-    co = cl.select(F.col("doc_id").alias("o"), F.col("keep_id").alias("_ko"))
-    insums = (
-        sym.join(cm, "m")
-        .join(co, "o")
-        .where(F.col("_km") == F.col("_ko"))
-        .groupBy(F.col("_km").alias("keep_id"), "m")
-        .agg(
-            F.sum(F.round("j", 9).cast("decimal(38,18)")).alias("_sj")
-        )
+        ).alias("_e"),
+    ).select("keep_id", "_e.m", "_e.j")
+    insums = sym.groupBy("keep_id", "m").agg(
+        F.sum(F.round("j", 9).cast("decimal(38,18)")).alias("_sj")
     )
     sizes = cl.groupBy("keep_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")

@@ -607,11 +607,11 @@ BUDGETS = {
     # QQ: two exact-percentile aggs (broadcast single rows) + the
     # in-row decile zip
     "orders_price_qq": (2, 1),
-    # medoid: the checkpointed cluster table feeds 3 consumers and the
-    # jaccard pair-gen subtree feeds the symmetrized join -- counted
-    # per consumer; executed count is ~7 (pair agg + two cluster
-    # attach joins + member sum + size agg + struct-max)
-    "dedup_medoid_reps": (15, 6),
+    # medoid: the cluster-KEYED shingle self-join (cross-cluster
+    # candidates pruned inside the join) + size attaches + member sum
+    # + struct-max; the persisted shingle+cluster table audits per
+    # consumer -- executed count is ~7
+    "dedup_medoid_reps": (17, 5),
     # forecast backtest: cell agg + per-nation moment agg + the actual
     # join riding the nation partitioning; nation dim broadcast
     "nation_revenue_forecast_backtest": (4, 4),
