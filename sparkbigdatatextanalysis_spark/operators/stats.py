@@ -660,10 +660,15 @@ def ks_two_sample(
     return best.select(
         "n_a",
         "n_b",
-        F.round(
-            F.col("_m._gap").cast("double")
-            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
-            9,
+        # one empty sample -> no ECDF to compare: NULL, not a
+        # divide-by-zero (ANSI mode throws; hypothesis-found)
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("_m._gap").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                9,
+            ),
         ).alias("ks_stat"),
         (-F.col("_m._nv")).alias(value_out),
     )
