@@ -6886,76 +6886,24 @@ def q_dedup_lsh_band_curve(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
-    # checks the FIRST 50 declared keys. Round-10 window (the rotation
-    # the r9 comment block promised, executed verbatim): the 26 keys
-    # NEW in r9 lead (their FIRST external driver rows), and the 24
-    # OLDEST r07-latest keys fill the remaining slots. Keys NEW in r10
-    # are sectioned immediately after the window: 58 are new in r10,
-    # so the FIRST 50 of them (declaration order) ARE the r11 window;
-    # the last 8 r10 keys plus the displaced 26-key r07 tail (latest
-    # row r07, the staleness maximum) lead r12 beside the r08 cohort.
-    # CEILING NOTE: at 176+ keys the 50-slot window cycles in ~4
-    # rounds (staleness <= 3); every key added pushes one old key's
-    # next driver row out by one round. In-repo freshness does not
-    # lag: every key is re-verified against its DuckDB oracle on every
-    # suite run by tests/test_oracle_parity.py and by the per-round
-    # full driver sim, regardless of the window.
+    # checks the FIRST 50 declared keys. Round-11 window (the rotation
+    # the r10 comment block promised, executed verbatim): the FIRST 50
+    # of the 58 keys NEW in r10, in their r10 declaration order
+    # (events_dau_wau_sketch .. docs_feature_hash), get their FIRST
+    # external driver rows now. Sectioned after the window, in r12-gate
+    # order: the last 8 r10-new keys, then the displaced 26-key
+    # r07-latest tail (the staleness maximum), then any keys NEW in
+    # r11 (section marker below), then the r08 cohort — the r12 window
+    # is the first 50 of that queue (8 + 26 + new-r11 + r08 head); the
+    # r09 cohort and the 50 keys whose latest row is r10 rotate last.
+    # CEILING NOTE: at 234+ keys the 50-slot window cycles in ~5
+    # rounds; every key added pushes one old key's next driver row out
+    # by one round. In-repo freshness does not lag: every key is
+    # re-verified against its DuckDB oracle on every suite run by
+    # tests/test_oracle_parity.py and by the per-round full driver
+    # sim, regardless of the window.
     return {
-        # --- NEW in r9 (26): first external driver rows NOW ---
-        "events_interval_union": q_events_interval_union,
-        "events_type_transitions": q_events_type_transitions,
-        "dedup_kcore": q_dedup_kcore,
-        "orders_price_trend": q_orders_price_trend,
-        "basket_brand_pairs": q_basket_brand_pairs,
-        "events_cumulative_users": q_events_cumulative_users,
-        "docs_keyterms": q_docs_keyterms,
-        "embeddings_knn_label": q_embeddings_knn_label,
-        "events_value_mad": q_events_value_mad,
-        "orders_unpivot": q_orders_unpivot,
-        "docs_bpe_segments": q_docs_bpe_segments,
-        "attribution_linear": q_attribution_linear,
-        "funnel_latency": q_funnel_latency,
-        "events_snapshot_diff": q_events_snapshot_diff,
-        "orders_repeat_share": q_orders_repeat_share,
-        "dedup_containment": q_dedup_containment,
-        "orders_abc_classes": q_orders_abc_classes,
-        "events_dau_wau": q_events_dau_wau,
-        "session_paths": q_session_paths,
-        "orders_mom_growth": q_orders_mom_growth,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "docs_shingle_novelty": q_docs_shingle_novelty,
-        "orders_mix_drift": q_orders_mix_drift,
-        "embeddings_profile": q_embeddings_profile,
-        "events_hourly_profile": q_events_hourly_profile,
-        "events_value_band_join": q_events_value_band_join,
-        # --- latest driver row r07, oldest 24: 3 rounds stale, gate now ---
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "media_decode": q_media_decode,
-        "media_frame_sample": q_media_frame_sample,
-        "events_windowed": q_events_windowed,
-        "events_sliding_users": q_events_sliding_users,
-        "pricing_rollup": q_pricing_rollup,
-        "top_parts_by_brand": q_top_parts_by_brand,
-        "asof_join_events": q_asof_join_events,
-        "range_join_events": q_range_join_events,
-        "sales_cube": q_sales_cube,
-        "value_percentiles": q_value_percentiles,
-        "customers_no_orders": q_customers_no_orders,
-        "docs_prefix_blocking": q_docs_prefix_blocking,
-        "events_zorder_key": q_events_zorder_key,
-        "orders_profile_drift": q_orders_profile_drift,
-        "skew_join_auto": q_skew_join_auto,
-        "incremental_semantic_flags": q_incremental_semantic_flags,
-        "value_percentiles_approx": q_value_percentiles_approx,
-        "pair_jaccard_estimates": q_pair_jaccard_estimates,
-        "incremental_lines_batch": q_incremental_lines_batch,
-        "scan_gold_pairs": q_scan_gold_pairs,
-        # ---- end of the 50-key gate window ----
-        # --- NEW in r10: no driver row yet; these lead the r11 window,
-        # beside the displaced r07 tail below ---
+        # --- NEW in r10, first 50 (declaration order): FIRST external driver rows NOW (the r11 window the r10 comment promised) ---
         "events_dau_wau_sketch": q_events_dau_wau_sketch,
         "embeddings_knn_label_ivf": q_embeddings_knn_label_ivf,
         "streaming_verdict_day2": q_streaming_verdict_day2,
@@ -7006,6 +6954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_medoid_reps": q_dedup_medoid_reps,
         "nation_revenue_forecast_backtest": q_nation_revenue_forecast_backtest,
         "docs_feature_hash": q_docs_feature_hash,
+        # ---- end of the 50-key gate window ----
+        # --- NEW in r10, last 8: no driver row yet; lead the r12 window ---
         "users_wow_retention": q_users_wow_retention,
         "customers_lorenz_deciles": q_customers_lorenz_deciles,
         "session_type_pairs": q_session_type_pairs,
@@ -7014,7 +6964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_power_curve": q_users_power_curve,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "dedup_lsh_band_curve": q_dedup_lsh_band_curve,
-        # --- latest driver row r07, displaced tail (26): gate r11 ---
+        # --- latest driver row r07, displaced tail (26): staleness max, gate r12 beside the 8 above ---
         "dot_product": q_dot_product,
         "str_strip_quotes": q_str_strip_quotes,
         "tokenize": q_tokenize,
@@ -7041,58 +6991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_sample": q_docs_split_sample,
         "text_repetition": q_text_repetition,
         "events_value_zscore": q_events_value_zscore,
-        # --- latest driver row r09 (50): freshest, rotate last ---
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "events_sessionize": q_events_sessionize,
-        "tokens_except": q_tokens_except,
-        "user_type_pivot": q_user_type_pivot,
-        "pair_edit_distance": q_pair_edit_distance,
-        "orders_by_month": q_orders_by_month,
-        "text_normalize": q_text_normalize,
-        "orders_grouping_sets": q_orders_grouping_sets,
-        "events_interarrival": q_events_interarrival,
-        "orders_status_breakdown": q_orders_status_breakdown,
-        "docs_substring_clean": q_docs_substring_clean,
-        "incremental_dedup_flags": q_incremental_dedup_flags,
-        "incremental_spans_batch": q_incremental_spans_batch,
-        "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
-        "tokens_cms_estimates": q_tokens_cms_estimates,
-        "events_json_props": q_events_json_props,
-        "docs_pack_sequences": q_docs_pack_sequences,
-        "approx_distinct_users": q_approx_distinct_users,
-        "events_anomaly_sql": q_events_anomaly_sql,
-        "docs_mixture_sample": q_docs_mixture_sample,
-        "docs_shuffle_shards": q_docs_shuffle_shards,
-        "events_value_bins": q_events_value_bins,
-        "docs_curation_rules": q_docs_curation_rules,
-        "docs_hashed_embeddings": q_docs_hashed_embeddings,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "cosine_similarity": q_cosine_similarity,
-        "tokenize_stopwords": q_tokenize_stopwords,
-        "term_frequencies": q_term_frequencies,
-        "idf_dict": q_idf_dict,
-        "l2_norm": q_l2_norm,
-        "inverted_index": q_inverted_index,
-        "common_token_pairs": q_common_token_pairs,
-        "cross_similarity": q_cross_similarity,
-        "filter_pair_lookup": q_filter_pair_lookup,
-        "doc_similarity": q_doc_similarity,
-        "count_tokens": q_count_tokens,
-        "top1_by_token_count": q_top1_by_token_count,
-        "union_corpus": q_union_corpus,
-        "gold_join_eval": q_gold_join_eval,
-        "threshold_sweep": q_threshold_sweep,
-        "idf_histogram": q_idf_histogram,
-        "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "ann_topk_bruteforce": q_ann_topk_bruteforce,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        # --- latest driver row r08 (50): gate after the r07 tail ---
+        # --- NEW in r11 keys go HERE (section marker): first rows r12/r13 ---
+        # --- latest driver row r08 (50): 16 fill the r12 window, rest r13 ---
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_test_ngram_overlap": q_train_test_ngram_overlap,
         "docs_unigram_logprob": q_docs_unigram_logprob,
@@ -7143,6 +7043,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_like": q_tpch_q17_like,
         "tpch_q19_like": q_tpch_q19_like,
         "tpch_q22_like": q_tpch_q22_like,
+        # --- latest driver row r09 (50): gate after the r08 cohort ---
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "events_sessionize": q_events_sessionize,
+        "tokens_except": q_tokens_except,
+        "user_type_pivot": q_user_type_pivot,
+        "pair_edit_distance": q_pair_edit_distance,
+        "orders_by_month": q_orders_by_month,
+        "text_normalize": q_text_normalize,
+        "orders_grouping_sets": q_orders_grouping_sets,
+        "events_interarrival": q_events_interarrival,
+        "orders_status_breakdown": q_orders_status_breakdown,
+        "docs_substring_clean": q_docs_substring_clean,
+        "incremental_dedup_flags": q_incremental_dedup_flags,
+        "incremental_spans_batch": q_incremental_spans_batch,
+        "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
+        "tokens_cms_estimates": q_tokens_cms_estimates,
+        "events_json_props": q_events_json_props,
+        "docs_pack_sequences": q_docs_pack_sequences,
+        "approx_distinct_users": q_approx_distinct_users,
+        "events_anomaly_sql": q_events_anomaly_sql,
+        "docs_mixture_sample": q_docs_mixture_sample,
+        "docs_shuffle_shards": q_docs_shuffle_shards,
+        "events_value_bins": q_events_value_bins,
+        "docs_curation_rules": q_docs_curation_rules,
+        "docs_hashed_embeddings": q_docs_hashed_embeddings,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "cosine_similarity": q_cosine_similarity,
+        "tokenize_stopwords": q_tokenize_stopwords,
+        "term_frequencies": q_term_frequencies,
+        "idf_dict": q_idf_dict,
+        "l2_norm": q_l2_norm,
+        "inverted_index": q_inverted_index,
+        "common_token_pairs": q_common_token_pairs,
+        "cross_similarity": q_cross_similarity,
+        "filter_pair_lookup": q_filter_pair_lookup,
+        "doc_similarity": q_doc_similarity,
+        "count_tokens": q_count_tokens,
+        "top1_by_token_count": q_top1_by_token_count,
+        "union_corpus": q_union_corpus,
+        "gold_join_eval": q_gold_join_eval,
+        "threshold_sweep": q_threshold_sweep,
+        "idf_histogram": q_idf_histogram,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        # --- latest driver row r10 (50): freshest, rotate last ---
+        "events_interval_union": q_events_interval_union,
+        "events_type_transitions": q_events_type_transitions,
+        "dedup_kcore": q_dedup_kcore,
+        "orders_price_trend": q_orders_price_trend,
+        "basket_brand_pairs": q_basket_brand_pairs,
+        "events_cumulative_users": q_events_cumulative_users,
+        "docs_keyterms": q_docs_keyterms,
+        "embeddings_knn_label": q_embeddings_knn_label,
+        "events_value_mad": q_events_value_mad,
+        "orders_unpivot": q_orders_unpivot,
+        "docs_bpe_segments": q_docs_bpe_segments,
+        "attribution_linear": q_attribution_linear,
+        "funnel_latency": q_funnel_latency,
+        "events_snapshot_diff": q_events_snapshot_diff,
+        "orders_repeat_share": q_orders_repeat_share,
+        "dedup_containment": q_dedup_containment,
+        "orders_abc_classes": q_orders_abc_classes,
+        "events_dau_wau": q_events_dau_wau,
+        "session_paths": q_session_paths,
+        "orders_mom_growth": q_orders_mom_growth,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "docs_shingle_novelty": q_docs_shingle_novelty,
+        "orders_mix_drift": q_orders_mix_drift,
+        "embeddings_profile": q_embeddings_profile,
+        "events_hourly_profile": q_events_hourly_profile,
+        "events_value_band_join": q_events_value_band_join,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_decode": q_media_decode,
+        "media_frame_sample": q_media_frame_sample,
+        "events_windowed": q_events_windowed,
+        "events_sliding_users": q_events_sliding_users,
+        "pricing_rollup": q_pricing_rollup,
+        "top_parts_by_brand": q_top_parts_by_brand,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
+        "sales_cube": q_sales_cube,
+        "value_percentiles": q_value_percentiles,
+        "customers_no_orders": q_customers_no_orders,
+        "docs_prefix_blocking": q_docs_prefix_blocking,
+        "events_zorder_key": q_events_zorder_key,
+        "orders_profile_drift": q_orders_profile_drift,
+        "skew_join_auto": q_skew_join_auto,
+        "incremental_semantic_flags": q_incremental_semantic_flags,
+        "value_percentiles_approx": q_value_percentiles_approx,
+        "pair_jaccard_estimates": q_pair_jaccard_estimates,
+        "incremental_lines_batch": q_incremental_lines_batch,
+        "scan_gold_pairs": q_scan_gold_pairs,
     }
 
 
