@@ -153,16 +153,21 @@ def _weights_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 # DENSE_UNROLL_MAX, so the collect is LIMITed: at most cutoff+1 rows come
 # back regardless of true vocabulary size (the driver-side analog of the
 # reference's broadcast idfDict, EntityResolution.scala:19, but bounded).
-_VOCAB_IDF: dict[tuple, tuple[int, list[tuple[str, float]] | None]] = {}
+_VOCAB_IDF: dict[tuple, tuple[SparkSession, tuple[int, list | None]]] = {}
 
 
 def _vocab_meta(spark: SparkSession, sf_dir: str) -> tuple[int, list | None]:
     """Returns (vocab_n_capped, vocab_idf_or_None): ``vocab_n_capped`` is
     the exact vocabulary size when <= DENSE_VOCAB_THRESHOLD, else that
     threshold + 1 (enough for every strategy decision); the (token, idf)
-    list (token-sorted) is present only when the flat-dense path applies."""
-    key = (id(spark), sf_dir)
-    hit = _VOCAB_IDF.get(key)
+    list (token-sorted) is present only when the flat-dense path applies.
+
+    Cache is keyed by sf_dir with the owning session stored alongside
+    and identity-checked, mirroring _DF_CACHE: id(spark) alone collides
+    when a stopped session's address is reused."""
+    key = (sf_dir,)
+    slot = _VOCAB_IDF.get(key)
+    hit = slot[1] if slot is not None and slot[0] is spark else None
     if hit is None:
         cap = sim.DENSE_VOCAB_THRESHOLD + 1
         rows = _idf(spark, sf_dir).orderBy("token").limit(cap).collect()
@@ -173,7 +178,7 @@ def _vocab_meta(spark: SparkSession, sf_dir: str) -> tuple[int, list | None]:
             else None
         )
         hit = (n, pairs)
-        _VOCAB_IDF[key] = hit
+        _VOCAB_IDF[key] = (spark, hit)
     return hit
 
 
@@ -4544,8 +4549,16 @@ def q_parts_copurchase_cosine(spark, sf_dir):
             "item_a",
             "item_b",
             "n_together",
+            # factors cast to double BEFORE the multiply (the
+            # session_type_pairs lift rule): a BIGINTxBIGINT product
+            # can wrap in non-ANSI Spark at 100 TB counts
             F.round(
-                F.col("n_together") / F.sqrt(F.col("_na") * F.col("_nb")), 9
+                F.col("n_together")
+                / F.sqrt(
+                    F.col("_na").cast("double")
+                    * F.col("_nb").cast("double")
+                ),
+                9,
             ).alias("cosine"),
         )
     )
@@ -5644,7 +5657,7 @@ def q_brand_supplier_hhi(spark, sf_dir):
 _MMR_K = 5
 _MMR_POOL = 20
 _MMR_LAMBDA = 0.7
-_MMR_CACHE: dict[tuple, list] = {}
+_MMR_CACHE: dict[tuple, tuple[SparkSession, tuple]] = {}
 
 
 def _mmr_select(spark, sf_dir):
@@ -5657,11 +5670,16 @@ def _mmr_select(spark, sf_dir):
     rounding); the greedy score 0.7*rel - 0.3*maxsim is then pure
     fixed-shape double arithmetic over those ferried values, so the
     oracle's unrolled per-pick CTE replay selects identically. Ties
-    break to the smallest vec_id."""
-    key = (id(spark), sf_dir)
-    hit = _MMR_CACHE.get(key)
-    if hit is not None:
-        return hit
+    break to the smallest vec_id.
+
+    Cache keyed by sf_dir with the owning session stored alongside and
+    identity-checked (the _DF_CACHE pattern): id(spark) alone collides
+    when a stopped session's address is reused, which would replay
+    stale ferried picks against rewritten data."""
+    key = (sf_dir,)
+    slot = _MMR_CACHE.get(key)
+    if slot is not None and slot[0] is spark:
+        return slot[1]
 
     nv = ann_ops._norm_vecs(_emb(spark, sf_dir), "vec_id", "embedding")
     qrow = nv.orderBy("id").limit(1).collect()[0]
@@ -5723,8 +5741,8 @@ def _mmr_select(spark, sf_dir):
         (rank + 1, c[0], c[1], score)
         for rank, (c, score) in enumerate(selected)
     ]
-    _MMR_CACHE[key] = (out, q_id, qv, qn)
-    return _MMR_CACHE[key]
+    _MMR_CACHE[key] = (spark, (out, q_id, qv, qn))
+    return _MMR_CACHE[key][1]
 
 
 def q_embeddings_mmr_topk(spark, sf_dir):
@@ -6601,9 +6619,20 @@ def q_session_type_pairs(spark, sf_dir):
             F.col("item_b").alias("type_b"),
             "n_together",
             "support",
+            # each factor casts to double BEFORE the multiply: a
+            # BIGINTxBIGINT product can silently wrap in non-ANSI
+            # Spark at 100 TB counts (the DuckDB side would error
+            # instead); double*double just loses ulps, identically on
+            # both engines
             F.round(
-                (F.col("n_together") * F.col("_ns")).cast("double")
-                / (F.col("_na") * F.col("_nb")).cast("double"),
+                (
+                    F.col("n_together").cast("double")
+                    * F.col("_ns").cast("double")
+                )
+                / (
+                    F.col("_na").cast("double")
+                    * F.col("_nb").cast("double")
+                ),
                 6,
             ).alias("lift"),
         )
@@ -10888,7 +10917,7 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1, 2 HAVING count(*) >= 2
         )
         SELECT item_a, item_b, n_together,
-               round(n_together / sqrt(na.n * nb.n), 9) AS cosine
+               round(n_together / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 9) AS cosine
         FROM pairs
         JOIN ic na ON na.l_partkey = item_a
         JOIN ic nb ON nb.l_partkey = item_b
@@ -12299,8 +12328,9 @@ def oracle_sql() -> dict[str, str]:
         sz AS (SELECT event_type, count(*)::BIGINT AS n FROM st GROUP BY 1)
         SELECT type_a, type_b, n_together,
                round(n_together / ns, 9) AS support,
-               round(CAST(n_together * ns AS DOUBLE)
-                     / CAST(na.n * nb.n AS DOUBLE), 6) AS lift
+               round((CAST(n_together AS DOUBLE) * CAST(ns AS DOUBLE))
+                     / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)),
+                     6) AS lift
         FROM pr
         JOIN sz na ON na.event_type = type_a
         JOIN sz nb ON nb.event_type = type_b

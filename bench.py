@@ -246,6 +246,80 @@ HEADLINE = [
     # LSH band-count precision/recall trade)
     "dedup_threshold_curve",
     "dedup_lsh_band_curve",
+    # r11 coverage closure (r10 verdict "What's missing #2"): every
+    # remaining queries() key is benched so a per-query plan regression
+    # anywhere in the gated surface shows up in the artifact; the only
+    # exceptions live in BENCH_EXCLUDED below with per-key rationale.
+    # -- reference TF-IDF core (cheap, mostly behind the pipeline
+    #    persist barriers the flagship warms)
+    "scan_concat",
+    "scan_gold_pairs",
+    "str_strip_quotes",
+    "tokenize",
+    "tokenize_stopwords",
+    "term_frequencies",
+    "idf_dict",
+    "l2_norm",
+    "dot_product",
+    "inverted_index",
+    "filter_pair_lookup",
+    "count_tokens",
+    "top1_by_token_count",
+    "union_corpus",
+    "gold_join_eval",
+    "idf_histogram",
+    "minhash_signatures",
+    # -- dedup / text family remainder
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "text_lang_id",
+    "token_counts",
+    "text_repetition",
+    "text_normalize",
+    "tokens_except",
+    "pair_edit_distance",
+    "docs_token_budget",
+    "docs_split_sample",
+    "docs_stratified_sample",
+    "docs_mixture_sample",
+    "docs_shuffle_shards",
+    "docs_weighted_sample",
+    "docs_curation_rules",
+    "docs_pii_scrub",
+    "docs_hashed_embeddings",
+    "curation_pipeline",
+    "incremental_dedup_flags",
+    "incremental_spans_batch",
+    # -- relational / events remainder
+    "media_frame_sample",
+    "events_sliding_users",
+    "value_percentiles",
+    "customers_no_orders",
+    "events_hourly_from_minutely",
+    "events_value_zscore",
+    "user_type_pivot",
+    "orders_by_month",
+    "orders_grouping_sets",
+    "events_interarrival",
+    "orders_status_breakdown",
+    "events_json_props",
+    "approx_distinct_users",
+    "events_value_bins",
+    "orders_corr",
+    "heavy_hitter_users",
+    "skew_join_events",
+    "user_running_stats",
+    # -- TPC-H shapes not yet in the artifact
+    "tpch_q2_like",
+    "tpch_q3_like",
+    "tpch_q4_like",
+    "tpch_q7_like",
+    "tpch_q13_like",
+    "tpch_q15_like",
+    "tpch_q16_like",
+    "tpch_q17_like",
+    "tpch_q19_like",
+    "tpch_q22_like",
     # bench-only entries (not driver-gated queries): the bucketed-layout
     # and incremental scale paths plus the 100-query BM25 batch -- see
     # EXTRA below. Every *_prebuilt/_persisted name times the PRODUCTION
@@ -274,6 +348,29 @@ HEADLINE = [
 WITNESS = [
     "events_anomaly",
 ]
+
+# Gated keys deliberately NOT timed, with per-key rationale (r10
+# verdict: every queries() key must be benched or listed here; the
+# coverage contract is pinned by tests/test_bench_coverage.py).
+BENCH_EXCLUDED = {
+    "streaming_verdict_day2": (
+        "correctness gate for the streaming read-state->probe->append "
+        "path; its compute body is already timed as "
+        "incremental_ingest_verdict / incremental_ingest_batch -- "
+        "timing it again would double-count the operator plus "
+        "throwaway tempdir checkpoint IO"
+    ),
+    "cosine_similarity": (
+        "two-doc scalar probe (ids 4/5): wall time is fixed session "
+        "overhead, not plan cost; the corpus-wide twins "
+        "cross_similarity / fast_cosine_join are timed"
+    ),
+    "doc_similarity": (
+        "two-doc end-to-end probe (tokenize->tfidf->cosine on ids "
+        "0/1): same fixed-overhead class; every constituent operator "
+        "is timed corpus-wide elsewhere in the headline"
+    ),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -780,6 +877,7 @@ def main() -> None:
     qs = dict(entry_mod.queries())
     qs.update(EXTRA)
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     witness: dict[str, float] = {}
     cold: dict[str, float] = {}
 
@@ -787,15 +885,23 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             return
-        best = float("inf")
+        times: list[float] = []
         for i in range(repeats):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             if i == 0:
                 cold[name] = round(dt, 3)
-            best = min(best, dt)
-        into[name] = round(best, 3)
+            times.append(dt)
+        times.sort()
+        into[name] = round(times[0], 3)
+        # per-query MEDIAN beside the min (r10 verdict "What's wrong
+        # #2"): artifact-to-artifact captures of identical code spread
+        # +-15%, so a reader needs a second, noise-robust estimator per
+        # query -- min says "best the plan can do", median says "what a
+        # typical run costs"; a real plan regression moves BOTH, capture
+        # noise moves mostly the median.
+        medians[name] = round(times[len(times) // 2], 3)
 
     for name in HEADLINE:
         _run(name, timings)
@@ -818,6 +924,29 @@ def main() -> None:
     sys.stdout.flush()
     settle_meta["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
     total = round(sum(timings.values()), 3)
+    total_median = round(sum(medians.values()), 3)
+    # Dispersion summary: per-query median/min ratios aggregated so a
+    # reader can tell capture noise (ratios uniformly inflated) from a
+    # localized plan regression (one query's min moved). Compact by
+    # design -- the summary line must stay inside the driver's bounded
+    # tail capture.
+    ratios = sorted(
+        medians[q] / timings[q]
+        for q in timings
+        if timings[q] > 0.05  # sub-50ms entries: ratio is pure jitter
+    )
+    dispersion = (
+        {
+            "n": len(ratios),
+            "median_over_min_p50": round(ratios[len(ratios) // 2], 3),
+            "median_over_min_p90": round(ratios[int(len(ratios) * 0.9)], 3),
+            "median_over_min_max": round(ratios[-1], 3),
+        }
+        if ratios
+        else {}
+    )
+    print(json.dumps({"queries_median": medians, "sf": sf_val}))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -838,7 +967,9 @@ def main() -> None:
                 "metric": "headline_summary",
                 "value": total,
                 "unit": "sec",
+                "value_median": total_median,
                 "n_entries": len(timings),
+                "dispersion": dispersion,
                 "witness": witness,
                 "settle": settle_meta,
                 "sf": sf_val,

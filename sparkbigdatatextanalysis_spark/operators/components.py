@@ -599,14 +599,26 @@ def degree_assortativity(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .localCheckpoint(eager=True)
     )
-    directed = und.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("x").alias("s"), F.col("y").alias("t")),
-                F.struct(F.col("y").alias("s"), F.col("x").alias("t")),
-            )
-        ).alias("_e")
-    ).select("_e.s", "_e.t")
+    directed = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("s"), F.col("y").alias("t")),
+                    F.struct(F.col("y").alias("s"), F.col("x").alias("t")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.s", "_e.t")
+        .localCheckpoint(eager=True)
+    )
+    edge_count = und.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).localCheckpoint(eager=True)
+    # both consumers of `und` are now materialized (directed /
+    # edge_count checkpoints) -- release the cached partitions so a
+    # long session or a 234-key battery does not accumulate them
+    # (the bfs_levels lifecycle).
+    und.unpersist()
     ds = deg.select(F.col("n").alias("s"), F.col("deg").alias("dx"))
     dt = deg.select(F.col("n").alias("t"), F.col("deg").alias("dy"))
     lab = directed.join(ds, "s").join(dt, "t")
@@ -620,9 +632,7 @@ def degree_assortativity(
         F.sum(dxd * dxd).alias("_sxx"),
         F.sum(dyd * dyd).alias("_syy"),
     )
-    counts = und.agg(
-        F.count(F.lit(1)).cast("long").alias("n_edges")
-    ).crossJoin(
+    counts = edge_count.crossJoin(
         F.broadcast(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
     )
     md = F.col("m").cast("double")
@@ -697,7 +707,12 @@ def bfs_levels(
     seed_row = deg.orderBy(F.col("deg").desc(), "n").limit(1).collect()
     spark = edges.sparkSession
     if not seed_row:
-        return spark.createDataFrame([], "dist INT, n_nodes LONG")
+        # Empty canonical edge set: agree with the unrolled SQL oracle's
+        # shape, which always emits the unreachable-remainder row --
+        # here (dist=-1, n_nodes=0), never a zero-row frame.
+        return spark.createDataFrame(
+            [(-1, 0)], "dist INT, n_nodes LONG"
+        )
     seed = seed_row[0]["n"]
     reached = (
         deg.where(F.col("n") == seed)

@@ -620,9 +620,18 @@ def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     both axes are mutually non-dominating and ALL kept. The oracle IS
     the quadratic NOT-EXISTS form, so the decomposition is proven
     equal.
+
+    NULL contract: rows with a NULL coordinate are EXCLUDED up front
+    (explicit filter below). A raw three-valued-logic NOT-EXISTS would
+    instead keep every NULL-coordinate row as vacuously non-dominated
+    -- rarely what a shortlist wants -- so the operator pins the
+    drop-NULLs semantics explicitly rather than inheriting it silently
+    from the per-x max / equi-join-back mechanics; an oracle comparing
+    against this operator must apply the same x/y IS NOT NULL filter.
     """
     from pyspark.sql import Window
 
+    df = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
     per_x = df.groupBy(x).agg(F.max(y).alias("_ym"))
     w = Window.orderBy(F.col(x).desc()).rowsBetween(
         Window.unboundedPreceding, -1

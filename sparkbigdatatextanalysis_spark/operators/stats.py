@@ -601,7 +601,12 @@ def grouped_moments(
 
 
 def ks_two_sample(
-    df: DataFrame, value_col: str, is_a_col, value_out: str = "ks_at_value"
+    df: DataFrame,
+    value_col: str,
+    is_a_col,
+    value_out: str = "ks_at_value",
+    n_buckets: int = 32,
+    relative_error: float = 0.0,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between the rows where
     ``is_a_col`` is true (sample A) and the rest (sample B): the
@@ -619,13 +624,32 @@ def ks_two_sample(
     so the result is deterministic under any partitioning.
 
     Scale shape: ONE groupBy(value) partial agg (output bounded by the
-    value DOMAIN, not the row count), one ordered cumulative-sum window
-    over that bounded table (the cumulative-users convention: a
-    global window is safe exactly because the domain is bounded), and
-    single-row broadcast totals. NULL values drop.
+    value DOMAIN, not the row count), then the ECDF cumulative sums run
+    through the global_rank two-phase decomposition instead of one
+    unpartitioned window -- on a continuous DOUBLE metric the distinct
+    table is ~the row count and a global ORDER BY window would funnel
+    it through ONE task. Phase 1: n_buckets-1 exact interpolated
+    percentile cuts of the distinct values broadcast back; each value
+    maps to a bucket by plain comparisons (equal values share a bucket,
+    so bucket ranges respect the value order by construction). Phase 2:
+    per-bucket (sumA, sumB) prefix-sum into offsets (the only
+    unbounded-window runs over that n_buckets-row table), and the
+    within-bucket cumulative sums are bucket-partitioned windows.
+    Offsets + local prefix = the exact global prefix, so the result is
+    bit-identical to the single-window form (property-pinned in
+    tests/test_round10_properties.py). ``value_col`` must be numeric
+    (the percentile cuts require it; KS is a numeric-distribution
+    test). ``relative_error`` > 0 swaps the cuts to the mergeable GK
+    sketch for near-continuous domains -- the STATISTIC stays exact
+    either way (cuts only pick bucket boundaries; the global_rank
+    argument). Single-row totals broadcast. NULL values drop.
     """
     from pyspark.sql import Window
 
+    if n_buckets < 2:
+        raise ValueError(
+            f"ks_two_sample: n_buckets must be >= 2, got {n_buckets}"
+        )
     v = F.col(value_col)
     per = (
         df.where(v.isNotNull())
@@ -634,12 +658,57 @@ def ks_two_sample(
             F.sum(F.when(is_a_col, 1).otherwise(0)).cast("long").alias("_ca"),
             F.sum(F.when(is_a_col, 0).otherwise(1)).cast("long").alias("_cb"),
         )
+        .select(v.alias("_v"), "_ca", "_cb")
+        # feeds cuts, totals, bucket pass -- one barrier, three readers
+        .persist()
     )
-    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
-    cum = per.select(
-        v.alias("_v"),
-        F.sum("_ca").over(w).cast("decimal(18,0)").alias("_cuma"),
-        F.sum("_cb").over(w).cast("decimal(18,0)").alias("_cumb"),
+    if relative_error > 0:
+        acc = int(1.0 / relative_error)
+        cut_exprs = [
+            F.percentile_approx(
+                F.col("_v"), F.lit(i / n_buckets), F.lit(acc)
+            ).alias(f"_c{i}")
+            for i in range(1, n_buckets)
+        ]
+    else:
+        cut_exprs = [
+            F.expr(f"percentile(_v, {i / n_buckets})").alias(f"_c{i}")
+            for i in range(1, n_buckets)
+        ]
+    cuts = per.agg(*cut_exprs)
+    bucket = sum(
+        (F.col("_v") > F.col(f"_c{i}")).cast("long")
+        for i in range(1, n_buckets)
+    )
+    bp = (
+        per.crossJoin(F.broadcast(cuts))
+        .withColumn("_bk", bucket)
+        .drop(*[f"_c{i}" for i in range(1, n_buckets)])
+    )
+    woff = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        bp.groupBy("_bk")
+        .agg(
+            F.sum("_ca").alias("_ba"),
+            F.sum("_cb").alias("_bb"),
+        )
+        .select(
+            "_bk",
+            F.coalesce(F.sum("_ba").over(woff), F.lit(0)).alias("_offa"),
+            F.coalesce(F.sum("_bb").over(woff), F.lit(0)).alias("_offb"),
+        )
+    )
+    wloc = Window.partitionBy("_bk").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bp.join(F.broadcast(offs), "_bk").select(
+        "_v",
+        (F.col("_offa") + F.sum("_ca").over(wloc))
+        .cast("decimal(18,0)")
+        .alias("_cuma"),
+        (F.col("_offb") + F.sum("_cb").over(wloc))
+        .cast("decimal(18,0)")
+        .alias("_cumb"),
     )
     tot = per.agg(
         F.sum("_ca").cast("long").alias("n_a"),

@@ -555,9 +555,13 @@ BUDGETS = {
     # ACF: daily agg + global-moment agg + the lag-join/per-lag aggs
     # over the bounded |days| table (broadcast by boundedness)
     "events_daily_acf": (5, 2),
-    # KS: one value-domain agg + ordered cumsum window + totals agg +
-    # the single-row struct-max agg
-    "docs_length_ks": (4, 1),
+    # KS: value-domain agg, then the global_rank bucket decomposition
+    # for the ECDF (cuts agg + per-bucket offsets + bucket-partitioned
+    # cumsum windows) + totals + struct-max agg. The persisted `per`
+    # subtree feeds THREE consumers (cuts/buckets/totals) so the
+    # flattened count trebles it; executed exchanges ~7, of which the
+    # offsets window + cuts agg run over n_buckets/1-row tables
+    "docs_length_ks": (12, 4),
     # assortativity: pair-gen agg + degree agg + two PLAIN degree-attach
     # equi-joins (O(|V|) table, deliberately not broadcast) + moment agg
     "dedup_assortativity": (5, 1),

@@ -81,3 +81,49 @@ def test_dense_array_branch_keeps_zero_pairs(spark):
     out = sim._cosine_similarity_dense(wa, wb, vocab_n=300, keep_zero_pairs=True)
     got = {(r["a_id"], r["b_id"], round(r["sim"], 6)) for r in out.collect()}
     assert got == {(0, 1, 0.0), (0, 2, 1.0)}
+
+
+def test_bfs_levels_empty_graph_emits_remainder_row(spark):
+    """r10 advice: an empty canonical edge set must return the same
+    (dist=-1, n_nodes=0) unreachable-remainder row the unrolled SQL
+    oracle always emits, never a zero-row frame."""
+    edges = spark.createDataFrame([], "u INT, v INT")
+    got = [(r["dist"], r["n_nodes"]) for r in cc.bfs_levels(edges).collect()]
+    assert got == [(-1, 0)]
+    # self-loops only -> canonical set still empty
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "u INT, v INT")
+    got = [(r["dist"], r["n_nodes"]) for r in cc.bfs_levels(loops).collect()]
+    assert got == [(-1, 0)]
+
+
+def test_skyline_2d_drops_null_coordinates(spark):
+    """r10 advice: NULL-coordinate rows are excluded by explicit
+    contract (a raw 3VL NOT-EXISTS would keep them vacuously)."""
+    from sparkbigdatatextanalysis_spark.operators import relational as rel
+
+    df = spark.createDataFrame(
+        [(1, 5, 5), (2, None, 9), (3, 9, None), (4, 9, 1)],
+        "id INT, x INT, y INT",
+    )
+    got = sorted(r["id"] for r in rel.skyline_2d(df, "x", "y").collect())
+    assert got == [1, 4]
+
+
+def test_vocab_and_mmr_caches_are_session_identity_checked():
+    """r10 advice: the ferried-state caches must store the owning
+    session and compare with `is`, so a reused id() address cannot
+    replay stale state (the _DF_CACHE pattern)."""
+    import __spark_entry__ as entrymod
+
+    class _FakeSession:
+        pass
+
+    s1, s2 = _FakeSession(), _FakeSession()
+    entrymod._MMR_CACHE["/tmp/_fake_sf"] = (s1, ("payload",))
+    try:
+        slot = entrymod._MMR_CACHE.get("/tmp/_fake_sf")
+        assert slot[0] is s1 and slot[0] is not s2
+        # lookup contract: a different session object misses
+        assert not (slot is not None and slot[0] is s2)
+    finally:
+        del entrymod._MMR_CACHE["/tmp/_fake_sf"]

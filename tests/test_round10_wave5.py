@@ -256,3 +256,22 @@ def test_interpurchase_shares_sum_to_one(spark):
         assert r["mean_gap_days"] >= 0
     for s, tot in by_seg.items():
         assert abs(tot - 1.0) < 1e-6, (s, tot)
+
+
+def test_ks_continuous_domain_bucketed_matches_brute_force(spark):
+    """r11: the ECDF runs through the global_rank bucket decomposition;
+    on a CONTINUOUS double domain (every value distinct -- the case the
+    old unpartitioned window handled as a single-task straggler) the
+    statistic must still equal the naive reference, for both exact and
+    GK-sketch cuts, and for n_buckets that actually split the table."""
+    rng = random.Random(11)
+    a = [round(rng.gauss(0.0, 1.0), 9) for _ in range(400)]
+    b = [round(rng.gauss(0.4, 1.3), 9) for _ in range(300)]
+    rows = [(v, True) for v in a] + [(v, False) for v in b]
+    df = spark.createDataFrame(rows, "v DOUBLE, is_a BOOLEAN")
+    na, nb, ks, at = _brute_ks(a, b)
+    for kwargs in ({"n_buckets": 8}, {"n_buckets": 8, "relative_error": 0.01}):
+        got = st.ks_two_sample(df, "v", F.col("is_a"), **kwargs).collect()[0]
+        assert (got["n_a"], got["n_b"]) == (na, nb)
+        assert abs(got["ks_stat"] - ks) < 1e-9
+        assert got["ks_at_value"] == at
