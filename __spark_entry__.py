@@ -3574,6 +3574,107 @@ def q_streaming_verdict_day2(spark, sf_dir):
     )
 
 
+_SESS_FLUSH_SEQ = [0]
+
+
+def q_streaming_sessions_flush(spark, sf_dir):
+    """SECOND driver-gated streaming surface (r10 verdict item 6,
+    applying the X165 pattern to the stateful sessionizer): the real
+    events table replays through streaming/sessionize.py::
+    sessionize_stream (applyInPandasWithState) as a 3-micro-batch file
+    stream -- split at the median timestamp so open-session state must
+    survive a batch boundary, then a FLUSH batch of one synthetic
+    far-future sentinel event per user (ts = max + gap + 1h) closes
+    every remaining open session. The sentinels' own sessions stay
+    open in state and are never emitted, so the emitted set is EXACTLY
+    the batch sessionizer's output over the non-null-ts events;
+    session_idx is recovered afterwards as row_number over
+    (user_id, session_start) -- per-user sessions are disjoint in
+    time, so the ordinal is the batch one. Oracle = the
+    events_sessionize SQL restricted to ts IS NOT NULL, giving the
+    applyInPandasWithState state machine (batch-spanning state,
+    gap-close, flush-close) its first cross-engine value check.
+
+    Determinism: micro-batch ORDER is pinned by explicit os.utime
+    mtimes (the file source orders by modification time); within a
+    batch the group fn sorts by (ts, event_id). Eager by construction
+    (the stream runs at query build, availableNow); everything lands
+    in a throwaway tempdir + a uniquely-named memory sink, so repeat
+    invocations are independent."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from sparkbigdatatextanalysis_spark.streaming import sessionize as sz
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "ts", "user_id", "value")
+    )
+    stats = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)").alias("_med"),
+        F.max(F.unix_micros("ts")).alias("_max"),
+    ).collect()[0]
+    med_us, max_us = int(stats["_med"]), int(stats["_max"])
+    flush_us = max_us + (sz.SESSION_GAP_MINUTES + 60) * 60 * 1_000_000
+    sentinels = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.timestamp_micros(F.lit(flush_us)).alias("ts"),
+            "user_id",
+            F.lit(0.0).alias("value"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_sessions_gate_")
+    batches = [
+        ("b0", ev.where(F.unix_micros("ts") <= F.lit(med_us))),
+        ("b1", ev.where(F.unix_micros("ts") > F.lit(med_us))),
+        ("b2", sentinels),
+    ]
+    for i, (name, df) in enumerate(batches):
+        path = f"{tmp}/{name}"
+        df.coalesce(1).write.parquet(path)
+        # pin micro-batch order: the file source sorts by mtime
+        mt = 1_000_000 + 10 * i
+        for f in _glob.glob(f"{path}/*"):
+            _os.utime(f, (mt, mt))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/b*")
+    )
+    _SESS_FLUSH_SEQ[0] += 1
+    qname = f"sessions_gate_{_SESS_FLUSH_SEQ[0]}"
+    q = (
+        sz.sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql import Window
+
+    idx = Window.partitionBy("user_id").orderBy("session_start")
+    return spark.table(qname).select(
+        "user_id",
+        F.row_number().over(idx).cast("long").alias("session_idx"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_history_merge_replay(spark, sf_dir):
     """Rerun-idempotent keyed history merge (operators/pipeline.py::
     merge_counts_keyed) -- closes the documented replay caveat of the
@@ -5660,6 +5761,32 @@ _MMR_LAMBDA = 0.7
 _MMR_CACHE: dict[tuple, tuple[SparkSession, tuple]] = {}
 
 
+def _mmr_pool(spark, sf_dir):
+    """The MMR candidate pool: the _MMR_POOL nearest neighbors of the
+    min-vec_id probe by ENGINE-rounded 9dp cosine, tie-broken to the
+    smallest id -- exactly _broadcast_topk's (cos desc, n_id) order, so
+    the pool can ride the IVF index at scale: with full probing
+    cosine_topk_ivf returns this identical set (equality-pinned in
+    tests/test_round10_wave12.py, the hubness/triplet discipline).
+    Returns (nv, q_id, qv, qn, [(id, rel), ...])."""
+    nv = ann_ops._norm_vecs(_emb(spark, sf_dir), "vec_id", "embedding")
+    qrow = nv.orderBy("id").limit(1).collect()[0]
+    q_id, qv, qn = qrow["id"], [float(x) for x in qrow["v"]], float(qrow["norm"])
+    qlit = F.array(*[F.lit(x) for x in qv])
+    rel = F.round(
+        ann_ops._dot(F.col("v"), qlit) / (F.lit(qn) * F.col("norm")), 9
+    )
+    cands = (
+        nv.where(F.col("id") != q_id)
+        .select("id", "v", "norm", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), "id")
+        .limit(_MMR_POOL)
+        .collect()
+    )
+    pool = [(int(r["id"]), float(r["rel"])) for r in cands]
+    return nv, q_id, qv, qn, pool
+
+
 def _mmr_select(spark, sf_dir):
     """Maximal-Marginal-Relevance selection, ferried driver-side over
     BOUNDED state (the kmeans/BPE precedent): the candidate pool is
@@ -5681,21 +5808,7 @@ def _mmr_select(spark, sf_dir):
     if slot is not None and slot[0] is spark:
         return slot[1]
 
-    nv = ann_ops._norm_vecs(_emb(spark, sf_dir), "vec_id", "embedding")
-    qrow = nv.orderBy("id").limit(1).collect()[0]
-    q_id, qv, qn = qrow["id"], [float(x) for x in qrow["v"]], float(qrow["norm"])
-    qlit = F.array(*[F.lit(x) for x in qv])
-    rel = F.round(
-        ann_ops._dot(F.col("v"), qlit) / (F.lit(qn) * F.col("norm")), 9
-    )
-    cands = (
-        nv.where(F.col("id") != q_id)
-        .select("id", "v", "norm", rel.alias("rel"))
-        .orderBy(F.col("rel").desc(), "id")
-        .limit(_MMR_POOL)
-        .collect()
-    )
-    pool = [(int(r["id"]), float(r["rel"])) for r in cands]
+    nv, q_id, qv, qn, pool = _mmr_pool(spark, sf_dir)
     ids = [c[0] for c in pool]
     # pairwise candidate cosines, rounded by the ENGINE (bounded:
     # pool*(pool-1)/2 rows) -- the one extra build job
@@ -7021,6 +7134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "events_value_zscore": q_events_value_zscore,
         # --- NEW in r11 keys go HERE (section marker): first rows r12/r13 ---
+        "streaming_sessions_flush": q_streaming_sessions_flush,
         # --- latest driver row r08 (50): 16 fill the r12 window, rest r13 ---
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_test_ngram_overlap": q_train_test_ngram_overlap,
@@ -12539,5 +12653,31 @@ def oracle_sql() -> dict[str, str]:
                  AS precision,
                round(n_true_captured::DOUBLE / nt::DOUBLE, 9) AS recall
         FROM perb CROSS JOIN tt
+    """
+    # Second driver-gated streaming surface (r11): the flush-closed
+    # applyInPandasWithState replay emits exactly the batch sessions
+    # over the non-null-ts events, so the oracle is the
+    # events_sessionize SQL with that filter applied.
+    sqls["streaming_sessions_flush"] = """
+        WITH e AS (
+          SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus
+          FROM events WHERE ts IS NOT NULL
+        ),
+        m AS (
+          SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                          OR tus - lag(tus) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ),
+        s AS (
+          SELECT *, sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING
+          ) AS session_idx FROM m
+        )
+        SELECT user_id, session_idx::BIGINT AS session_idx,
+               strftime(min(make_timestamp(tus)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(make_timestamp(tus)), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM s GROUP BY user_id, session_idx
     """
     return sqls

@@ -360,6 +360,13 @@ BENCH_EXCLUDED = {
         "timing it again would double-count the operator plus "
         "throwaway tempdir checkpoint IO"
     ),
+    "streaming_sessions_flush": (
+        "correctness gate for the applyInPandasWithState session state "
+        "machine (batch-spanning state + flush close): wall time is "
+        "tempdir write + 3-trigger stream replay + memory-sink IO, not "
+        "a 100 TB plan; the compute body is timed as events_sessionize "
+        "/ events_session_native"
+    ),
     "cosine_similarity": (
         "two-doc scalar probe (ids 4/5): wall time is fixed session "
         "overhead, not plan cost; the corpus-wide twins "

@@ -179,6 +179,7 @@ def blocking_quality(
     truth: DataFrame,
     n_items: int,
     round_digits: int = 9,
+    truth_sample_rate: float = 1.0,
 ) -> DataFrame:
     """Blocking-scheme quality report: the two standard record-linkage
     metrics for a candidate-pair generator (LSH bands, prefix blocking,
@@ -200,11 +201,39 @@ def blocking_quality(
     less than the blocking it evaluates. Returns a single row:
     (n_candidates, n_truth, n_caught, pairs_completeness,
     reduction_ratio).
+
+    ``truth_sample_rate`` < 1 is the 100 TB path for the truth side
+    (building an exhaustive similarity-graph truth set at full scale
+    costs more than the blocking under audit): the truth pairs are
+    thinned by a deterministic salted md5 hash of the pair key
+    (salt 'bqt:'), so the sample is reproducible across runs and
+    partitionings and independent of how the truth pairs were
+    generated. ``pairs_completeness`` then becomes an unbiased
+    estimate (each truth pair kept with equal probability, caught
+    status unaffected by sampling); ``n_truth``/``n_caught`` report
+    the SAMPLED counts, and ``reduction_ratio`` is untouched (the
+    candidate side is never sampled). Convergence of the estimate to
+    the exact value is property-tested in tests/test_round10_ops.py.
     """
     if n_items < 2:
         raise ValueError(f"blocking_quality: n_items must be >= 2, got {n_items}")
+    if not 0 < truth_sample_rate <= 1:
+        raise ValueError(
+            "blocking_quality: truth_sample_rate must be in (0, 1], got "
+            f"{truth_sample_rate}"
+        )
     c = candidates.select("a_id", "b_id").distinct()
     t = truth.select("a_id", "b_id").distinct()
+    if truth_sample_rate < 1:
+        from ..functions.hashing import MERSENNE31, string_hash31
+
+        cut = int(truth_sample_rate * MERSENNE31)
+        t = t.where(
+            string_hash31(
+                F.concat_ws("|", F.lit("bqt:"), "a_id", "b_id")
+            )
+            < F.lit(cut)
+        )
     caught = t.join(c, ["a_id", "b_id"], "left_semi")
     total_pairs = n_items * (n_items - 1) // 2
     counts = (

@@ -474,6 +474,11 @@ BUDGETS = {
     # construction (ann_topk_ivf precedent); the audited plan is the
     # flags-sink parquet read-back
     "streaming_verdict_day2": (0, 0),
+    # r11 streaming sessionize gate: the stream ran EAGERLY at build
+    # (applyInPandasWithState inside the streaming query); the audited
+    # surface is the memory-sink scan + the session_idx recovery
+    # window (one user_id exchange)
+    "streaming_sessions_flush": (1, 0),
     # q9: one lineitem-orders shuffle; part/supplier/nation broadcast
     "tpch_q9_like": (1, 4),
     # q12: one orderkey shuffle join; the priority split is in-row

@@ -85,6 +85,47 @@ def test_blocking_quality_empty_truth(spark):
     assert got["n_truth"] == 0 and got["pairs_completeness"] is None
 
 
+def test_blocking_quality_sampled_truth_converges(spark):
+    """r10 verdict stretch 8: the salted-hash truth sample must be
+    deterministic, leave reduction_ratio untouched, and estimate
+    pairs_completeness within sampling error of the exact value."""
+    import random
+
+    rng = random.Random(3)
+    truth_pairs = sorted(
+        {tuple(sorted(rng.sample(range(400), 2))) for _ in range(3000)}
+    )
+    # the blocker catches ~70% of true pairs (deterministic rule)
+    cand_pairs = [p for p in truth_pairs if (p[0] * 31 + p[1]) % 10 < 7]
+    exact_pc = len(cand_pairs) / len(truth_pairs)
+    truth = spark.createDataFrame(truth_pairs, "a_id LONG, b_id LONG")
+    cand = spark.createDataFrame(cand_pairs, "a_id LONG, b_id LONG")
+    exact = eva.blocking_quality(cand, truth, n_items=400).collect()[0]
+    assert abs(exact["pairs_completeness"] - exact_pc) < 1e-9
+    for rate in (0.5, 0.25):
+        got = eva.blocking_quality(
+            cand, truth, n_items=400, truth_sample_rate=rate
+        ).collect()[0]
+        # deterministic: a second call sees the identical sample
+        again = eva.blocking_quality(
+            cand, truth, n_items=400, truth_sample_rate=rate
+        ).collect()[0]
+        assert (got["n_truth"], got["n_caught"]) == (
+            again["n_truth"],
+            again["n_caught"],
+        )
+        # unbiased estimate: within ~4 sigma of binomial sampling error
+        n_s = got["n_truth"]
+        assert 0 < n_s < len(truth_pairs)
+        sigma = (exact_pc * (1 - exact_pc) / n_s) ** 0.5
+        assert abs(got["pairs_completeness"] - exact_pc) < 4 * sigma + 1e-9
+        # candidate side never sampled
+        assert got["n_candidates"] == exact["n_candidates"]
+        assert got["reduction_ratio"] == exact["reduction_ratio"]
+    with pytest.raises(ValueError, match="truth_sample_rate"):
+        eva.blocking_quality(cand, truth, n_items=400, truth_sample_rate=0.0)
+
+
 # --- band_join with partition_cols -------------------------------------------
 
 

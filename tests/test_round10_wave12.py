@@ -89,3 +89,30 @@ def test_triplet_margin_over_ivf_neighbors_full_probe(spark):
         ).collect()
     )
     assert bf == ivf and len(bf) > 0
+
+
+def test_mmr_pool_over_ivf_full_probe_equals_bruteforce(spark):
+    """r10 verdict stretch 7: X199's 20-NN candidate pool is built by
+    the broadcast brute-force top-k; with n_probe == n_centroids the
+    IVF top-k is the identical (id, 9dp-cos) set under the same
+    (cos desc, n_id) tie-break, so the MMR greedy -- a pure function of
+    the pool's ids and rels -- picks the same 5 at scale over the IVF
+    index."""
+    import __spark_entry__ as entrymod
+
+    _nv, q_id, _qv, _qn, pool = entrymod._mmr_pool(spark, SF)
+    assert len(pool) == entrymod._MMR_POOL
+    emb = _emb(spark)
+    qids = emb.where(F.col("vec_id") == q_id).select("vec_id")
+    ivf = ann_ops.cosine_topk_ivf(
+        emb,
+        qids,
+        k=entrymod._MMR_POOL,
+        n_centroids=ann_ops.N_CENTROIDS,
+        n_probe=ann_ops.N_CENTROIDS,
+    ).collect()
+    got = {(int(r["n_id"]), round(float(r["cos"]), 9)) for r in ivf}
+    assert got == set(pool)
+    # and the rank order agrees with the pool's (rel desc, id) order
+    order_ivf = [int(r["n_id"]) for r in sorted(ivf, key=lambda r: r["rank"])]
+    assert order_ivf == [i for i, _ in pool]
