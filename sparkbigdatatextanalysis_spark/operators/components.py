@@ -359,6 +359,69 @@ def _attach_degrees(
     return und.join(dx, "x").join(dy, "y")
 
 
+def _triangle_triples(
+    edges: DataFrame,
+    a: str,
+    b: str,
+    broadcast_degrees: bool | None,
+    broadcast_node_limit: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared compact-forward triangle enumeration (the count_triangles
+    body, factored so adamic_adar_edges can reuse the hub-safe wedge
+    discipline): returns (triples, deg) where ``triples`` has one row
+    (s, d1, d2) per distinct triangle -- s the (degree, id)-lowest
+    pivot -- and ``deg`` is the checkpointed (n, deg) table. See
+    count_triangles for the full scale rationale."""
+    und = (
+        edges.select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("x").alias("n"))
+        .unionByName(und.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    # orient each edge from the (deg, id)-lower endpoint to the higher;
+    # carry the dst's (deg, id) so the wedge comparison needs no third join
+    dx = deg.select(F.col("n").alias("x"), F.col("deg").alias("dgx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("deg").alias("dgy"))
+    if broadcast_degrees is None:
+        broadcast_degrees = deg.count() <= broadcast_node_limit
+    lab = _attach_degrees(und, dx, dy, broadcast_degrees)
+    x_first = (F.col("dgx") < F.col("dgy")) | (
+        (F.col("dgx") == F.col("dgy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = lab.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(x_first, F.col("dgy")).otherwise(F.col("dgx")).alias("dst_deg"),
+    ).localCheckpoint(eager=True)
+    und.unpersist()
+    e1 = oriented.select(
+        F.col("src").alias("s"),
+        F.col("dst").alias("d1"),
+        F.col("dst_deg").alias("dd1"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("s"),
+        F.col("dst").alias("d2"),
+        F.col("dst_deg").alias("dd2"),
+    )
+    wedges = e1.join(e2, "s").where(
+        (F.col("dd1") < F.col("dd2"))
+        | ((F.col("dd1") == F.col("dd2")) & (F.col("d1") < F.col("d2")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("d1"), F.col("dst").alias("d2")
+    )
+    tris = wedges.join(closing, ["d1", "d2"]).select("s", "d1", "d2")
+    return tris, deg
+
+
 def count_triangles(
     edges: DataFrame,
     a: str = "u",
@@ -409,53 +472,9 @@ def count_triangles(
     (zero-triangle nodes included). Self-loops and duplicate/reversed
     edges are dropped.
     """
-    und = (
-        edges.select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
-        .where(F.col("x") != F.col("y"))
-        .distinct()
-        .persist()
+    tris, deg = _triangle_triples(
+        edges, a, b, broadcast_degrees, broadcast_node_limit
     )
-    deg = (
-        und.select(F.col("x").alias("n"))
-        .unionByName(und.select(F.col("y").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
-    # orient each edge from the (deg, id)-lower endpoint to the higher;
-    # carry the dst's (deg, id) so the wedge comparison needs no third join
-    dx = deg.select(F.col("n").alias("x"), F.col("deg").alias("dgx"))
-    dy = deg.select(F.col("n").alias("y"), F.col("deg").alias("dgy"))
-    if broadcast_degrees is None:
-        broadcast_degrees = deg.count() <= broadcast_node_limit
-    lab = _attach_degrees(und, dx, dy, broadcast_degrees)
-    x_first = (F.col("dgx") < F.col("dgy")) | (
-        (F.col("dgx") == F.col("dgy")) & (F.col("x") < F.col("y"))
-    )
-    oriented = lab.select(
-        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
-        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
-        F.when(x_first, F.col("dgy")).otherwise(F.col("dgx")).alias("dst_deg"),
-    ).localCheckpoint(eager=True)
-    und.unpersist()
-    e1 = oriented.select(
-        F.col("src").alias("s"),
-        F.col("dst").alias("d1"),
-        F.col("dst_deg").alias("dd1"),
-    )
-    e2 = oriented.select(
-        F.col("src").alias("s"),
-        F.col("dst").alias("d2"),
-        F.col("dst_deg").alias("dd2"),
-    )
-    wedges = e1.join(e2, "s").where(
-        (F.col("dd1") < F.col("dd2"))
-        | ((F.col("dd1") == F.col("dd2")) & (F.col("d1") < F.col("d2")))
-    )
-    closing = oriented.select(
-        F.col("src").alias("d1"), F.col("dst").alias("d2")
-    )
-    tris = wedges.join(closing, ["d1", "d2"]).select("s", "d1", "d2")
     per_node = (
         tris.select(
             F.explode(F.array("s", "d1", "d2")).alias("node")
@@ -747,4 +766,135 @@ def bfs_levels(
     )
     return counts.unionByName(unreachable).select(
         F.col("dist").cast("int").alias("dist"), "n_nodes"
+    )
+
+
+def local_clustering(
+    edges: DataFrame,
+    a: str = "u",
+    b: str = "v",
+    round_digits: int = 9,
+    broadcast_degrees: bool | None = None,
+    broadcast_node_limit: int = 2_000_000,
+) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998):
+    C_v = 2*triangles(v) / (deg(v)*(deg(v)-1)) -- the share of a
+    node's neighbor pairs that are themselves connected. On a near-dup
+    candidate graph this is the per-node readout the global triangle
+    density (X133) and assortativity (X195) summarize away: clique
+    members score ~1, transitive-chain artifacts and star centers ~0,
+    so the coefficient column is the direct "is this node inside a
+    real duplicate clique or just wired to one" signal.
+
+    Pure map over count_triangles' output (same hub-safe compact-
+    forward enumeration; see that docstring for the scale argument) --
+    the division is the only new work. C is NULL for degree-1 nodes
+    (no neighbor pair exists to close; emitting 0 would conflate
+    "nothing to measure" with "measured open"), never a
+    divide-by-zero. Returns (node, degree, n_triangles, clustering).
+    """
+    t = count_triangles(
+        edges, a, b, broadcast_degrees, broadcast_node_limit
+    )
+    d = F.col("degree").cast("double")
+    return t.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("n_triangles").cast("double") / (d * (d - 1.0)),
+            ),
+            round_digits,
+        ).alias("clustering"),
+    )
+
+
+def adamic_adar_edges(
+    edges: DataFrame,
+    a: str = "u",
+    b: str = "v",
+    round_digits: int = 6,
+    broadcast_degrees: bool | None = None,
+    broadcast_node_limit: int = 2_000_000,
+) -> DataFrame:
+    """Adamic-Adar structural-support score for every EDGE of the
+    graph (Adamic & Adar 2003): sum over the pair's common neighbors
+    w of 1/ln(deg(w)) -- the classic link-strength weighting where a
+    shared low-degree neighbor is strong evidence (two docs sharing a
+    RARE near-dup witness) and a shared hub says little. On the
+    candidate graph this ranks which near-dup pairs are corroborated
+    by the surrounding structure vs supported by nothing but their own
+    similarity score -- the edge-level complement of local_clustering.
+
+    A common neighbor of edge (x, y) IS the third vertex of a triangle
+    on that edge, so the score rides the same hub-safe compact-forward
+    triangle enumeration as count_triangles (never a neighbor-list
+    self-join, whose wedge set is d^2 at a degree-d hub): each
+    enumerated triangle credits its three edges with the opposite
+    vertex, one plain equi-join attaches deg(w) (O(|V|) table --
+    deliberately not forced broadcast), and one groupBy(edge)
+    aggregates. deg(w) >= 2 always (w closes a wedge), so ln is never
+    0. Per-term weights are ENGINE-rounded to 12 dp and summed in
+    DECIMAL (the Markov/ACF convention: double sums are fold-order-
+    dependent, rounded-DECIMAL sums are not), the output rounds at
+    ``round_digits``. Edges with no common neighbor keep score 0 and
+    n_common 0 (left join back from the canonical edge set). Returns
+    (a_id, b_id, n_common, adamic_adar).
+    """
+    tris, deg = _triangle_triples(
+        edges, a, b, broadcast_degrees, broadcast_node_limit
+    )
+    s, d1, d2 = F.col("s"), F.col("d1"), F.col("d2")
+    contrib = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least(d1, d2).alias("e1"),
+                    F.greatest(d1, d2).alias("e2"),
+                    s.alias("w"),
+                ),
+                F.struct(
+                    F.least(s, d2).alias("e1"),
+                    F.greatest(s, d2).alias("e2"),
+                    d1.alias("w"),
+                ),
+                F.struct(
+                    F.least(s, d1).alias("e1"),
+                    F.greatest(s, d1).alias("e2"),
+                    d2.alias("w"),
+                ),
+            )
+        ).alias("_t")
+    ).select("_t.e1", "_t.e2", "_t.w")
+    scored = contrib.join(
+        deg.select(F.col("n").alias("w"), "deg"), "w"
+    ).select(
+        "e1",
+        "e2",
+        F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 12)
+        .cast("decimal(18,12)")
+        .alias("_term"),
+    )
+    per_edge = scored.groupBy("e1", "e2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("_term").alias("_aa"),
+    )
+    canon = (
+        edges.select(F.least(a, b).alias("e1"), F.greatest(a, b).alias("e2"))
+        .where(F.col("e1") != F.col("e2"))
+        .distinct()
+    )
+    return (
+        canon.join(per_edge, ["e1", "e2"], "left")
+        .select(
+            F.col("e1").alias("a_id"),
+            F.col("e2").alias("b_id"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce(F.col("_aa").cast("double"), F.lit(0.0)),
+                round_digits,
+            ).alias("adamic_adar"),
+        )
     )

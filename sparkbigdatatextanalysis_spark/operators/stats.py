@@ -600,6 +600,76 @@ def grouped_moments(
     )
 
 
+def _bucketed_prefix(
+    per: DataFrame,
+    sum_cols: list[str],
+    n_buckets: int,
+    relative_error: float = 0.0,
+) -> DataFrame:
+    """Exact INCLUSIVE cumulative sums of ``sum_cols`` over the
+    distinct-value table ``per`` (column ``_v`` + long counters),
+    ordered by _v, WITHOUT an unpartitioned window -- the global_rank
+    two-phase decomposition shared by ks_two_sample and
+    mann_whitney_u: (1) n_buckets-1 percentile cuts of _v broadcast
+    back (exact, or GK when ``relative_error`` > 0); every row maps to
+    a bucket by plain comparisons, equal values share a bucket, so
+    bucket ranges respect the value order; (2) per-bucket totals
+    prefix-sum into offsets (the only unbounded window, over that
+    n_buckets-row table) and the within-bucket cumulative sums are
+    bucket-partitioned. Offsets + local prefix = the exact global
+    prefix on every row. Returns (_v, _cum_<col>...). ``per`` should
+    be persisted by the caller (three consumers)."""
+    from pyspark.sql import Window
+
+    if relative_error > 0:
+        acc = int(1.0 / relative_error)
+        cut_exprs = [
+            F.percentile_approx(
+                F.col("_v"), F.lit(i / n_buckets), F.lit(acc)
+            ).alias(f"_c{i}")
+            for i in range(1, n_buckets)
+        ]
+    else:
+        cut_exprs = [
+            F.expr(f"percentile(_v, {i / n_buckets})").alias(f"_c{i}")
+            for i in range(1, n_buckets)
+        ]
+    cuts = per.agg(*cut_exprs)
+    bucket = sum(
+        (F.col("_v") > F.col(f"_c{i}")).cast("long")
+        for i in range(1, n_buckets)
+    )
+    bp = (
+        per.crossJoin(F.broadcast(cuts))
+        .withColumn("_bk", bucket)
+        .drop(*[f"_c{i}" for i in range(1, n_buckets)])
+    )
+    woff = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        bp.groupBy("_bk")
+        .agg(*[F.sum(c).alias(f"_b{c}") for c in sum_cols])
+        .select(
+            "_bk",
+            *[
+                F.coalesce(F.sum(f"_b{c}").over(woff), F.lit(0)).alias(
+                    f"_off{c}"
+                )
+                for c in sum_cols
+            ],
+        )
+    )
+    wloc = Window.partitionBy("_bk").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return bp.join(F.broadcast(offs), "_bk").select(
+        "_v",
+        *[
+            (F.col(f"_off{c}") + F.sum(c).over(wloc)).alias(f"_cum{c}")
+            for c in sum_cols
+        ],
+    )
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,
@@ -662,53 +732,12 @@ def ks_two_sample(
         # feeds cuts, totals, bucket pass -- one barrier, three readers
         .persist()
     )
-    if relative_error > 0:
-        acc = int(1.0 / relative_error)
-        cut_exprs = [
-            F.percentile_approx(
-                F.col("_v"), F.lit(i / n_buckets), F.lit(acc)
-            ).alias(f"_c{i}")
-            for i in range(1, n_buckets)
-        ]
-    else:
-        cut_exprs = [
-            F.expr(f"percentile(_v, {i / n_buckets})").alias(f"_c{i}")
-            for i in range(1, n_buckets)
-        ]
-    cuts = per.agg(*cut_exprs)
-    bucket = sum(
-        (F.col("_v") > F.col(f"_c{i}")).cast("long")
-        for i in range(1, n_buckets)
-    )
-    bp = (
-        per.crossJoin(F.broadcast(cuts))
-        .withColumn("_bk", bucket)
-        .drop(*[f"_c{i}" for i in range(1, n_buckets)])
-    )
-    woff = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        bp.groupBy("_bk")
-        .agg(
-            F.sum("_ca").alias("_ba"),
-            F.sum("_cb").alias("_bb"),
-        )
-        .select(
-            "_bk",
-            F.coalesce(F.sum("_ba").over(woff), F.lit(0)).alias("_offa"),
-            F.coalesce(F.sum("_bb").over(woff), F.lit(0)).alias("_offb"),
-        )
-    )
-    wloc = Window.partitionBy("_bk").orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = bp.join(F.broadcast(offs), "_bk").select(
+    cum = _bucketed_prefix(
+        per, ["_ca", "_cb"], n_buckets, relative_error
+    ).select(
         "_v",
-        (F.col("_offa") + F.sum("_ca").over(wloc))
-        .cast("decimal(18,0)")
-        .alias("_cuma"),
-        (F.col("_offb") + F.sum("_cb").over(wloc))
-        .cast("decimal(18,0)")
-        .alias("_cumb"),
+        F.col("_cum_ca").cast("decimal(18,0)").alias("_cuma"),
+        F.col("_cum_cb").cast("decimal(18,0)").alias("_cumb"),
     )
     tot = per.agg(
         F.sum("_ca").cast("long").alias("n_a"),
@@ -740,4 +769,165 @@ def ks_two_sample(
             ),
         ).alias("ks_stat"),
         (-F.col("_m._nv")).alias(value_out),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    is_a_col,
+    n_buckets: int = 32,
+    relative_error: float = 0.0,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test between the
+    rows where ``is_a_col`` is true (sample A) and the rest: the
+    rank-based location-shift test that pairs with ks_two_sample's
+    shape test -- robust to outliers and any monotone transform, the
+    standard "did this slice's metric move" check when normality is
+    off the table. Mann & Whitney 1947; tie handling per the standard
+    midrank convention.
+
+    Exactness: ranks never materialize per row. Per DISTINCT value the
+    two conditional counts are BIGINT; the midrank of value v is
+    cum_before(v) + (cnt(v)+1)/2, so 2*midrank = 2*cum_before + cnt + 1
+    is INTEGER and the doubled rank-sum 2*R_A = sum ca_v * (2*midrank_v)
+    accumulates exactly in DECIMAL. U = R_A - nA(nA+1)/2 stays in the
+    doubled-integer domain until the single final row, where u_stat,
+    the tie-corrected normal z (variance nA*nB/12 * ((n+1) -
+    sum(t^3-t)/(n(n-1))), no continuity correction), and the rank-
+    biserial effect size r = 2U/(nA*nB) - 1 become fixed-shape doubles.
+
+    Scale shape: ONE groupBy(value) partial agg, cumulative counts via
+    the shared global_rank bucket decomposition (_bucketed_prefix --
+    no unpartitioned window; ``n_buckets``/``relative_error`` as in
+    ks_two_sample), single-row broadcast totals. NULL values drop.
+    Returns one row: (n_a, n_b, u_stat, z_score, rank_biserial) --
+    z/r NULL when a sample is empty or the variance degenerates (all
+    values tied)."""
+    v = F.col(value_col)
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(is_a_col, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(is_a_col, 0).otherwise(1)).cast("long").alias("_cb"),
+        )
+        .select(v.alias("_v"), "_ca", "_cb")
+        .persist()
+    )
+    cum = _bucketed_prefix(per, ["_ca", "_cb"], n_buckets, relative_error)
+    joined = cum.join(per, "_v")
+    cnt = (F.col("_ca") + F.col("_cb")).cast("decimal(18,0)")
+    cum_all = (F.col("_cum_ca") + F.col("_cum_cb")).cast("decimal(18,0)")
+    # 2*midrank = 2*(cum_all - cnt) + cnt + 1  (integer, exact)
+    dbl_midrank = F.lit(2) * (cum_all - cnt) + cnt + F.lit(1)
+    sums = joined.agg(
+        F.sum(F.col("_ca").cast("decimal(18,0)") * dbl_midrank).alias("_2ra"),
+        F.sum(cnt * cnt * cnt - cnt).alias("_ties"),
+    )
+    tot = per.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+    )
+    na = F.col("n_a").cast("decimal(18,0)")
+    nb = F.col("n_b").cast("decimal(18,0)")
+    n = na + nb
+    # doubled-U: 2U = 2R_A - nA(nA+1)   (exact DECIMAL)
+    u2 = F.col("_2ra") - na * (na + F.lit(1))
+    nad, nbd, nd = (
+        F.col("n_a").cast("double"),
+        F.col("n_b").cast("double"),
+        (F.col("n_a") + F.col("n_b")).cast("double"),
+    )
+    var = (
+        nad
+        * nbd
+        / 12.0
+        * (
+            (nd + 1.0)
+            - F.col("_ties").cast("double") / (nd * (nd - 1.0))
+        )
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return (
+        sums.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            F.when(ok, (u2.cast("double") / 2.0)).alias("u_stat"),
+            F.when(
+                ok & (var > 0),
+                F.round(
+                    (u2.cast("double") / 2.0 - nad * nbd / 2.0)
+                    / F.sqrt(var),
+                    9,
+                ),
+            ).alias("z_score"),
+            F.when(
+                ok,
+                F.round(u2.cast("double") / (nad * nbd) - 1.0, 9),
+            ).alias("rank_biserial"),
+        )
+    )
+
+
+def welch_t(
+    df: DataFrame, value_col: str, is_a_col, round_digits: int = 9
+) -> DataFrame:
+    """Welch's unequal-variance t-test between the rows where
+    ``is_a_col`` is true (sample A) and the rest (Welch 1947): the
+    mean-difference companion to ks_two_sample (shape) and
+    mann_whitney_u (location, rank-based) -- the parametric check a
+    metrics review reaches for first. No pooled-variance assumption,
+    so unequal slice sizes and spreads are fine.
+
+    Exactness: one partial agg of six DECIMAL power sums (n, sum x,
+    sum x^2 per side -- associative, engine- and partition-order-
+    independent like grouped_moments); means, sample variances
+    s^2 = (n*sumxx - sumx^2) / (n*(n-1)), the t statistic, and the
+    Welch-Satterthwaite degrees of freedom evaluate as fixed-shape
+    doubles on the single result row. Returns one row: (n_a, n_b,
+    mean_a, mean_b, t_stat, df_welch) -- t/df NULL when either sample
+    has < 2 rows or both variances are 0."""
+    v = F.col(value_col)
+    d = df.where(v.isNotNull())
+    a = F.when(is_a_col, v)
+    b = F.when(~is_a_col, v)
+    m = d.agg(
+        F.count(a).cast("long").alias("n_a"),
+        F.count(b).cast("long").alias("n_b"),
+        F.sum(a.cast(_DEC)).alias("_sa"),
+        F.sum(b.cast(_DEC)).alias("_sb"),
+        F.sum((a * a).cast(_DEC)).alias("_sa2"),
+        F.sum((b * b).cast(_DEC)).alias("_sb2"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    sa2, sb2 = F.col("_sa2").cast("double"), F.col("_sb2").cast("double")
+    mean_a, mean_b = sa / na, sb / nb
+    var_a = (na * sa2 - sa * sa) / (na * (na - 1.0))
+    var_b = (nb * sb2 - sb * sb) / (nb * (nb - 1.0))
+    qa, qb = var_a / na, var_b / nb
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    nz = ok & ((qa + qb) > 0)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, round_digits).alias("mean_a"),
+        F.round(mean_b, round_digits).alias("mean_b"),
+        F.round(
+            F.when(nz, (mean_a - mean_b) / F.sqrt(qa + qb)), round_digits
+        ).alias("t_stat"),
+        F.round(
+            F.when(
+                nz,
+                (qa + qb)
+                * (qa + qb)
+                / (
+                    qa * qa / (na - 1.0)
+                    + qb * qb / (nb - 1.0)
+                ),
+            ),
+            round_digits,
+        ).alias("df_welch"),
     )
