@@ -7026,6 +7026,74 @@ def q_dedup_lsh_band_curve(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 11 wave: rank/parametric two-sample tests, per-node and per-edge
+# structure audits of the candidate graph
+# ---------------------------------------------------------------------------
+
+
+def q_docs_length_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between the even- and odd-
+    source documents' n_chars (operators/stats.py::mann_whitney_u) --
+    the LOCATION companion to docs_length_ks' shape test: rank-based,
+    so one template family of mega-docs cannot drag the verdict the
+    way it drags a mean test. Same A/B split as the KS key so the two
+    read as one drift panel. Ranks never materialize: doubled-midrank
+    integer arithmetic over the distinct-length counts, cumulative
+    counts via the shared bucketed prefix decomposition."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st_mod
+
+    d = _docs(spark, sf_dir).select(
+        "n_chars",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0).alias("_is_a"),
+    )
+    return st_mod.mann_whitney_u(d, "n_chars", F.col("_is_a"))
+
+
+def q_events_value_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test between purchase and
+    non-purchase event values (operators/stats.py::welch_t): the
+    parametric mean-difference check beside the KS/MWU pair -- six
+    DECIMAL power sums in one partial agg, the t statistic and
+    Welch-Satterthwaite df evaluate on the single result row."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st_mod
+
+    ev = _events(spark, sf_dir)
+    return st_mod.welch_t(ev, "value", F.col("event_type") == "purchase")
+
+
+def q_dedup_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient of the n-gram-Jaccard
+    candidate graph (operators/components.py::local_clustering): the
+    node-level readout the global triangle density (X133) and
+    assortativity (X195) summarize away -- clique members score ~1,
+    chain/star artifacts ~0. Same jaccard >= 0.05 edge set as those
+    audits, same hub-safe compact-forward triangle enumeration; the
+    coefficient is NULL for degree-1 nodes by contract."""
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    pairs = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), min_jaccard=0.05
+    ).select("a_id", "b_id")
+    return cc.local_clustering(pairs, "a_id", "b_id")
+
+
+def q_dedup_adamic_adar(spark, sf_dir):
+    """Adamic-Adar structural support for every candidate edge
+    (operators/components.py::adamic_adar_edges): ranks which near-dup
+    pairs the surrounding graph corroborates (shared RARE witnesses
+    weigh 1/ln(deg)) vs pairs supported only by their own similarity
+    -- the edge-level complement of the clustering key, riding the
+    same triangle enumeration. Terms are engine-rounded 12 dp and
+    DECIMAL-summed so the oracle folds identically."""
+    from sparkbigdatatextanalysis_spark.operators import components as cc
+
+    pairs = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), min_jaccard=0.05
+    ).select("a_id", "b_id")
+    return cc.adamic_adar_edges(pairs, "a_id", "b_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-11 window (the rotation
@@ -7135,6 +7203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_zscore": q_events_value_zscore,
         # --- NEW in r11 keys go HERE (section marker): first rows r12/r13 ---
         "streaming_sessions_flush": q_streaming_sessions_flush,
+        "docs_length_mannwhitney": q_docs_length_mannwhitney,
+        "events_value_welch": q_events_value_welch,
+        "dedup_local_clustering": q_dedup_local_clustering,
+        "dedup_adamic_adar": q_dedup_adamic_adar,
         # --- latest driver row r08 (50): 16 fill the r12 window, rest r13 ---
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_test_ngram_overlap": q_train_test_ngram_overlap,
@@ -12653,6 +12725,185 @@ def oracle_sql() -> dict[str, str]:
                  AS precision,
                round(n_true_captured::DOUBLE / nt::DOUBLE, 9) AS recall
         FROM perb CROSS JOIN tt
+    """
+    # Mann-Whitney: doubled-midrank integer arithmetic mirrored exactly
+    # (2*midrank = 2*cum_before + cnt + 1; 2U = 2R_A - nA(nA+1)); the
+    # final u/z/r conversions are the same fixed-shape doubles.
+    sqls["docs_length_mannwhitney"] = """
+        WITH d AS (
+          SELECT n_chars,
+                 (CAST(substr(source, 4) AS INT) % 2 = 0) AS is_a
+          FROM documents WHERE n_chars IS NOT NULL
+        ),
+        per AS (
+          SELECT n_chars,
+                 sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+                 sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS cb
+          FROM d GROUP BY 1
+        ),
+        cum AS (
+          SELECT n_chars, ca, cb,
+                 CAST(sum(ca + cb) OVER w AS DECIMAL(18,0)) AS cumall
+          FROM per
+          WINDOW w AS (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+        ),
+        sums AS (
+          SELECT
+            sum(CAST(ca AS DECIMAL(18,0))
+                * (2 * (cumall - (ca + cb)) + (ca + cb) + 1)) AS r2a,
+            sum(CAST(ca + cb AS DECIMAL(18,0))
+                * CAST(ca + cb AS DECIMAL(18,0))
+                * CAST(ca + cb AS DECIMAL(18,0))
+                - CAST(ca + cb AS DECIMAL(18,0))) AS ties
+          FROM cum
+        ),
+        tot AS (
+          SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM per
+        )
+        SELECT n_a, n_b,
+          CASE WHEN n_a > 0 AND n_b > 0 THEN
+            (r2a - CAST(n_a AS DECIMAL(18,0)) * (n_a + 1))::DOUBLE / 2.0
+          END AS u_stat,
+          CASE WHEN n_a > 0 AND n_b > 0 AND
+            (n_a::DOUBLE * n_b::DOUBLE / 12.0
+             * ((n_a::DOUBLE + n_b::DOUBLE + 1.0)
+                - ties::DOUBLE / ((n_a::DOUBLE + n_b::DOUBLE)
+                                  * (n_a::DOUBLE + n_b::DOUBLE - 1.0)))) > 0
+          THEN
+            round(
+              ((r2a - CAST(n_a AS DECIMAL(18,0)) * (n_a + 1))::DOUBLE / 2.0
+               - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+              / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+                     * ((n_a::DOUBLE + n_b::DOUBLE + 1.0)
+                        - ties::DOUBLE / ((n_a::DOUBLE + n_b::DOUBLE)
+                                          * (n_a::DOUBLE + n_b::DOUBLE - 1.0)))),
+              9)
+          END AS z_score,
+          CASE WHEN n_a > 0 AND n_b > 0 THEN
+            round((r2a - CAST(n_a AS DECIMAL(18,0)) * (n_a + 1))::DOUBLE
+                  / (n_a::DOUBLE * n_b::DOUBLE) - 1.0, 9)
+          END AS rank_biserial
+        FROM sums CROSS JOIN tot
+    """
+    # Welch: the six DECIMAL power sums and the double closed form
+    # mirror welch_t's expression shape term for term.
+    sqls["events_value_welch"] = """
+        WITH d AS (
+          SELECT value, (event_type = 'purchase') AS is_a
+          FROM events WHERE value IS NOT NULL
+        ),
+        m AS (
+          SELECT
+            count(CASE WHEN is_a THEN 1 END)::BIGINT AS n_a,
+            count(CASE WHEN NOT is_a THEN 1 END)::BIGINT AS n_b,
+            sum(CASE WHEN is_a THEN CAST(value AS DECIMAL(38,10)) END) AS sa,
+            sum(CASE WHEN NOT is_a THEN CAST(value AS DECIMAL(38,10)) END) AS sb,
+            sum(CASE WHEN is_a THEN CAST(value * value AS DECIMAL(38,10)) END) AS sa2,
+            sum(CASE WHEN NOT is_a THEN CAST(value * value AS DECIMAL(38,10)) END) AS sb2
+          FROM d
+        )
+        SELECT n_a, n_b,
+          round(sa::DOUBLE / n_a::DOUBLE, 9) AS mean_a,
+          round(sb::DOUBLE / n_b::DOUBLE, 9) AS mean_b,
+          round(CASE WHEN n_a >= 2 AND n_b >= 2 AND
+            ((n_a::DOUBLE * sa2::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+               / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) / n_a::DOUBLE
+             + (n_b::DOUBLE * sb2::DOUBLE - sb::DOUBLE * sb::DOUBLE)
+               / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) / n_b::DOUBLE) > 0
+          THEN
+            (sa::DOUBLE / n_a::DOUBLE - sb::DOUBLE / n_b::DOUBLE)
+            / sqrt((n_a::DOUBLE * sa2::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                     / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) / n_a::DOUBLE
+                   + (n_b::DOUBLE * sb2::DOUBLE - sb::DOUBLE * sb::DOUBLE)
+                     / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) / n_b::DOUBLE)
+          END, 9) AS t_stat,
+          round(CASE WHEN n_a >= 2 AND n_b >= 2 AND
+            ((n_a::DOUBLE * sa2::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+               / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) / n_a::DOUBLE
+             + (n_b::DOUBLE * sb2::DOUBLE - sb::DOUBLE * sb::DOUBLE)
+               / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) / n_b::DOUBLE) > 0
+          THEN
+            power((n_a::DOUBLE * sa2::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                    / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) / n_a::DOUBLE
+                  + (n_b::DOUBLE * sb2::DOUBLE - sb::DOUBLE * sb::DOUBLE)
+                    / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) / n_b::DOUBLE, 2)
+            / (power((n_a::DOUBLE * sa2::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                       / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) / n_a::DOUBLE, 2)
+                 / (n_a::DOUBLE - 1.0)
+               + power((n_b::DOUBLE * sb2::DOUBLE - sb::DOUBLE * sb::DOUBLE)
+                         / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) / n_b::DOUBLE, 2)
+                 / (n_b::DOUBLE - 1.0))
+          END, 9) AS df_welch
+        FROM m
+    """
+    # Local clustering / Adamic-Adar: same jaccard >= 0.05 edge CTE as
+    # the assortativity oracle; triangles enumerate once as ordered
+    # triples a < b < c, then fan to nodes (clustering) or edges with
+    # the opposite vertex (Adamic-Adar, 12dp DECIMAL terms).
+    _GRAPH_CTES = """
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_inter
+          FROM shh a JOIN shh b USING (sh)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        und AS (
+          SELECT x, y FROM inter
+          JOIN sizes na ON na.doc_id = x
+          JOIN sizes nb ON nb.doc_id = y
+          WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.05
+        ),
+        deg AS (
+          SELECT n, count(*)::BIGINT AS deg
+          FROM (SELECT x AS n FROM und UNION ALL SELECT y FROM und)
+          GROUP BY n
+        ),
+        tri AS (
+          SELECT e1.x AS a, e1.y AS b, e2.y AS c
+          FROM und e1
+          JOIN und e2 ON e2.x = e1.y
+          JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y
+        )
+    """
+    sqls["dedup_local_clustering"] = f"""
+        WITH {_DEDUP_BASE},
+        {_GRAPH_CTES},
+        pern AS (
+          SELECT n, count(*)::BIGINT AS n_tri
+          FROM (SELECT unnest([a, b, c]) AS n FROM tri)
+          GROUP BY n
+        )
+        SELECT deg.n AS node, deg.deg AS degree,
+               coalesce(n_tri, 0)::BIGINT AS n_triangles,
+               round(CASE WHEN deg.deg >= 2 THEN
+                 2.0 * coalesce(n_tri, 0)::DOUBLE
+                 / (deg.deg::DOUBLE * (deg.deg::DOUBLE - 1.0))
+               END, 9) AS clustering
+        FROM deg LEFT JOIN pern ON pern.n = deg.n
+    """
+    sqls["dedup_adamic_adar"] = f"""
+        WITH {_DEDUP_BASE},
+        {_GRAPH_CTES},
+        contrib AS (
+          SELECT a AS e1, b AS e2, c AS w FROM tri
+          UNION ALL SELECT a, c, b FROM tri
+          UNION ALL SELECT b, c, a FROM tri
+        ),
+        terms AS (
+          SELECT e1, e2,
+                 CAST(round(1.0 / ln(deg.deg::DOUBLE), 12)
+                      AS DECIMAL(18,12)) AS term
+          FROM contrib JOIN deg ON deg.n = contrib.w
+        ),
+        pe AS (
+          SELECT e1, e2, count(*)::BIGINT AS n_common, sum(term) AS aa
+          FROM terms GROUP BY 1, 2
+        )
+        SELECT und.x AS a_id, und.y AS b_id,
+               coalesce(n_common, 0)::BIGINT AS n_common,
+               round(coalesce(aa::DOUBLE, 0.0), 6) AS adamic_adar
+        FROM und LEFT JOIN pe ON pe.e1 = und.x AND pe.e2 = und.y
     """
     # Second driver-gated streaming surface (r11): the flush-closed
     # applyInPandasWithState replay emits exactly the batch sessions

@@ -309,6 +309,12 @@ HEADLINE = [
     "heavy_hitter_users",
     "skew_join_events",
     "user_running_stats",
+    # -- r11 wave: rank/parametric two-sample tests, candidate-graph
+    #    structure audits
+    "docs_length_mannwhitney",
+    "events_value_welch",
+    "dedup_local_clustering",
+    "dedup_adamic_adar",
     # -- TPC-H shapes not yet in the artifact
     "tpch_q2_like",
     "tpch_q3_like",

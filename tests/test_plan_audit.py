@@ -474,6 +474,20 @@ BUDGETS = {
     # construction (ann_topk_ivf precedent); the audited plan is the
     # flags-sink parquet read-back
     "streaming_verdict_day2": (0, 0),
+    # MWU: value-domain agg + the shared bucketed-prefix decomposition
+    # + the midrank join/aggs; like docs_length_ks the persisted `per`
+    # subtree counts once per consumer (executed exchanges ~8, several
+    # over n_buckets/1-row tables)
+    "docs_length_mannwhitney": (13, 5),
+    # Welch: ONE partial agg of six DECIMAL power sums
+    "events_value_welch": (1, 0),
+    # clustering: pair-gen agg + degree agg + wedge/closing equi-joins
+    # + per-node explode agg + the degree join-back (checkpointed
+    # subtrees keep the audited count at the executed shape)
+    "dedup_local_clustering": (6, 0),
+    # adamic-adar: same triangle subtree; per-edge explode agg + the
+    # degree attach + canonical-edge join-back
+    "dedup_adamic_adar": (4, 0),
     # r11 streaming sessionize gate: the stream ran EAGERLY at build
     # (applyInPandasWithState inside the streaming query); the audited
     # surface is the memory-sink scan + the session_idx recovery
