@@ -7094,6 +7094,350 @@ def q_dedup_adamic_adar(spark, sf_dir):
     return cc.adamic_adar_edges(pairs, "a_id", "b_id")
 
 
+# Benford expected first-digit probabilities, rounded at 12 dp ONCE in
+# Python and embedded as identical literals in BOTH the Spark plan and
+# the DuckDB oracle -- the two engines' log10 never have to agree.
+import math as _math
+
+_BENFORD_P = {d: round(_math.log10(1.0 + 1.0 / d), 12) for d in range(1, 10)}
+
+
+def q_orders_benford(spark, sf_dir):
+    """Benford first-significant-digit audit of order totals (Newcomb
+    1881 / Benford 1938): observed digit shares vs the log10(1+1/d)
+    law with per-digit chi-square terms -- the classic fabricated-or-
+    truncated-numbers smell test for a financial column. The digit
+    comes from the INTEGER part rendered as a string (BIGINT-to-string
+    is engine-identical; float log10/div would not be), one bounded
+    9-row groupBy; expected probabilities are shared 12dp literals, so
+    the only doubles are the final per-digit shares and chi2 terms."""
+    o = _scan(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    cells = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    tot = cells.agg(F.sum("n_orders").cast("long").alias("_n"))
+    p = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_P.items() for x in kv]
+    )[F.col("digit")]
+    nn = F.col("_n").cast("double")
+    e = nn * p
+    obs = F.col("n_orders").cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(obs / nn, 9).alias("observed_share"),
+            p.alias("expected_share"),
+            F.round((obs - e) * (obs - e) / e, 9).alias("chi2_term"),
+        )
+    )
+
+
+def q_customers_cramers_v(spark, sf_dir):
+    """Cramer's V effect size between customer nation and market
+    segment: the chi-square machinery of X197 (bounded cell agg,
+    marginals re-aggregated from the cell table, 9dp terms DECIMAL-
+    summed) finished with V = sqrt(chi2 / (n * (min(r,c) - 1))) -- the
+    normalized [0,1] association read that lets a 25x5 table compare
+    against any other pair of categoricals."""
+    c = _scan(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rt = cells.groupBy(F.col("c_nationkey").alias("_r")).agg(
+        F.sum("n").cast("long").alias("_rt")
+    )
+    ct = cells.groupBy(F.col("c_mktsegment").alias("_c")).agg(
+        F.sum("n").cast("long").alias("_ct")
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("_n"))
+    j = (
+        cells.join(F.broadcast(rt), cells.c_nationkey == F.col("_r"))
+        .join(F.broadcast(ct), cells.c_mktsegment == F.col("_c"))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("_rt").cast("double")
+        * F.col("_ct").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term = F.round(
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e,
+        9,
+    )
+    agg = j.agg(
+        F.max("_n").alias("n_total"),
+        F.count_distinct("c_nationkey").cast("long").alias("n_rows_dim"),
+        F.count_distinct("c_mktsegment").cast("long").alias("n_cols_dim"),
+        F.round(
+            F.sum(term.cast("decimal(38,10)")).cast("double"), 6
+        ).alias("chi2"),
+    )
+    kmin = F.least(F.col("n_rows_dim"), F.col("n_cols_dim")) - 1
+    return agg.select(
+        "n_total",
+        "n_rows_dim",
+        "n_cols_dim",
+        "chi2",
+        F.round(
+            F.when(
+                kmin > 0,
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n_total").cast("double") * kmin.cast("double"))
+                ),
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def q_events_seasonality_strength(spark, sf_dir):
+    """Day-of-week seasonality strength of daily event volume: the
+    share of daily-count variance explained by the weekday means
+    (eta-squared of the one-way DOW decomposition) -- the single
+    number that says whether X188's deseasonalization is load-bearing
+    or cosmetic. Daily counts are exact BIGINTs from one bounded
+    groupBy(day); the variance decomposition uses only exact integer
+    sums (S, S^2 totals; per-DOW S_g, n_g), with the <= 7 between-
+    group terms rounded 6dp and DECIMAL-summed before the single
+    closed-form division."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).select(
+        "day",
+        "c",
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")), 7
+        ).cast("int").alias("dow"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("decimal(18,0)").alias("_s"),
+        F.sum(F.col("c").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)")).alias("_s2"),
+    )
+    per = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum("c").cast("decimal(18,0)").alias("_sg"),
+    )
+    bterm = F.round(
+        F.col("_sg").cast("double")
+        * F.col("_sg").cast("double")
+        / F.col("_ng").cast("double"),
+        6,
+    )
+    btw = per.agg(
+        F.sum(bterm.cast("decimal(38,10)")).cast("double").alias("_b")
+    )
+    nd = F.col("n_days").cast("double")
+    s = F.col("_s").cast("double")
+    s2 = F.col("_s2").cast("double")
+    ss_total = s2 - s * s / nd
+    ss_between = F.col("_b") - s * s / nd
+    return tot.crossJoin(F.broadcast(btw)).select(
+        "n_days",
+        F.round(s / nd, 6).alias("mean_daily_events"),
+        F.round(
+            F.when(ss_total > 0, ss_between / ss_total), 6
+        ).alias("dow_variance_share"),
+    )
+
+
+def q_users_activity_entropy(spark, sf_dir):
+    """Per-user behavioral diversity: Shannon entropy of each user's
+    event-type distribution -- 0 = single-behavior users (pure
+    viewers, bots), ln(5) = uniform across all five types; the
+    per-entity readout behind segment screens and bot heuristics.
+    One bounded groupBy(user, type), per-user totals re-aggregated
+    from the cell table, each of the <= 5 terms -p*ln(p) rounded 12dp
+    and DECIMAL-summed (the chi-square convention)."""
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    per = cells.groupBy("user_id").agg(
+        F.sum("_c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.collect_list(F.col("_c")).alias("_cs"),
+    )
+    # in-row entropy over the bounded type list: p*ln(p) per type,
+    # 12dp-rounded, exact DECIMAL fold via aggregate()
+    tot = F.col("n_events").cast("double")
+    ent = F.aggregate(
+        "_cs",
+        F.lit(0).cast("decimal(28,12)"),
+        # the re-cast keeps the accumulator type fixed: DECIMAL + DECIMAL
+        # widens precision and aggregate() requires merge type == acc type
+        lambda acc, c: (
+            acc
+            + F.round(
+                -(c.cast("double") / tot) * F.log(c.cast("double") / tot),
+                12,
+            ).cast("decimal(28,12)")
+        ).cast("decimal(28,12)"),
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(ent.cast("double"), 6).alias("entropy"),
+    )
+
+
+def q_orders_theilsen_monthly(spark, sf_dir):
+    """Theil-Sen robust trend of monthly revenue: the median of all
+    pairwise month-to-month slopes (Theil 1950, Sen 1968) -- the
+    outlier-proof companion to X138's least-squares trend, unmoved by
+    one promotional spike that drags OLS. Months are a bounded domain
+    (the X193 ACF argument), so the pair set is |months|^2/2 tiny
+    rows; monthly revenue re-aggregates DECIMAL sums rounded 4dp (the
+    HHI convention), slopes round 9dp before the median so both
+    engines interpolate identical doubles."""
+    o = _scan(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("_m")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast("double"),
+            4,
+        ).alias("_rev")
+    ).persist()
+    a = monthly.select(F.col("_m").alias("_ma"), F.col("_rev").alias("_ra"))
+    b = monthly.select(F.col("_m").alias("_mb"), F.col("_rev").alias("_rb"))
+    slopes = a.join(F.broadcast(b), F.col("_ma") < F.col("_mb")).select(
+        F.round(
+            (F.col("_rb") - F.col("_ra"))
+            / (F.col("_mb") - F.col("_ma")).cast("double"),
+            9,
+        ).alias("_slope")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(_slope, 0.5)"), 6).alias("theilsen_slope"),
+    )
+
+
+def q_orders_basket_poisson(spark, sf_dir):
+    """Basket-size distribution vs a Poisson fit: items-per-order
+    observed shares against Poisson(lambda = mean items) with
+    per-size chi-square terms -- the standard "is arrival-like
+    randomness a good model for basket composition" check; a fat
+    tail (bulk orders) shows up as large terms at high k. One
+    map-side count per order, one bounded groupBy(k); lambda is an
+    exact BIGINT ratio evaluated once; the pmf exp(-l)*l^k/k! rounds
+    9dp on both engines (k is bounded, factorial exact)."""
+    li = _scan(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    cells = per.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    tot = cells.agg(
+        F.sum("n_orders").cast("long").alias("_no"),
+        F.sum(F.col("k") * F.col("n_orders")).cast("long").alias("_ni"),
+    )
+    lam = F.col("_ni").cast("double") / F.col("_no").cast("double")
+    pk = F.round(
+        F.exp(-lam)
+        * F.pow(lam, F.col("k").cast("double"))
+        / F.factorial(F.col("k").cast("int")).cast("double"),
+        9,
+    )
+    obs = F.col("n_orders").cast("double")
+    nn = F.col("_no").cast("double")
+    e = nn * pk
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("basket_size"),
+            "n_orders",
+            F.round(obs / nn, 9).alias("observed_share"),
+            pk.alias("poisson_p"),
+            F.round(F.when(e > 0, (obs - e) * (obs - e) / e), 9).alias(
+                "chi2_term"
+            ),
+            F.round(lam, 6).alias("lambda_fit"),
+        )
+    )
+
+
+def q_orders_spearman_price_items(spark, sf_dir):
+    """Spearman rank correlation between an order's total price and
+    its item count (operators/stats.py::spearman_rho): the monotone-
+    association read -- raw Pearson (X67) is dominated by price
+    outliers, rank correlation is not. Item counts are heavily tied,
+    so the midrank convention matters; ranks come from the shared
+    bucketed-prefix decomposition, never a global row_number window."""
+    from sparkbigdatatextanalysis_spark.operators import stats as st_mod
+
+    li = _scan(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    o = _scan(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d = o.join(li, o.o_orderkey == li.l_orderkey)
+    return st_mod.spearman_rho(d, "o_totalprice", "n_items")
+
+
+def q_docs_perplexity_buckets(spark, sf_dir):
+    """Perplexity-decile curation table: per-doc mean unigram log-
+    probability (X50's LM signal) cut into 10 equal-frequency buckets,
+    with each bucket's population, mean logprob, and mean token count
+    -- exactly the table a perplexity-filtered sampling policy (keep
+    the middle deciles, drop the tails) is tuned from. Decile cuts are
+    exact percentiles rounded 6dp on BOTH engines before binning (the
+    PSI convention); bucket means divide DECIMAL sums of the already-
+    6dp-rounded per-doc scores, so no double ever folds in engine
+    order."""
+    from sparkbigdatatextanalysis_spark.operators import pipeline as pl
+
+    lp = _cached(
+        spark,
+        sf_dir,
+        "unigram_lp",
+        lambda: pl.unigram_logprob(_tok(spark, sf_dir)),
+    )
+    cuts = lp.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(avg_logprob, {i / 10})"), 6
+            ).alias(f"_c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bucket = sum(
+        (F.col("avg_logprob") > F.col(f"_c{i}")).cast("long")
+        for i in range(1, 10)
+    )
+    b = (
+        lp.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .drop(*[f"_c{i}" for i in range(1, 10)])
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("avg_logprob").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_logprob"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-11 window (the rotation
@@ -7207,6 +7551,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_welch": q_events_value_welch,
         "dedup_local_clustering": q_dedup_local_clustering,
         "dedup_adamic_adar": q_dedup_adamic_adar,
+        "orders_benford": q_orders_benford,
+        "customers_cramers_v": q_customers_cramers_v,
+        "events_seasonality_strength": q_events_seasonality_strength,
+        "users_activity_entropy": q_users_activity_entropy,
+        "orders_theilsen_monthly": q_orders_theilsen_monthly,
+        "orders_basket_poisson": q_orders_basket_poisson,
+        "orders_spearman_price_items": q_orders_spearman_price_items,
+        "docs_perplexity_buckets": q_docs_perplexity_buckets,
         # --- latest driver row r08 (50): 16 fill the r12 window, rest r13 ---
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_test_ngram_overlap": q_train_test_ngram_overlap,
@@ -12904,6 +13256,225 @@ def oracle_sql() -> dict[str, str]:
                coalesce(n_common, 0)::BIGINT AS n_common,
                round(coalesce(aa::DOUBLE, 0.0), 6) AS adamic_adar
         FROM und LEFT JOIN pe ON pe.e1 = und.x AND pe.e2 = und.y
+    """
+    # Benford: digits from BIGINT-to-string (engine-identical); the
+    # expected shares are the SAME 12dp Python literals the Spark plan
+    # embeds, so no engine computes log10.
+    _benford_case = " ".join(
+        f"WHEN digit = {d} THEN {p!r}::DOUBLE" for d, p in _BENFORD_P.items()
+    )
+    sqls["orders_benford"] = f"""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM orders WHERE o_totalprice >= 1
+        ),
+        cells AS (SELECT digit, count(*)::BIGINT AS n_orders FROM d GROUP BY 1),
+        tot AS (SELECT sum(n_orders)::BIGINT AS nt FROM cells)
+        SELECT digit, n_orders,
+               round(n_orders::DOUBLE / nt::DOUBLE, 9) AS observed_share,
+               (CASE {_benford_case} END) AS expected_share,
+               round((n_orders::DOUBLE - nt::DOUBLE * (CASE {_benford_case} END))
+                     * (n_orders::DOUBLE - nt::DOUBLE * (CASE {_benford_case} END))
+                     / (nt::DOUBLE * (CASE {_benford_case} END)), 9) AS chi2_term
+        FROM cells CROSS JOIN tot
+    """
+    sqls["customers_cramers_v"] = """
+        WITH cells AS (
+          SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+          FROM customer GROUP BY 1, 2
+        ),
+        rt AS (SELECT c_nationkey, sum(n)::BIGINT AS rtot FROM cells GROUP BY 1),
+        ct AS (SELECT c_mktsegment, sum(n)::BIGINT AS ctot FROM cells GROUP BY 1),
+        tot AS (SELECT sum(n)::BIGINT AS nt FROM cells),
+        j AS (
+          SELECT cells.n, rtot, ctot, nt, cells.c_nationkey, cells.c_mktsegment
+          FROM cells JOIN rt USING (c_nationkey) JOIN ct USING (c_mktsegment)
+          CROSS JOIN tot
+        ),
+        agg AS (
+          SELECT max(nt)::BIGINT AS n_total,
+                 count(DISTINCT c_nationkey)::BIGINT AS n_rows_dim,
+                 count(DISTINCT c_mktsegment)::BIGINT AS n_cols_dim,
+                 round(CAST(sum(CAST(round(
+                   (n::DOUBLE - rtot::DOUBLE * ctot::DOUBLE / nt::DOUBLE)
+                   * (n::DOUBLE - rtot::DOUBLE * ctot::DOUBLE / nt::DOUBLE)
+                   / (rtot::DOUBLE * ctot::DOUBLE / nt::DOUBLE), 9)
+                   AS DECIMAL(38,10))) AS DOUBLE), 6) AS chi2
+          FROM j
+        )
+        SELECT n_total, n_rows_dim, n_cols_dim, chi2,
+               round(CASE WHEN least(n_rows_dim, n_cols_dim) - 1 > 0 THEN
+                 sqrt(chi2 / (n_total::DOUBLE
+                              * (least(n_rows_dim, n_cols_dim) - 1)::DOUBLE))
+               END, 6) AS cramers_v
+        FROM agg
+    """
+    sqls["events_seasonality_strength"] = """
+        WITH daily AS (
+          SELECT ts::DATE AS day, count(*)::BIGINT AS c,
+                 (((date_diff('day', DATE '1970-01-05', ts::DATE) % 7) + 7)
+                   % 7)::INT AS dow
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY 1, 3
+        ),
+        tot AS (
+          SELECT count(*)::BIGINT AS n_days,
+                 CAST(sum(c) AS DECIMAL(18,0)) AS s,
+                 sum(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS s2
+          FROM daily
+        ),
+        per AS (
+          SELECT dow, count(*)::BIGINT AS ng,
+                 CAST(sum(c) AS DECIMAL(18,0)) AS sg
+          FROM daily GROUP BY 1
+        ),
+        btw AS (
+          SELECT CAST(sum(CAST(round(
+                   sg::DOUBLE * sg::DOUBLE / ng::DOUBLE, 6)
+                 AS DECIMAL(38,10))) AS DOUBLE) AS b
+          FROM per
+        )
+        SELECT n_days,
+               round(s::DOUBLE / n_days::DOUBLE, 6) AS mean_daily_events,
+               round(CASE WHEN (s2::DOUBLE - s::DOUBLE * s::DOUBLE
+                                / n_days::DOUBLE) > 0 THEN
+                 (b - s::DOUBLE * s::DOUBLE / n_days::DOUBLE)
+                 / (s2::DOUBLE - s::DOUBLE * s::DOUBLE / n_days::DOUBLE)
+               END, 6) AS dow_variance_share
+        FROM tot CROSS JOIN btw
+    """
+    sqls["users_activity_entropy"] = """
+        WITH cells AS (
+          SELECT user_id, event_type, count(*)::BIGINT AS c
+          FROM events GROUP BY 1, 2
+        ),
+        ut AS (
+          SELECT user_id, sum(c)::BIGINT AS n_events,
+                 count(*)::BIGINT AS n_types
+          FROM cells GROUP BY 1
+        ),
+        pe AS (
+          SELECT cells.user_id,
+                 CAST(sum(CAST(round(
+                   -(c::DOUBLE / n_events::DOUBLE)
+                   * ln(c::DOUBLE / n_events::DOUBLE), 12)
+                 AS DECIMAL(28,12))) AS DOUBLE) AS ent
+          FROM cells JOIN ut USING (user_id)
+          GROUP BY 1
+        )
+        SELECT ut.user_id, n_events, n_types, round(ent, 6) AS entropy
+        FROM ut JOIN pe USING (user_id)
+    """
+    sqls["orders_theilsen_monthly"] = """
+        WITH monthly AS (
+          SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m,
+                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+                            AS DOUBLE), 4) AS rev
+          FROM orders GROUP BY 1
+        ),
+        slopes AS (
+          SELECT round((b.rev - a.rev) / (b.m - a.m)::DOUBLE, 9) AS slope
+          FROM monthly a JOIN monthly b ON a.m < b.m
+        )
+        SELECT count(*)::BIGINT AS n_pairs,
+               round(quantile_cont(slope, 0.5), 6) AS theilsen_slope
+        FROM slopes
+    """
+    sqls["orders_basket_poisson"] = """
+        WITH per AS (
+          SELECT l_orderkey, count(*)::BIGINT AS k FROM lineitem GROUP BY 1
+        ),
+        cells AS (SELECT k, count(*)::BIGINT AS n_orders FROM per GROUP BY 1),
+        tot AS (
+          SELECT sum(n_orders)::BIGINT AS no, sum(k * n_orders)::BIGINT AS ni
+          FROM cells
+        )
+        SELECT k AS basket_size, n_orders,
+               round(n_orders::DOUBLE / no::DOUBLE, 9) AS observed_share,
+               round(exp(-(ni::DOUBLE / no::DOUBLE))
+                     * power(ni::DOUBLE / no::DOUBLE, k::DOUBLE)
+                     / factorial(k::INT)::DOUBLE, 9) AS poisson_p,
+               round(CASE WHEN no::DOUBLE * round(exp(-(ni::DOUBLE / no::DOUBLE))
+                     * power(ni::DOUBLE / no::DOUBLE, k::DOUBLE)
+                     / factorial(k::INT)::DOUBLE, 9) > 0 THEN
+                 (n_orders::DOUBLE - no::DOUBLE * round(exp(-(ni::DOUBLE / no::DOUBLE))
+                     * power(ni::DOUBLE / no::DOUBLE, k::DOUBLE)
+                     / factorial(k::INT)::DOUBLE, 9))
+                 * (n_orders::DOUBLE - no::DOUBLE * round(exp(-(ni::DOUBLE / no::DOUBLE))
+                     * power(ni::DOUBLE / no::DOUBLE, k::DOUBLE)
+                     / factorial(k::INT)::DOUBLE, 9))
+                 / (no::DOUBLE * round(exp(-(ni::DOUBLE / no::DOUBLE))
+                     * power(ni::DOUBLE / no::DOUBLE, k::DOUBLE)
+                     / factorial(k::INT)::DOUBLE, 9))
+               END, 9) AS chi2_term,
+               round(ni::DOUBLE / no::DOUBLE, 6) AS lambda_fit
+        FROM cells CROSS JOIN tot
+    """
+    # Spearman: DuckDB midranks via 2*rank + cnt - 1 == the engine's
+    # doubled midrank (2*cum_before + cnt + 1); Pearson over DECIMAL
+    # sums of those integers, same closed-form shape.
+    sqls["orders_spearman_price_items"] = """
+        WITH d AS (
+          SELECT o_totalprice AS x, n_items AS y
+          FROM orders JOIN (
+            SELECT l_orderkey, count(*)::BIGINT AS n_items
+            FROM lineitem GROUP BY 1
+          ) li ON o_orderkey = l_orderkey
+        ),
+        rk AS (
+          SELECT
+            CAST(2 * rank() OVER (ORDER BY x)
+                 + count(*) OVER (PARTITION BY x) - 1 AS DECIMAL(18,0)) AS rx,
+            CAST(2 * rank() OVER (ORDER BY y)
+                 + count(*) OVER (PARTITION BY y) - 1 AS DECIMAL(18,0)) AS ry
+          FROM d
+        ),
+        m AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+                 sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+          FROM rk
+        )
+        SELECT n,
+          round(CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                      AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+          THEN
+            (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                   * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+          END, 9) AS spearman_rho
+        FROM m
+    """
+    sqls["docs_perplexity_buckets"] = f"""
+        WITH {_BASE},
+        uni AS (SELECT token, count(*) AS n_occ FROM ex GROUP BY token),
+        tt AS (SELECT sum(n_occ) AS total FROM uni),
+        lp AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 round(avg(ln(n_occ / total)), 6) AS avg_logprob
+          FROM ex JOIN uni USING (token), tt
+          GROUP BY doc_id
+        ),
+        cuts AS (
+          SELECT list_transform(
+                   quantile_cont(avg_logprob,
+                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                   c -> round(c, 6)) AS cs
+          FROM lp
+        ),
+        b AS (
+          SELECT lp.*,
+                 list_sum(list_transform(cs,
+                   c -> CASE WHEN avg_logprob > c THEN 1 ELSE 0 END))::BIGINT
+                   AS bucket
+          FROM lp CROSS JOIN cuts
+        )
+        SELECT bucket, count(*)::BIGINT AS n_docs,
+               round(CAST(sum(CAST(avg_logprob AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(*)::DOUBLE, 6) AS mean_logprob,
+               round(sum(n_tokens)::DOUBLE / count(*)::DOUBLE, 6) AS mean_tokens
+        FROM b GROUP BY 1
     """
     # Second driver-gated streaming surface (r11): the flush-closed
     # applyInPandasWithState replay emits exactly the batch sessions

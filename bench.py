@@ -315,6 +315,14 @@ HEADLINE = [
     "events_value_welch",
     "dedup_local_clustering",
     "dedup_adamic_adar",
+    "orders_benford",
+    "customers_cramers_v",
+    "events_seasonality_strength",
+    "users_activity_entropy",
+    "orders_theilsen_monthly",
+    "orders_basket_poisson",
+    "orders_spearman_price_items",
+    "docs_perplexity_buckets",
     # -- TPC-H shapes not yet in the artifact
     "tpch_q2_like",
     "tpch_q3_like",

@@ -931,3 +931,81 @@ def welch_t(
             round_digits,
         ).alias("df_welch"),
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x: str,
+    y: str,
+    n_buckets: int = 32,
+    relative_error: float = 0.0,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Spearman rank correlation of columns ``x`` and ``y`` (Spearman
+    1904, with the standard midrank tie convention): Pearson r over
+    the two rank transforms -- the monotone-association read that
+    survives outliers and nonlinearity where grouped_pearson's raw-
+    value r does not.
+
+    Exactness: per-row ranks never materialize as floats. Each
+    column's midranks come from its distinct-value counts (midrank =
+    cum_before + (cnt+1)/2, so the DOUBLED midrank is INTEGER), the
+    cumulative counts via the shared _bucketed_prefix decomposition --
+    no unpartitioned window on either column. Rows join their doubled
+    ranks back by value (two plain equi-joins), and Pearson evaluates
+    over DECIMAL moment sums of those integers (rho is invariant to
+    the x2 scaling); the closed form is one fixed-shape double on the
+    single result row. NULL in either column drops the row (pairwise-
+    complete). ``n_buckets``/``relative_error`` as in ks_two_sample.
+    Returns one row: (n, spearman_rho) -- NULL rho when a rank
+    variance is 0 (a constant column) or n == 0."""
+    d = (
+        df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .select(F.col(x).alias("_x"), F.col(y).alias("_y"))
+        .persist()
+    )
+
+    def dbl_ranks(col: str) -> DataFrame:
+        per = (
+            d.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+            .select(F.col(col).alias("_v"), "_c")
+            .persist()
+        )
+        cum = _bucketed_prefix(per, ["_c"], n_buckets, relative_error)
+        return cum.join(per, "_v").select(
+            F.col("_v").alias(col),
+            (
+                F.lit(2) * (F.col("_cum_c") - F.col("_c"))
+                + F.col("_c")
+                + F.lit(1)
+            )
+            .cast("decimal(18,0)")
+            .alias(f"_r{col}"),
+        )
+    ranked = d.join(dbl_ranks("_x"), "_x").join(dbl_ranks("_y"), "_y")
+    rx, ry = F.col("_r_x"), F.col("_r_y")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rx).alias("_sx"),
+        F.sum(ry).alias("_sy"),
+        F.sum(rx * ry).alias("_sxy"),
+        F.sum(rx * rx).alias("_sxx"),
+        F.sum(ry * ry).alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    return m.select(
+        "n",
+        F.round(
+            F.when(
+                (varx > 0) & (vary > 0),
+                (nd * sxy - sx * sy) / F.sqrt(varx * vary),
+            ),
+            round_digits,
+        ).alias("spearman_rho"),
+    )

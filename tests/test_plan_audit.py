@@ -488,6 +488,29 @@ BUDGETS = {
     # adamic-adar: same triangle subtree; per-edge explode agg + the
     # degree attach + canonical-edge join-back
     "dedup_adamic_adar": (4, 0),
+    # benford: ONE bounded 9-row digit agg + totals re-agg (broadcast)
+    "orders_benford": (3, 1),
+    # cramers V: the X197 chi-square machinery (cell agg + 3 bounded
+    # marginal re-aggs, each broadcast back) + the closed-form row
+    "customers_cramers_v": (9, 3),
+    # seasonality: daily agg + totals + per-DOW re-agg (both bounded,
+    # broadcast back)
+    "events_seasonality_strength": (5, 1),
+    # activity entropy: cell agg + per-user in-row DECIMAL fold
+    "users_activity_entropy": (2, 0),
+    # theil-sen: monthly DECIMAL agg (bounded |months|) + broadcast
+    # pair self-join + the tiny median agg
+    "orders_theilsen_monthly": (3, 1),
+    # basket poisson: per-order count agg + bounded k agg + totals
+    "orders_basket_poisson": (5, 1),
+    # spearman: TWO bucketed-prefix rank decompositions (each per's
+    # persisted subtree counts per consumer, the docs_length_ks
+    # flattening x2) + the rank join-backs + one moment agg; executed
+    # exchanges ~12
+    "orders_spearman_price_items": (34, 20),
+    # perplexity deciles: the cached unigram-LM subtree (counted per
+    # consumer) + cuts agg (broadcast) + bounded bucket agg
+    "docs_perplexity_buckets": (16, 5),
     # r11 streaming sessionize gate: the stream ran EAGERLY at build
     # (applyInPandasWithState inside the streaming query); the audited
     # surface is the memory-sink scan + the session_idx recovery

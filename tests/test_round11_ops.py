@@ -205,3 +205,57 @@ def test_adamic_adar_dedup_of_reversed_edges(spark):
     assert got[(1, 2)] == (1, round(round(1 / math.log(3), 12), 6))
     assert got[(1, 3)] == (1, round(round(1 / math.log(2), 12), 6))
     assert got[(3, 4)] == (0, 0.0)
+
+
+# --- Spearman ----------------------------------------------------------------
+
+
+def _brute_spearman(xs, ys):
+    def midranks(vals):
+        s = sorted(vals)
+        first: dict = {}
+        from collections import Counter
+
+        cnt = Counter(vals)
+        pos = 0
+        seen: dict = {}
+        for v in s:
+            if v not in seen:
+                seen[v] = pos + (cnt[v] + 1) / 2
+            pos += 1
+        return [seen[v] for v in vals]
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    return cov / math.sqrt(vx * vy)
+
+
+@pytest.mark.parametrize("seed", [6, 13])
+def test_spearman_matches_brute_force(spark, seed):
+    rng = random.Random(seed)
+    xs = [rng.randrange(40) for _ in range(300)]  # heavy ties
+    ys = [x + rng.randrange(25) for x in xs]  # monotone-ish + noise
+    df = spark.createDataFrame(list(zip(xs, ys)), "x LONG, y LONG")
+    got = st.spearman_rho(df, "x", "y").collect()[0]
+    assert got["n"] == 300
+    assert abs(got["spearman_rho"] - _brute_spearman(xs, ys)) < 1e-8
+
+
+def test_spearman_continuous_and_edges(spark):
+    rng = random.Random(21)
+    xs = [round(rng.gauss(0, 1), 9) for _ in range(250)]
+    ys = [round(-x + rng.gauss(0, 0.3), 9) for x in xs]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x DOUBLE, y DOUBLE")
+    got = st.spearman_rho(df, "x", "y", n_buckets=8).collect()[0]
+    assert abs(got["spearman_rho"] - _brute_spearman(xs, ys)) < 1e-8
+    assert got["spearman_rho"] < -0.8
+    # constant column -> NULL rho
+    dfc = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x LONG, y LONG")
+    assert st.spearman_rho(dfc, "x", "y").collect()[0]["spearman_rho"] is None
+    # perfect monotone -> exactly 1.0
+    dfm = spark.createDataFrame([(i, i * i) for i in range(10)], "x LONG, y LONG")
+    assert st.spearman_rho(dfm, "x", "y").collect()[0]["spearman_rho"] == 1.0
