@@ -7438,6 +7438,65 @@ def q_docs_perplexity_buckets(spark, sf_dir):
     )
 
 
+_ANN_RECALL_PROBES = (1, 2, 4)
+
+
+def q_embeddings_ann_recall_curve(spark, sf_dir):
+    """IVF recall@k tuning curve: for each n_probe in {1, 2, 4}, the
+    share of the exact brute-force top-k neighbor pairs (ALL vectors
+    as queries, the hubness discipline) that the IVF index reproduces
+    -- the ANN analog of the LSH band-count curve (X220): every IVF
+    deployment tunes exactly this recall-vs-probe-cost trade, and
+    recall is PROVABLY monotone in n_probe (a truth pair caught at
+    probe p cannot be displaced at 2p: any candidate outscoring a
+    global top-k item is itself global top-k; pinned in
+    tests/test_round11_ops.py along with recall == 1.0 under full
+    probing). The brute-force truth side is the documented audit
+    baseline at gate scale; at 100 TB the truth is a sampled query
+    subset (the blocking_quality truth_sample_rate pattern) while the
+    IVF side IS the production path. Centroids come from the shared
+    cached index build; the three probe levels re-run assignment
+    against the same literal centroid table (production would share
+    the persisted assignment across probe levels -- the per-level cost
+    here is one map-only pass each)."""
+    emb = _emb(spark, sf_dir)
+    cents = _cached(
+        spark, sf_dir, "ivf_cents", lambda: ann_ops.kmeans_centroids(emb)
+    )
+    qids = emb.select("vec_id")
+    truth = (
+        ann_ops.cosine_topk_bruteforce(emb, qids, k=ANN_K)
+        .select("q_id", "n_id")
+        .persist()
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    parts = []
+    for p in _ANN_RECALL_PROBES:
+        ivf = ann_ops.cosine_topk_ivf(
+            emb, qids, k=ANN_K, n_probe=p, cents=cents
+        ).select("q_id", "n_id")
+        caught = ivf.join(truth, ["q_id", "n_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_caught")
+        )
+        parts.append(
+            caught.select(
+                F.lit(p).cast("int").alias("n_probe"), "n_caught"
+            )
+        )
+    cur = parts[0]
+    for extra in parts[1:]:
+        cur = cur.unionByName(extra)
+    return cur.crossJoin(F.broadcast(nt)).select(
+        "n_probe",
+        "n_truth",
+        "n_caught",
+        F.round(
+            F.col("n_caught").cast("double") / F.col("n_truth").cast("double"),
+            9,
+        ).alias("recall"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-11 window (the rotation
@@ -7559,6 +7618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_basket_poisson": q_orders_basket_poisson,
         "orders_spearman_price_items": q_orders_spearman_price_items,
         "docs_perplexity_buckets": q_docs_perplexity_buckets,
+        "embeddings_ann_recall_curve": q_embeddings_ann_recall_curve,
         # --- latest driver row r08 (50): 16 fill the r12 window, rest r13 ---
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_test_ngram_overlap": q_train_test_ngram_overlap,
@@ -13475,6 +13535,84 @@ def oracle_sql() -> dict[str, str]:
                      / count(*)::DOUBLE, 6) AS mean_logprob,
                round(sum(n_tokens)::DOUBLE / count(*)::DOUBLE, 6) AS mean_tokens
         FROM b GROUP BY 1
+    """
+    # ANN recall curve: the ann_topk_ivf oracle machinery (kmeans
+    # replay + assignment + probe ranking) parameterized over a probe
+    # grid, against a full brute-force truth CTE.
+    sqls["embeddings_ann_recall_curve"] = f"""
+        WITH {_EMB_NORM_SQL},
+        {_KMEANS_CTES},
+        cents AS (SELECT c_id, cv, cn FROM {_KMEANS_FINAL}),
+        ascore AS (
+          SELECT a.vec_id AS id, c_id,
+                 round({_emb_dot_sql("a.v", "cv")} / (a.norm * cn), 9) AS cos
+          FROM nv a CROSS JOIN cents
+        ),
+        assign AS (
+          SELECT id, c_id AS cluster FROM (
+            SELECT id, c_id,
+                   row_number() OVER (PARTITION BY id ORDER BY cos DESC, c_id) AS rn
+            FROM ascore
+          ) WHERE rn = 1
+        ),
+        truth AS (
+          SELECT q_id, n_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({_emb_dot_sql("q.v", "c.v")}
+                                    / (q.norm * c.norm), 9) DESC, c.vec_id
+                   ) AS rn
+            FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+          ) WHERE rn <= {ANN_K}
+        ),
+        nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+        probes_all AS (
+          SELECT q_id, cluster, rn FROM (
+            SELECT q.vec_id AS q_id, c_id AS cluster,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({_emb_dot_sql("q.v", "cv")}
+                                    / (q.norm * cn), 9) DESC, c_id
+                   ) AS rn
+            FROM nv q CROSS JOIN cents
+          ) WHERE rn <= {max(_ANN_RECALL_PROBES)}
+        ),
+        grid AS (SELECT unnest({list(_ANN_RECALL_PROBES)}) AS n_probe),
+        cand AS (
+          SELECT DISTINCT g.n_probe, p.q_id, a.id AS n_id
+          FROM grid g
+          JOIN probes_all p ON p.rn <= g.n_probe
+          JOIN assign a USING (cluster)
+          WHERE a.id <> p.q_id
+        ),
+        scored AS (
+          SELECT n_probe, q_id, n_id,
+                 round({_emb_dot_sql("qn.v", "cn2.v")}
+                       / (qn.norm * cn2.norm), 9) AS cos
+          FROM cand
+          JOIN nv qn ON qn.vec_id = q_id
+          JOIN nv cn2 ON cn2.vec_id = n_id
+        ),
+        ivfk AS (
+          SELECT n_probe, q_id, n_id FROM (
+            SELECT n_probe, q_id, n_id,
+                   row_number() OVER (
+                     PARTITION BY n_probe, q_id ORDER BY cos DESC, n_id
+                   ) AS rank
+            FROM scored
+          ) WHERE rank <= {ANN_K}
+        ),
+        per_p AS (
+          SELECT n_probe, count(*)::BIGINT AS n_caught
+          FROM ivfk JOIN truth USING (q_id, n_id)
+          GROUP BY 1
+        )
+        SELECT g.n_probe::INT AS n_probe, nt.n_truth,
+               coalesce(per_p.n_caught, 0)::BIGINT AS n_caught,
+               round(coalesce(per_p.n_caught, 0)::DOUBLE
+                     / nt.n_truth::DOUBLE, 9) AS recall
+        FROM grid g CROSS JOIN nt LEFT JOIN per_p ON per_p.n_probe = g.n_probe
     """
     # Second driver-gated streaming surface (r11): the flush-closed
     # applyInPandasWithState replay emits exactly the batch sessions

@@ -323,6 +323,7 @@ HEADLINE = [
     "orders_basket_poisson",
     "orders_spearman_price_items",
     "docs_perplexity_buckets",
+    "embeddings_ann_recall_curve",
     # -- TPC-H shapes not yet in the artifact
     "tpch_q2_like",
     "tpch_q3_like",

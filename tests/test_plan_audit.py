@@ -511,6 +511,11 @@ BUDGETS = {
     # perplexity deciles: the cached unigram-LM subtree (counted per
     # consumer) + cuts agg (broadcast) + bounded bucket agg
     "docs_perplexity_buckets": (16, 5),
+    # ANN recall curve: brute-force truth + THREE IVF probe levels in
+    # one plan; the persisted truth/assignment subtrees flatten per
+    # consumer (executed exchanges ~15, each probe level a bounded
+    # per-query window over its probed clusters)
+    "embeddings_ann_recall_curve": (47, 24),
     # r11 streaming sessionize gate: the stream ran EAGERLY at build
     # (applyInPandasWithState inside the streaming query); the audited
     # surface is the memory-sink scan + the session_idx recovery

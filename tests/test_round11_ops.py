@@ -259,3 +259,46 @@ def test_spearman_continuous_and_edges(spark):
     # perfect monotone -> exactly 1.0
     dfm = spark.createDataFrame([(i, i * i) for i in range(10)], "x LONG, y LONG")
     assert st.spearman_rho(dfm, "x", "y").collect()[0]["spearman_rho"] == 1.0
+
+
+# --- ANN recall curve --------------------------------------------------------
+
+
+def test_ann_recall_monotone_and_full_probe_exact(spark):
+    """recall@k is monotone nondecreasing in n_probe (a truth pair
+    caught at probe p cannot be displaced at a larger p: any candidate
+    outscoring a global top-k item is itself global top-k), and under
+    full probing the IVF candidate set is the corpus, so recall == 1.0
+    exactly."""
+    import __spark_entry__ as entrymod
+    from sparkbigdatatextanalysis_spark.operators import ann as ann_ops
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["n_probe"]: (r["n_caught"], r["n_truth"], r["recall"])
+        for r in entrymod.q_embeddings_ann_recall_curve(spark, sf).collect()
+    }
+    assert sorted(rows) == sorted(entrymod._ANN_RECALL_PROBES)
+    probes = sorted(rows)
+    for lo, hi in zip(probes, probes[1:]):
+        assert rows[lo][0] <= rows[hi][0]
+    # full probing == brute force
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qids = emb.select("vec_id")
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_bruteforce(
+            emb, qids, k=entrymod.ANN_K
+        ).collect()
+    }
+    full = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ops.cosine_topk_ivf(
+            emb,
+            qids,
+            k=entrymod.ANN_K,
+            n_centroids=ann_ops.N_CENTROIDS,
+            n_probe=ann_ops.N_CENTROIDS,
+        ).collect()
+    }
+    assert full == truth
