@@ -7497,6 +7497,462 @@ def q_embeddings_ann_recall_curve(spark, sf_dir):
     )
 
 
+def q_orders_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test on monthly revenue
+    (operators/timeseries.py::mann_kendall): the WHETHER beside
+    orders_theilsen_monthly's HOW MUCH -- the standard pairing for
+    rank-based trend reads (both unmoved by a single promotional
+    spike). Same monthly cells as the Theil-Sen key (DECIMAL revenue
+    sums rounded 4 dp), so the two keys audit one shared series; S,
+    tie counts, and Var(S) are exact integers, z and tau-b fixed-shape
+    doubles."""
+    from sparkbigdatatextanalysis_spark.operators import timeseries as tsx
+
+    o = _scan(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("_m")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast("double"),
+            4,
+        ).alias("_rev")
+    )
+    return tsx.mann_kendall(monthly, "_m", "_rev")
+
+
+def q_events_pettitt_daily(spark, sf_dir):
+    """Pettitt rank-based changepoint on daily event counts
+    (operators/timeseries.py::pettitt): the nonparametric complement
+    to events_cusum_changepoint -- CUSUM reacts to mean shifts in
+    value units, Pettitt to any location shift in rank units, immune
+    to one outlier day's magnitude. Daily counts are exact BIGINTs
+    from one bounded groupBy(day); days pass as yyyy-MM-dd strings so
+    the window order and the output type are engine-identical."""
+    from sparkbigdatatextanalysis_spark.operators import timeseries as tsx
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    out = tsx.pettitt(daily, "day", "c")
+    return out.select(
+        "n_periods",
+        F.col("changepoint_t").alias("changepoint_day"),
+        "k_stat",
+        "u_at_changepoint",
+        "p_approx",
+    )
+
+
+def q_embeddings_anisotropy(spark, sf_dir):
+    """Corpus-level embedding anisotropy audit (Ethayarajh 2019): the
+    mean pairwise cosine between ALL unit-normalized vectors and the
+    norm of their mean direction -- a high mean cosine says the space
+    collapses into a narrow cone, which silently inflates every
+    similarity score the dedup/ANN/labeling keys consume (the reason
+    top-component removal X192 exists; this key measures whether it is
+    needed). NEVER materializes a pair: with S = sum of unit vectors
+    and T = sum of self-dots, sum_{i != j} cos(i,j) = |S|^2 - T, so
+    the whole audit is one map-only normalize pass + one 64-row
+    per-dim aggregate -- O(n * d) at any scale, the best possible
+    shape (the brute-force pair join the identity replaces is the
+    hubness key's documented baseline).
+
+    Exactness: float32 components cast exactly to double; the norm and
+    self-dot fold in-row in fixed sequential order (vec_dot ==
+    list_reduce); per-dim sums cast each component DECIMAL(38,15)
+    before the order-insensitive DECIMAL fold; each dim's sum rounds
+    to a 9 dp double, squares in fixed shape, rounds 12 dp, and
+    DECIMAL-sums again -- no engine-order float fold anywhere."""
+    from sparkbigdatatextanalysis_spark.functions.vector import vec_dot
+
+    emb = _emb(spark, sf_dir).where(F.col("embedding").isNotNull())
+    v = F.col("embedding").cast("array<double>")
+    nv = emb.select(
+        v.alias("_v"), F.sqrt(vec_dot(v, v)).alias("_norm")
+    ).where(F.col("_norm") > 0)
+    u = nv.select(
+        F.transform("_v", lambda x: x / F.col("_norm")).alias("_u")
+    ).persist()
+    per_dim = (
+        u.select(F.posexplode("_u").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("x").cast("decimal(38,15)")).alias("_s"))
+    )
+    sd9 = F.round(F.col("_s").cast("double"), 9)
+    s2 = per_dim.agg(
+        F.sum(
+            F.round(sd9 * sd9, 12).cast("decimal(38,12)")
+        ).cast("double").alias("_s2")
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(
+            F.round(vec_dot(F.col("_u"), F.col("_u")), 12).cast(
+                "decimal(38,12)"
+            )
+        ).cast("double").alias("_t"),
+    )
+    n = F.col("n_vectors").cast("double")
+    return tot.crossJoin(F.broadcast(s2)).select(
+        "n_vectors",
+        F.round(
+            F.when(
+                F.col("n_vectors") > 1,
+                (F.col("_s2") - F.col("_t")) / (n * (n - 1.0)),
+            ),
+            9,
+        ).alias("mean_pairwise_cos"),
+        F.round(F.sqrt(F.col("_s2")) / n, 9).alias("mean_direction_norm"),
+    )
+
+
+_MIX_TEMPERATURES = (0.3, 0.5, 0.7)
+
+
+def q_docs_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled source-mixture weights: for each sampling
+    temperature alpha in {0.3, 0.5, 0.7}, the renormalized weight
+    w_s = p_s^alpha / sum_s p_s^alpha over each source's natural token
+    share p_s -- the standard multilingual/multi-source rebalancing
+    rule (alpha < 1 upsamples tail sources; the mT5/XLM-R exponent
+    family), i.e. the table a mixture policy (X44's sampler) is
+    actually configured from. One equi-join of docs to the cached
+    token table, one bounded groupBy(source); p_s is an exact BIGINT
+    ratio, p^alpha rounds 12 dp (the Poisson-pmf pow convention),
+    denominators DECIMAL-sum the rounded terms per alpha over the
+    bounded source domain."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    tok = _tok(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.size("tokens").alias("_nt")
+    )
+    per = (
+        docs.join(tok, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("_nt").cast("long").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("_tot"))
+    p = F.col("n_tokens").cast("double") / F.col("_tot").cast("double")
+    fan = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "alpha",
+            F.explode(F.array(*[F.lit(a) for a in _MIX_TEMPERATURES])),
+        )
+        .select(
+            "source",
+            F.col("alpha").cast("double").alias("alpha"),
+            "n_tokens",
+            F.round(p, 9).alias("p_natural"),
+            # pow over the ALREADY-9dp-rounded share: both engines then
+            # exponentiate the identical double, so the only cross-engine
+            # surface is pow's own final rounding (hidden by the 12dp
+            # round, the ln/exp convention used by survival/entropy).
+            F.round(F.pow(F.round(p, 9), F.col("alpha")), 12).alias("_w_raw"),
+        )
+    )
+    den = fan.groupBy("alpha").agg(
+        F.sum(F.col("_w_raw").cast("decimal(38,12)")).cast("double").alias("_den")
+    )
+    return fan.join(F.broadcast(den), "alpha").select(
+        "source",
+        "alpha",
+        "n_tokens",
+        "p_natural",
+        F.round(F.col("_w_raw") / F.col("_den"), 9).alias("w_temperature"),
+    )
+
+
+_ANOM_REPLAY_SEQ = [0]
+
+
+def q_streaming_anomaly_replay(spark, sf_dir):
+    """THIRD driver-gated streaming surface (the X165/X221 pattern
+    applied to the online anomaly monitor): the real events replay
+    through streaming/monitor.py::anomaly_stream
+    (applyInPandasWithState, Welford (n, mean, M2) state per user with
+    M2 ferried as raw int64 bits) as a 3-micro-batch file stream split
+    at the 1/3 and 2/3 timestamp percentiles -- so every user's
+    running state must survive TWO batch boundaries mid-history.
+    Anomalies emit append-mode the moment they are observed; no flush
+    sentinel is needed (the monitor holds no open aggregates). The
+    oracle is the events_anomaly SQL verbatim (the strictly-prior
+    window-frame z-score): this gates the stream == batch == SQL
+    three-way equality externally, where before only pytest pinned it.
+
+    Determinism: micro-batch order pinned by explicit mtimes; batches
+    are time-disjoint by construction (ts <= c1 < ts <= c2 < ts), so
+    per-key batch arrival respects event-time order, the monitor's
+    documented ordering contract. Eager by construction (availableNow
+    at query build); throwaway tempdir + uniquely-named memory sink."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from sparkbigdatatextanalysis_spark.streaming import monitor as mon
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("event_id", "ts", "user_id", "value")
+    )
+    cuts = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.3333)").alias("_c1"),
+        F.expr("percentile(unix_micros(ts), 0.6667)").alias("_c2"),
+    ).collect()[0]
+    c1, c2 = int(cuts["_c1"]), int(cuts["_c2"])
+    tmp = tempfile.mkdtemp(prefix="spark_anom_gate_")
+    us = F.unix_micros("ts")
+    batches = [
+        ("b0", ev.where(us <= F.lit(c1))),
+        ("b1", ev.where((us > F.lit(c1)) & (us <= F.lit(c2)))),
+        ("b2", ev.where(us > F.lit(c2))),
+    ]
+    for i, (name, df) in enumerate(batches):
+        path = f"{tmp}/{name}"
+        df.coalesce(1).write.parquet(path)
+        # pin micro-batch order: the file source sorts by mtime
+        mt = 1_000_000 + 10 * i
+        for f in _glob.glob(f"{path}/*"):
+            _os.utime(f, (mt, mt))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/b*")
+    )
+    _ANOM_REPLAY_SEQ[0] += 1
+    qname = f"anomaly_gate_{_ANOM_REPLAY_SEQ[0]}"
+    q = (
+        mon.anomaly_stream(stream, threshold=3.0, min_n=5)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        F.round("zscore", 6).alias("zscore"),
+        "n_prior",
+    )
+
+
+_SNM_WINDOW = 3
+_SNM_PREFIX = 8
+
+
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): sort
+    the corpus by a normalized content key, emit every pair within a
+    rank window of 3 -- the classic record-linkage blocking scheme
+    BESIDE the hash-bucket families (LSH bands X3, prefix blocking
+    X85): SNM catches near-dups whose difference falls OUTSIDE the
+    hashed prefix (hash blocking is all-or-nothing on the key; rank
+    adjacency degrades gracefully), and its candidate count is
+    EXACTLY w*n by construction -- the predictable-budget blocker.
+
+    The global sort NEVER funnels through one window: the 8-char
+    normalized prefix packs order-preservingly into ONE BIGINT
+    (ascii codes are monotone per position; base-128 Horner, max
+    128^8 < 2^63), and the rank comes from the two-phase global_rank
+    decomposition (GK-sketch cuts, exact ranks). The window join is an
+    equi-join on rank+gap after an in-row x3 fan-out -- a balanced
+    shuffle on the rank, no broadcast of anything data-proportional.
+    Oracle = the plain single-window row_number over the same packed
+    key, proving the decomposition + window-join exact."""
+    d = _docs(spark, sf_dir, wide=True).select("doc_id", "text")
+    norm = F.rpad(
+        F.substring(
+            F.regexp_replace(F.lower("text"), r"\W+", ""), 1, _SNM_PREFIX
+        ),
+        _SNM_PREFIX,
+        " ",
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(1, _SNM_PREFIX + 1):
+        packed = packed * 128 + F.ascii(F.substring(norm, i, 1)).cast("long")
+    keyed = d.select("doc_id", packed.alias("sort_key"))
+    ranked = rel.global_rank(
+        keyed, key="sort_key", tiebreaker="doc_id", relative_error=0.01
+    ).persist()
+    fan = ranked.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sort_key").alias("_ka"),
+        F.explode(
+            F.array(*[F.lit(g) for g in range(1, _SNM_WINDOW + 1)])
+        ).alias("rank_gap"),
+        F.col("global_rank").alias("_ra"),
+    ).withColumn("_rb", F.col("_ra") + F.col("rank_gap"))
+    right = ranked.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sort_key").alias("_kb"),
+        F.col("global_rank").alias("_rb"),
+    )
+    return fan.join(right, "_rb").select(
+        "a_id",
+        "b_id",
+        F.col("rank_gap").cast("int").alias("rank_gap"),
+        (F.col("_ka") == F.col("_kb")).alias("same_prefix"),
+    )
+
+
+_HITS_ROUNDS = 2  # ferried rounds AFTER the degree-seeded round 0
+
+
+def q_user_brand_hits(spark, sf_dir):
+    """HITS hubs/authorities (Kleinberg 1999) over the user -> brand
+    purchase bipartite graph: authority = brands bought by heavy
+    cross-brand buyers, hubs = users whose baskets concentrate on
+    authoritative brands -- the mutual-reinforcement ranking that plain
+    degree (round 0 here IS degree) cannot express, beside PageRank
+    (X129) which ranks a DIRECTED event graph. Emits the bounded
+    per-brand authority table after 2 ferried rounds from the
+    degree-normalized seed.
+
+    Ferrying discipline (the Markov/PCA shape): the authority vector
+    is BOUNDED (|brands|), so it crosses the driver as 9dp
+    engine-rounded literals each round; hub scores stay distributed
+    (|users| rows, one groupBy(u) of exact-literal DECIMAL sums + one
+    equi-join back to the edges per round -- never collected). L1
+    normalization constants are exact DECIMAL folds divided in
+    fixed-shape double arithmetic; the oracle unrolls both rounds as
+    CTE pairs, equal by induction from the exact-integer degree seed."""
+    edges = _cached(
+        spark,
+        sf_dir,
+        "hits_edges",
+        lambda: (
+            _scan(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .join(
+                F.broadcast(
+                    _scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
+                ),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .join(
+                _scan(spark, sf_dir, "orders").select(
+                    "o_orderkey", "o_custkey"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                F.col("o_custkey").alias("u"), F.col("p_brand").alias("b")
+            )
+            .distinct()
+        ),
+    )
+    deg = edges.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    ne = deg.agg(F.sum("n_users").cast("long").alias("_ne"))
+    a0 = deg.crossJoin(F.broadcast(ne)).select(
+        "b",
+        F.round(
+            F.col("n_users").cast("double") / F.col("_ne").cast("double"), 9
+        ).alias("a"),
+    )
+    auth = {r["b"]: float(r["a"]) for r in a0.collect()}
+
+    def hits_round(a_prev: dict):
+        aexpr = F.create_map(
+            *[F.lit(x) for kv in a_prev.items() for x in kv]
+        )[F.col("b")]
+        hub_raw = edges.groupBy("u").agg(
+            F.sum(aexpr.cast("decimal(28,9)")).alias("_hr")
+        )
+        hsum = hub_raw.agg(F.sum("_hr").alias("_h"))
+        hub = hub_raw.crossJoin(F.broadcast(hsum)).select(
+            "u",
+            F.round(
+                F.col("_hr").cast("double") / F.col("_h").cast("double"), 12
+            ).alias("_hub"),
+        )
+        auth_raw = edges.join(hub, "u").groupBy("b").agg(
+            F.sum(F.col("_hub").cast("decimal(38,12)")).alias("_ar")
+        )
+        asum = auth_raw.agg(F.sum("_ar").alias("_a"))
+        return auth_raw.crossJoin(F.broadcast(asum)).select(
+            "b",
+            F.round(
+                F.col("_ar").cast("double") / F.col("_a").cast("double"), 9
+            ).alias("a"),
+        )
+
+    for _ in range(_HITS_ROUNDS - 1):
+        auth = {r["b"]: float(r["a"]) for r in hits_round(auth).collect()}
+    final = hits_round(auth)
+    return deg.join(final, "b").select(
+        F.col("b").alias("brand"),
+        "n_users",
+        F.col("a").alias("authority"),
+    )
+
+
+_OVERLAP_CURVE_NS = (3, 5, 8)
+
+
+def q_train_test_overlap_curve(spark, sf_dir):
+    """Decontamination sensitivity curve: the X49 train/test n-gram
+    overlap swept over shingle sizes n in {3, 5, 8} -- the tuning
+    table behind every decontamination policy's n choice (short
+    n-grams over-flag boilerplate, long ones miss paraphrase; GPT-3
+    used 13-grams, Gopher 8): per n, the share of test DOCS with any
+    hit and the share of test SHINGLES hit. Same deterministic
+    hash-bucket split as X49 (train < 80, test >= 90); each n is one
+    shingle build + one distinct-hash semi-join + two bounded aggs --
+    the n-gram dedup join shape, so the 100 TB story is unchanged per
+    curve point."""
+    from sparkbigdatatextanalysis_spark.functions.hashing import string_hash31
+
+    rows = []
+    for n in _OVERLAP_CURVE_NS:
+        sh = dd.shingle_hashes(_docs(spark, sf_dir, wide=True), n=n)
+        bucket = string_hash31(F.col("id").cast("string")) % 100
+        tr = sh.where(bucket < 80).select("sh").distinct()
+        te = (
+            sh.where(bucket >= 90)
+            .select(F.col("id").alias("doc_id"), "sh")
+            .distinct()
+            .persist()
+        )
+        hits = te.join(tr, "sh", "left_semi")
+        tot = te.agg(
+            F.count_distinct("doc_id").cast("long").alias("n_test_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_test_shingles"),
+        )
+        hit = hits.agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs_contaminated"),
+            F.count(F.lit(1)).cast("long").alias("n_shingle_hits"),
+        )
+        rows.append(
+            tot.crossJoin(F.broadcast(hit)).select(
+                F.lit(n).cast("int").alias("n_gram"),
+                "n_test_docs",
+                "n_docs_contaminated",
+                F.round(
+                    F.col("n_docs_contaminated").cast("double")
+                    / F.col("n_test_docs").cast("double"),
+                    9,
+                ).alias("doc_contamination_rate"),
+                "n_test_shingles",
+                "n_shingle_hits",
+                F.round(
+                    F.col("n_shingle_hits").cast("double")
+                    / F.col("n_test_shingles").cast("double"),
+                    9,
+                ).alias("shingle_hit_rate"),
+            )
+        )
+    cur = rows[0]
+    for extra in rows[1:]:
+        cur = cur.unionByName(extra)
+    return cur
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-11 window (the rotation
@@ -7619,6 +8075,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_spearman_price_items": q_orders_spearman_price_items,
         "docs_perplexity_buckets": q_docs_perplexity_buckets,
         "embeddings_ann_recall_curve": q_embeddings_ann_recall_curve,
+        "orders_mann_kendall": q_orders_mann_kendall,
+        "events_pettitt_daily": q_events_pettitt_daily,
+        "embeddings_anisotropy": q_embeddings_anisotropy,
+        "docs_mixture_temperature": q_docs_mixture_temperature,
+        "streaming_anomaly_replay": q_streaming_anomaly_replay,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "user_brand_hits": q_user_brand_hits,
+        "train_test_overlap_curve": q_train_test_overlap_curve,
         # --- latest driver row r08 (50): 16 fill the r12 window, rest r13 ---
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_test_ngram_overlap": q_train_test_ngram_overlap,
@@ -13639,5 +14103,264 @@ def oracle_sql() -> dict[str, str]:
                strftime(max(make_timestamp(tus)), '%Y-%m-%d %H:%M:%S') AS session_end,
                count(*) AS n_events, round(sum(value), 6) AS sum_value
         FROM s GROUP BY user_id, session_idx
+    """
+    # Mann-Kendall: S and every tie count are exact integers over the
+    # same 4dp-rounded monthly cells as the Theil-Sen oracle; var/z/tau
+    # are the operator's fixed-shape doubles mirrored term for term.
+    sqls["orders_mann_kendall"] = """
+        WITH monthly AS (
+          SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m,
+                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 4) AS rev
+          FROM orders GROUP BY 1
+        ),
+        sgn AS (
+          SELECT sum(CASE WHEN b.rev > a.rev THEN 1
+                          WHEN b.rev < a.rev THEN -1 ELSE 0 END)::BIGINT AS s
+          FROM monthly a JOIN monthly b ON a.m < b.m
+        ),
+        ties AS (
+          SELECT sum(tg * (tg - 1) * (2 * tg + 5))::BIGINT AS tie_var,
+                 sum(tg * (tg - 1))::BIGINT AS tie_pairs,
+                 sum(tg)::BIGINT AS n
+          FROM (SELECT count(*)::BIGINT AS tg FROM monthly GROUP BY rev)
+        ),
+        calc AS (
+          SELECT n, s,
+                 (n * (n - 1) * (2 * n + 5) - tie_var)::DOUBLE / 18.0 AS v,
+                 (n * (n - 1))::DOUBLE / 2.0 AS dp,
+                 tie_pairs::DOUBLE / 2.0 AS t1
+          FROM sgn CROSS JOIN ties
+        )
+        SELECT n AS n_periods, s AS s_stat, round(v, 6) AS var_s,
+               round(CASE WHEN v > 0 THEN
+                 CASE WHEN s > 0 THEN (s::DOUBLE - 1.0) / sqrt(v)
+                      WHEN s < 0 THEN (s::DOUBLE + 1.0) / sqrt(v)
+                      ELSE 0.0 END
+               END, 9) AS z_score,
+               round(CASE WHEN sqrt((dp - t1) * dp) > 0
+                     THEN s::DOUBLE / sqrt((dp - t1) * dp) END, 9) AS tau_b
+        FROM calc
+    """
+    # Pettitt: A_t from the bounded day-pair join, U_t telescopes as
+    # the cumulative sum, earliest-argmax tie-break mirrored by the
+    # (|U| DESC, rn ASC) pick; the final period (U_n = 0) is excluded
+    # on both sides.
+    sqls["events_pettitt_daily"] = """
+        WITH daily AS (
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                 count(*)::BIGINT AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        at AS (
+          SELECT a.day, sum(CASE WHEN b.c > a.c THEN 1
+                                 WHEN b.c < a.c THEN -1 ELSE 0 END)::BIGINT AS av
+          FROM daily a JOIN daily b ON a.day <> b.day
+          GROUP BY 1
+        ),
+        u AS (
+          SELECT day,
+                 CAST(sum(av) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS uv,
+                 row_number() OVER (ORDER BY day) AS rn,
+                 count(*) OVER () AS n
+          FROM at
+        ),
+        best AS (
+          SELECT n::BIGINT AS n_periods, day, uv,
+                 row_number() OVER (ORDER BY abs(uv) DESC, rn ASC) AS pick
+          FROM u WHERE rn < n
+        )
+        SELECT n_periods, day AS changepoint_day,
+               abs(uv)::BIGINT AS k_stat, uv AS u_at_changepoint,
+               round(least(1.0, 2.0 * exp(
+                 -6.0 * (abs(uv)::DOUBLE * abs(uv)::DOUBLE)
+                 / (n_periods::DOUBLE * n_periods::DOUBLE * n_periods::DOUBLE
+                    + n_periods::DOUBLE * n_periods::DOUBLE))), 9) AS p_approx
+        FROM best WHERE pick = 1
+    """
+    # Anisotropy: the |S|^2 - T identity over unit vectors; per-dim
+    # sums DECIMAL(38,15) (the centroid convention), squared sums and
+    # self-dots rounded 12dp into DECIMAL(38,12) folds.
+    sqls["embeddings_anisotropy"] = f"""
+        WITH {_EMB_NORM_SQL},
+        u AS (
+          SELECT list_transform(v, x -> x / norm) AS u
+          FROM nv WHERE norm > 0
+        ),
+        exu AS (
+          SELECT generate_subscripts(u, 1) - 1 AS dim, unnest(u) AS x FROM u
+        ),
+        per_dim AS (
+          SELECT dim, sum(CAST(x AS DECIMAL(38,15))) AS s FROM exu GROUP BY 1
+        ),
+        s2 AS (
+          SELECT CAST(sum(CAST(round(
+                   round(CAST(s AS DOUBLE), 9) * round(CAST(s AS DOUBLE), 9),
+                 12) AS DECIMAL(38,12))) AS DOUBLE) AS s2
+          FROM per_dim
+        ),
+        tot AS (
+          SELECT count(*)::BIGINT AS n_vectors,
+                 CAST(sum(CAST(round({_emb_dot_sql("u", "u")}, 12)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS t
+          FROM u
+        )
+        SELECT n_vectors,
+               round(CASE WHEN n_vectors > 1 THEN (s2 - t)
+                 / (n_vectors::DOUBLE * (n_vectors::DOUBLE - 1.0)) END, 9)
+                 AS mean_pairwise_cos,
+               round(sqrt(s2) / n_vectors::DOUBLE, 9) AS mean_direction_norm
+        FROM tot CROSS JOIN s2
+    """
+    # Temperature mixture: exact BIGINT token shares; pow runs over the
+    # identical 9dp-rounded double on both engines, result rounded 12dp
+    # before the per-alpha DECIMAL denominator fold.
+    sqls["docs_mixture_temperature"] = f"""
+        WITH {_BASE},
+        per AS (
+          SELECT d.source, sum(len(t.toks))::BIGINT AS n_tokens
+          FROM tok t JOIN documents d USING (doc_id)
+          GROUP BY 1
+        ),
+        tott AS (SELECT sum(n_tokens)::BIGINT AS tt FROM per),
+        fan AS (
+          SELECT source, alpha, n_tokens,
+                 round(n_tokens::DOUBLE / tt::DOUBLE, 9) AS p_natural,
+                 round(pow(round(n_tokens::DOUBLE / tt::DOUBLE, 9), alpha), 12)
+                   AS w_raw
+          FROM per CROSS JOIN tott
+          CROSS JOIN (SELECT unnest([0.3::DOUBLE, 0.5::DOUBLE, 0.7::DOUBLE])
+                      AS alpha) al
+        ),
+        den AS (
+          SELECT alpha, CAST(sum(CAST(w_raw AS DECIMAL(38,12))) AS DOUBLE) AS d
+          FROM fan GROUP BY 1
+        )
+        SELECT source, fan.alpha AS alpha, n_tokens, p_natural,
+               round(w_raw / d, 9) AS w_temperature
+        FROM fan JOIN den ON fan.alpha = den.alpha
+    """
+    # Third gated streaming surface: the replayed monitor emits exactly
+    # the batch/SQL anomaly set, so the oracle is events_anomaly's SQL
+    # verbatim (strictly-prior window-frame z-score).
+    sqls["streaming_anomaly_replay"] = sqls["events_anomaly"]
+    # Sorted-neighborhood: the oracle is the plain single-window
+    # row_number over the SAME packed base-128 prefix key, so the
+    # two-phase rank decomposition + the rank+gap window join are
+    # proven against the textbook definition.
+    _snm_horner = " + ".join(
+        f"ascii(substr(k, {i}, 1))::BIGINT * {128 ** (_SNM_PREFIX - i)}"
+        for i in range(1, _SNM_PREFIX + 1)
+    )
+    sqls["dedup_sorted_neighborhood"] = f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 rpad(substr(regexp_replace(lower(text), '\\W+', '', 'g'),
+                             1, {_SNM_PREFIX}), {_SNM_PREFIX}, ' ') AS k
+          FROM documents
+        ),
+        keyed AS (SELECT doc_id, ({_snm_horner}) AS sort_key FROM norm),
+        ranked AS (
+          SELECT doc_id, sort_key,
+                 row_number() OVER (ORDER BY sort_key, doc_id) AS rn
+          FROM keyed
+        ),
+        g AS (SELECT unnest([1, 2, 3]) AS rank_gap)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               rank_gap::INT AS rank_gap,
+               (a.sort_key = b.sort_key) AS same_prefix
+        FROM ranked a CROSS JOIN g
+        JOIN ranked b ON b.rn = a.rn + rank_gap
+    """
+    # HITS: both ferried rounds unrolled as CTE pairs from the
+    # exact-integer degree seed; DECIMAL folds + fixed-shape double
+    # normalizations mirror the operator term for term (equality by
+    # induction, the Markov/PCA discipline).
+    def _hits_round_sql(r: int, prev: str) -> str:
+        return f"""
+        hr{r} AS (
+          SELECT u, sum(CAST(a AS DECIMAL(28,9))) AS hr
+          FROM edges JOIN {prev} USING (b) GROUP BY u
+        ),
+        hs{r} AS (SELECT sum(hr) AS h FROM hr{r}),
+        hub{r} AS (
+          SELECT u, round(CAST(hr AS DOUBLE) / CAST(h AS DOUBLE), 12) AS hub
+          FROM hr{r} CROSS JOIN hs{r}
+        ),
+        ar{r} AS (
+          SELECT b, sum(CAST(hub AS DECIMAL(38,12))) AS ar
+          FROM edges JOIN hub{r} USING (u) GROUP BY b
+        ),
+        asum{r} AS (SELECT sum(ar) AS a_s FROM ar{r}),
+        a{r} AS (
+          SELECT b, round(CAST(ar AS DOUBLE) / CAST(a_s AS DOUBLE), 9) AS a
+          FROM ar{r} CROSS JOIN asum{r}
+        )"""
+
+    sqls["user_brand_hits"] = f"""
+        WITH edges AS (
+          SELECT DISTINCT o_custkey AS u, p_brand AS b
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+        ),
+        deg AS (SELECT b, count(*)::BIGINT AS n_users FROM edges GROUP BY 1),
+        tote AS (SELECT sum(n_users)::BIGINT AS ne FROM deg),
+        a0 AS (
+          SELECT b, round(n_users::DOUBLE / ne::DOUBLE, 9) AS a
+          FROM deg CROSS JOIN tote
+        ),{_hits_round_sql(1, "a0")},{_hits_round_sql(2, "a1")}
+        SELECT deg.b AS brand, n_users, a2.a AS authority
+        FROM deg JOIN a2 USING (b)
+    """
+
+    # Overlap curve: one shingle CTE family per n over the shared
+    # tokenization, same hash-bucket split as train_test_ngram_overlap.
+    def _overlap_sql(n: int) -> str:
+        return f"""
+        sh{n} AS (
+          SELECT doc_id, {word_shingles_sql("toks", n)} AS shingles FROM dtok
+        ),
+        shh{n} AS (
+          SELECT DISTINCT doc_id, {string_hash31_sql("shingle")} AS sh
+          FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh{n})
+        ),
+        bk{n} AS (
+          SELECT doc_id, sh,
+                 {string_hash31_sql("doc_id::VARCHAR")} % 100 AS bucket
+          FROM shh{n}
+        ),
+        tr{n} AS (SELECT DISTINCT sh FROM bk{n} WHERE bucket < 80),
+        te{n} AS (SELECT doc_id, sh FROM bk{n} WHERE bucket >= 90),
+        tot{n} AS (
+          SELECT count(DISTINCT doc_id)::BIGINT AS ntd,
+                 count(*)::BIGINT AS nts
+          FROM te{n}
+        ),
+        hit{n} AS (
+          SELECT count(DISTINCT doc_id)::BIGINT AS ndc,
+                 count(*)::BIGINT AS nsh
+          FROM te{n} t
+          WHERE EXISTS (SELECT 1 FROM tr{n} WHERE tr{n}.sh = t.sh)
+        ),
+        row{n} AS (
+          SELECT {n}::INT AS n_gram, ntd AS n_test_docs,
+                 ndc AS n_docs_contaminated,
+                 round(ndc::DOUBLE / ntd::DOUBLE, 9)
+                   AS doc_contamination_rate,
+                 nts AS n_test_shingles, nsh AS n_shingle_hits,
+                 round(nsh::DOUBLE / nts::DOUBLE, 9) AS shingle_hit_rate
+          FROM tot{n} CROSS JOIN hit{n}
+        )"""
+
+    sqls["train_test_overlap_curve"] = f"""
+        WITH dtok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),{_overlap_sql(3)},{_overlap_sql(5)},{_overlap_sql(8)}
+        SELECT * FROM row3
+        UNION ALL SELECT * FROM row5
+        UNION ALL SELECT * FROM row8
     """
     return sqls

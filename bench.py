@@ -324,6 +324,15 @@ HEADLINE = [
     "orders_spearman_price_items",
     "docs_perplexity_buckets",
     "embeddings_ann_recall_curve",
+    # -- r11 wave 3: rank-based trend/changepoint, the pair-free
+    #    anisotropy audit, temperature mixture weights
+    "orders_mann_kendall",
+    "events_pettitt_daily",
+    "embeddings_anisotropy",
+    "docs_mixture_temperature",
+    "dedup_sorted_neighborhood",
+    "user_brand_hits",
+    "train_test_overlap_curve",
     # -- TPC-H shapes not yet in the artifact
     "tpch_q2_like",
     "tpch_q3_like",
@@ -381,6 +390,12 @@ BENCH_EXCLUDED = {
         "tempdir write + 3-trigger stream replay + memory-sink IO, not "
         "a 100 TB plan; the compute body is timed as events_sessionize "
         "/ events_session_native"
+    ),
+    "streaming_anomaly_replay": (
+        "correctness gate for the Welford-state streaming monitor "
+        "(state surviving two batch boundaries): wall time is tempdir "
+        "write + 3-trigger replay + memory-sink IO; the compute body "
+        "is timed as events_anomaly (witness) / events_anomaly_sql"
     ),
     "cosine_similarity": (
         "two-doc scalar probe (ids 4/5): wall time is fixed session "

@@ -254,3 +254,162 @@ def autocorrelation(
         "n_pairs",
         F.round(F.when(den > 0, num / den), 9).alias("acf"),
     )
+
+
+def mann_kendall(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Mann-Kendall trend test over a bounded regular series (Mann
+    1945, Kendall 1975): S = sum over ordered period pairs of
+    sgn(x_j - x_i), the tie-corrected normal approximation z, and
+    Kendall's tau-b -- the standard nonparametric "is there a
+    monotone trend" significance test that pairs with the Theil-Sen
+    slope estimate (the slope says HOW MUCH, MK says WHETHER): both
+    are rank-based, so one promotional spike cannot manufacture or
+    hide a trend the way it drags OLS.
+
+    Contract: one row per period (``t_col`` has no duplicates) and a
+    BOUNDED period domain (months/days -- the Theil-Sen/ACF argument),
+    so the pair fan-out is |periods|^2/2 tiny rows on a broadcast
+    self-join. ``x_col`` must be exact or identically-rounded on any
+    mirroring engine (integer counts, or DECIMAL-rounded sums): the
+    sign comparisons and S are then exact integers.
+
+    Exactness: S and every tie count are BIGINTs; Var(S) =
+    (n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)) / 18 evaluates in exact
+    integer arithmetic before ONE double division; z applies the
+    +/-1 continuity correction picked by the exact sign of S; tau-b
+    divides S by sqrt((D - T1) * D) with D = n(n-1)/2 and T1 the
+    x-tie pair count (the time axis has no ties by contract, so its
+    correction term is zero). Every double is a fixed-shape
+    expression over exact integers -- engine-identical.
+    """
+    t = F.col(t_col)
+    x = F.col(x_col)
+    a = series.select(t.alias("_ta"), x.alias("_xa"))
+    b = series.select(t.alias("_tb"), x.alias("_xb"))
+    sgn = (
+        F.when(F.col("_xb") > F.col("_xa"), F.lit(1))
+        .when(F.col("_xb") < F.col("_xa"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    s = (
+        a.join(F.broadcast(b), F.col("_ta") < F.col("_tb"))
+        .agg(F.sum(sgn).cast("long").alias("_s"))
+    )
+    ties = (
+        series.groupBy(x.alias("_xv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_tg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n_distinct"),
+            F.sum(
+                F.col("_tg") * (F.col("_tg") - 1) * (2 * F.col("_tg") + 5)
+            ).cast("long").alias("_tie_var"),
+            F.sum(F.col("_tg") * (F.col("_tg") - 1)).cast("long").alias(
+                "_tie_pairs"
+            ),
+            F.sum("_tg").cast("long").alias("_n"),
+        )
+    )
+    j = s.crossJoin(F.broadcast(ties))
+    n = F.col("_n")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("_tie_var")).cast("double") / 18.0
+    )
+    sd = F.col("_s").cast("double")
+    z = (
+        F.when(F.col("_s") > 0, (sd - 1.0) / F.sqrt(var_s))
+        .when(F.col("_s") < 0, (sd + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    d_pairs = (n * (n - 1)).cast("double") / 2.0
+    t1 = F.col("_tie_pairs").cast("double") / 2.0
+    tau_den = F.sqrt((d_pairs - t1) * d_pairs)
+    return j.select(
+        n.alias("n_periods"),
+        F.col("_s").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(F.when(var_s > 0, z), 9).alias("z_score"),
+        F.round(F.when(tau_den > 0, sd / tau_den), 9).alias("tau_b"),
+    )
+
+
+def pettitt(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Pettitt changepoint test over a bounded regular series (Pettitt
+    1979): the rank-based single-changepoint detector -- K =
+    max_t |U_t| with U_t = sum_{i<=t} sum_{j>t} sgn(x_j - x_i), the
+    nonparametric complement to the CUSUM mean-shift scan (X200):
+    CUSUM reacts to mean shifts in value units, Pettitt to ANY
+    location shift in rank units, immune to outlier magnitude.
+
+    Shape: U_t never materializes the i<=t<j double sum. With
+    A_t = sum_{j != t} sgn(x_j - x_t), the telescoping identity
+    U_t = U_{t-1} + A_t holds (each j>t pair enters, each i<t pair
+    flips sign and leaves), so one bounded broadcast self-join builds
+    A_t and ONE cumulative window over the |periods|-row table builds
+    every U_t -- the unpartitioned window is safe by the same bounded
+    time-domain argument as ACF/Theil-Sen (|periods| rows regardless
+    of event volume; the raw table never enters a window).
+
+    Exactness: sgn comparisons on exact/identically-rounded x, A_t and
+    U_t exact BIGINTs; the changepoint is the EARLIEST argmax of
+    |U_t| (deterministic under ties); the approximate significance
+    p = min(1, 2 exp(-6K^2 / (n^3 + n^2))) is one fixed-shape double.
+    The final period (U_n = 0 by construction) is excluded from the
+    argmax, matching the 1 <= t < n definition.
+    """
+    t = F.col(t_col)
+    x = F.col(x_col)
+    a = series.select(t.alias("_t"), x.alias("_xa"))
+    b = series.select(t.alias("_tb"), x.alias("_xb"))
+    sgn = (
+        F.when(F.col("_xb") > F.col("_xa"), F.lit(1))
+        .when(F.col("_xb") < F.col("_xa"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    at = (
+        a.join(F.broadcast(b), F.col("_t") != F.col("_tb"))
+        .groupBy("_t")
+        .agg(F.sum(sgn).cast("long").alias("_a"))
+    )
+    w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("_t")
+    u = at.select(
+        "_t",
+        F.sum("_a").over(w).cast("long").alias("_u"),
+        F.row_number().over(wn).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.orderBy("_t").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    ).where(F.col("_rn") < F.col("_n"))
+    best = u.select(
+        F.col("_n").cast("long").alias("n_periods"),
+        F.struct(
+            F.abs("_u").alias("k"), (-F.col("_rn")).alias("nrn"),
+            F.col("_t").alias("t"), F.col("_u").alias("u"),
+        ).alias("_cand"),
+    ).groupBy("n_periods").agg(F.max("_cand").alias("_b"))
+    n = F.col("n_periods").cast("double")
+    k = F.col("_b.k").cast("double")
+    return best.select(
+        "n_periods",
+        F.col("_b.t").alias("changepoint_t"),
+        F.col("_b.k").cast("long").alias("k_stat"),
+        F.col("_b.u").cast("long").alias("u_at_changepoint"),
+        F.round(
+            F.least(
+                F.lit(1.0), 2.0 * F.exp(-6.0 * k * k / (n * n * n + n * n))
+            ),
+            9,
+        ).alias("p_approx"),
+    )

@@ -516,6 +516,35 @@ BUDGETS = {
     # consumer (executed exchanges ~15, each probe level a bounded
     # per-query window over its probed clusters)
     "embeddings_ann_recall_curve": (47, 24),
+    # Mann-Kendall: monthly agg feeds the pair self-join (bounded side
+    # broadcast) + the tie groupBy; executed count 6 (two consumers of
+    # the unpersisted monthly agg)
+    "orders_mann_kendall": (6, 2),
+    # Pettitt: daily agg -> broadcast pair join -> A_t agg -> the
+    # bounded cumulative window (|days| rows)
+    "events_pettitt_daily": (3, 1),
+    # anisotropy: NO pair join by construction (|S|^2 - T identity):
+    # normalize map + posexplode/64-dim agg + the two 1-row aggs
+    "embeddings_anisotropy": (5, 1),
+    # temperature mixture: cached tok pipeline audited cache-free per
+    # consumer; executed shape is one doc-tok equi-join + one bounded
+    # source agg + per-alpha denominator broadcast
+    "docs_mixture_temperature": (11, 7),
+    # streaming anomaly gate: stream ran EAGERLY at build; the audited
+    # surface is the memory-sink scan + one map-only projection
+    "streaming_anomaly_replay": (0, 0),
+    # SNM: the persisted two-phase rank audited cache-free per consumer
+    # (fan + right side); executed shape is the rank's bucket shuffle +
+    # the rank+gap equi-join
+    "dedup_sorted_neighborhood": (18, 7),
+    # HITS: ferried rounds ran EAGERLY at build (the Markov/PCA shape);
+    # the audited surface is the final round (hub groupBy + edge join +
+    # two bounded aggs) over the persisted edge table + the degree join
+    "user_brand_hits": (2, 3),
+    # overlap curve: 3 shingle builds x (distinct train/test + semi-join
+    # + two aggs), persisted te audited per consumer; executed shape is
+    # one hash-join family per curve point
+    "train_test_overlap_curve": (48, 6),
     # r11 streaming sessionize gate: the stream ran EAGERLY at build
     # (applyInPandasWithState inside the streaming query); the audited
     # surface is the memory-sink scan + the session_idx recovery

@@ -302,3 +302,301 @@ def test_ann_recall_monotone_and_full_probe_exact(spark):
         ).collect()
     }
     assert full == truth
+
+
+# ---------------------------------------------------------------- wave 3
+
+
+def _brute_mann_kendall(xs):
+    """Naive S / tie-corrected var / tau-b over an ordered series."""
+    from collections import Counter
+
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(xs).values()
+    var = (n * (n - 1) * (2 * n + 5) - sum(t * (t - 1) * (2 * t + 5) for t in ties)) / 18
+    if var > 0:
+        z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    else:
+        z = None
+    d = n * (n - 1) / 2
+    t1 = sum(t * (t - 1) for t in ties) / 2
+    tau = s / math.sqrt((d - t1) * d) if (d - t1) * d > 0 else None
+    return s, var, z, tau
+
+
+@pytest.mark.parametrize("seed", [2, 7])
+def test_mann_kendall_matches_brute_force(spark, seed):
+    from sparkbigdatatextanalysis_spark.operators import timeseries as tsx
+
+    rng = random.Random(seed)
+    # trending with heavy ties: integer steps + noise quantized to 5
+    xs = [5 * ((i // 4) + rng.randrange(-2, 3)) for i in range(60)]
+    df = spark.createDataFrame(list(enumerate(xs)), "t LONG, x LONG")
+    got = tsx.mann_kendall(df, "t", "x").collect()[0]
+    s, var, z, tau = _brute_mann_kendall(xs)
+    assert got["n_periods"] == 60 and got["s_stat"] == s
+    assert abs(got["var_s"] - round(var, 6)) < 1e-6
+    assert abs(got["z_score"] - z) < 1e-8
+    assert abs(got["tau_b"] - tau) < 1e-8
+
+
+def test_mann_kendall_degenerate(spark):
+    from sparkbigdatatextanalysis_spark.operators import timeseries as tsx
+
+    # constant series: S = 0, all pairs tied -> var 0 -> z NULL
+    df = spark.createDataFrame([(i, 3) for i in range(10)], "t LONG, x LONG")
+    got = tsx.mann_kendall(df, "t", "x").collect()[0]
+    assert got["s_stat"] == 0 and got["z_score"] is None and got["tau_b"] is None
+    # strictly increasing: S = n(n-1)/2, z > 0, tau_b == 1
+    df2 = spark.createDataFrame([(i, i) for i in range(12)], "t LONG, x LONG")
+    got2 = tsx.mann_kendall(df2, "t", "x").collect()[0]
+    assert got2["s_stat"] == 12 * 11 // 2
+    assert got2["z_score"] > 0 and abs(got2["tau_b"] - 1.0) < 1e-9
+
+
+def _brute_pettitt(xs):
+    n = len(xs)
+    best = None
+    for t in range(1, n):  # U_t for t = 1..n-1 (1-based prefix length)
+        u = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if best is None or abs(u) > best[0]:
+            best = (abs(u), t, u)
+    k, t, u = best
+    p = min(1.0, 2.0 * math.exp(-6.0 * k * k / (n**3 + n**2)))
+    return k, t, u, p
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_pettitt_matches_brute_force(spark, seed):
+    from sparkbigdatatextanalysis_spark.operators import timeseries as tsx
+
+    rng = random.Random(seed)
+    # level shift at 2/3 with ties
+    xs = [rng.randrange(10) for _ in range(40)] + [
+        rng.randrange(6, 16) for _ in range(20)
+    ]
+    df = spark.createDataFrame(list(enumerate(xs)), "t LONG, x LONG")
+    got = tsx.pettitt(df, "t", "x").collect()[0]
+    k, t, u, p = _brute_pettitt(xs)
+    assert got["n_periods"] == 60 and got["k_stat"] == k
+    # changepoint_t is the t-th period 0-indexed: prefix of length t ends
+    # at index t-1
+    assert got["changepoint_t"] == t - 1
+    assert got["u_at_changepoint"] == u
+    assert abs(got["p_approx"] - p) < 1e-8
+
+
+def test_pettitt_earliest_argmax_and_edges(spark):
+    from sparkbigdatatextanalysis_spark.operators import timeseries as tsx
+
+    # symmetric V shape: |U| ties resolve to the EARLIEST period
+    xs = [3, 2, 1, 2, 3]
+    df = spark.createDataFrame(list(enumerate(xs)), "t LONG, x LONG")
+    got = tsx.pettitt(df, "t", "x").collect()[0]
+    k, t, u, _ = _brute_pettitt(xs)
+    assert got["k_stat"] == k and got["changepoint_t"] == t - 1
+    # single period: no valid 1 <= t < n split -> empty result
+    df1 = spark.createDataFrame([(0, 5)], "t LONG, x LONG")
+    assert tsx.pettitt(df1, "t", "x").count() == 0
+
+
+def test_anisotropy_identity_vs_pair_brute_force(spark):
+    """|S|^2 - T == sum over ordered pairs of cosines, so the map-only
+    key must equal the quadratic pair mean it replaces."""
+    import numpy as np
+
+    import __spark_entry__ as em
+
+    got = em.queries()["embeddings_anisotropy"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.001/embeddings.parquet"
+            ).collect()
+            if r["embedding"] is not None
+        ],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(emb, axis=1)
+    u = emb[norms > 0] / norms[norms > 0, None]
+    n = len(u)
+    cos = u @ u.T
+    brute = (cos.sum() - np.trace(cos)) / (n * (n - 1))
+    assert got["n_vectors"] == n
+    assert abs(got["mean_pairwise_cos"] - brute) < 1e-6
+    assert abs(got["mean_direction_norm"] - np.linalg.norm(u.sum(0)) / n) < 1e-6
+
+
+def test_mixture_temperature_properties(spark):
+    """Weights sum to 1 per alpha; lower alpha flattens the mixture
+    (entropy increases); exact values match a Python replay."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["docs_mixture_temperature"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_alpha: dict = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha"], []).append(r)
+    assert set(by_alpha) == {0.3, 0.5, 0.7}
+    ent = {}
+    for a, rs in by_alpha.items():
+        tot = sum(r["w_temperature"] for r in rs)
+        assert abs(tot - 1.0) < 1e-6
+        ent[a] = -sum(
+            w * math.log(w) for w in (r["w_temperature"] for r in rs) if w > 0
+        )
+        # python replay of the documented formula
+        raw = {r["source"]: round(round(r["p_natural"], 9) ** a, 12) for r in rs}
+        den = sum(raw.values())
+        for r in rs:
+            assert abs(r["w_temperature"] - raw[r["source"]] / den) < 1e-8
+    assert ent[0.3] >= ent[0.5] >= ent[0.7]
+
+
+# ---------------------------------------------------------------- wave 4
+
+
+def test_streaming_anomaly_replay_equals_batch(spark):
+    """The gated 3-batch replay must emit exactly the batch monitor's
+    anomaly set (same events, same z-scores) despite the Welford state
+    crossing two micro-batch boundaries."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["event_id"]): (r["zscore"], r["n_prior"])
+        for r in em.queries()["streaming_anomaly_replay"](spark, sf).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): (r["zscore"], r["n_prior"])
+        for r in em.queries()["events_anomaly"](spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sorted_neighborhood_matches_naive(spark):
+    """SNM pairs == the naive sorted-list window pairs over the same
+    normalized prefix ordering, with exact candidate count w*(n-w) +
+    C(w,2) shy of the tail."""
+    import re
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    def key(text):
+        k = re.sub(r"\W+", "", text.lower())[:8].ljust(8)
+        packed = 0
+        for ch in k:
+            packed = packed * 128 + ord(ch)
+        return packed
+    order = sorted((key(r["text"]), r["doc_id"]) for r in docs)
+    want = set()
+    for i in range(len(order)):
+        for g in range(1, 4):
+            if i + g < len(order):
+                want.add((order[i][1], order[i + g][1], g,
+                          order[i][0] == order[i + g][0]))
+    got = {
+        (r["a_id"], r["b_id"], r["rank_gap"], r["same_prefix"])
+        for r in em.queries()["dedup_sorted_neighborhood"](
+            spark, sf
+        ).collect()
+    }
+    assert got == want
+    n, w = len(order), 3
+    assert len(got) == w * n - w * (w + 1) // 2
+
+
+def test_user_brand_hits_matches_python_replay(spark):
+    """The 2-round ferried HITS must equal a Python replay of the same
+    rounded recurrence, and reduce to degree shares at round 0."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["brand"]: (r["n_users"], r["authority"])
+        for r in em.queries()["user_brand_hits"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = spark.read.parquet(f"{sf}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = {
+        (r["o_custkey"], r["p_brand"])
+        for r in li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+        .collect()
+    }
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for _, b in edges:
+        deg[b] += 1
+    ne = sum(deg.values())
+    a = {b: round(d / ne, 9) for b, d in deg.items()}
+    for _ in range(2):
+        hub_raw = defaultdict(float)
+        for u, b in edges:
+            hub_raw[u] += a[b]  # 9dp terms: float sum == decimal here
+        h = sum(hub_raw.values())
+        hub = {u: round(v / h, 12) for u, v in hub_raw.items()}
+        ar = defaultdict(float)
+        for u, b in edges:
+            ar[b] += hub[u]
+        asum = sum(ar.values())
+        a = {b: round(v / asum, 9) for b, v in ar.items()}
+    assert set(got) == set(a)
+    for b in a:
+        assert got[b][0] == deg[b]
+        assert abs(got[b][1] - a[b]) < 1e-6
+    # authorities are a distribution
+    assert abs(sum(v for _, v in got.values()) - 1.0) < 1e-6
+
+
+def test_overlap_curve_monotone_in_n(spark):
+    """Longer shingles can only reduce contamination: every n-gram hit
+    at n implies hits at every n' < n (each long shingle contains a
+    short one from the same doc), so doc contamination is
+    non-increasing in n. Rates are well-formed."""
+    import __spark_entry__ as em
+
+    rows = {
+        r["n_gram"]: r
+        for r in em.queries()["train_test_overlap_curve"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {3, 5, 8}
+    assert (
+        rows[3]["n_docs_contaminated"]
+        >= rows[5]["n_docs_contaminated"]
+        >= rows[8]["n_docs_contaminated"]
+    )
+    for r in rows.values():
+        assert r["n_test_docs"] >= r["n_docs_contaminated"] >= 0
+        assert r["n_test_shingles"] >= r["n_shingle_hits"] >= 0
+        assert 0.0 <= r["doc_contamination_rate"] <= 1.0
+        assert 0.0 <= r["shingle_hit_rate"] <= 1.0
