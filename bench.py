@@ -333,6 +333,9 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "user_brand_hits",
     "train_test_overlap_curve",
+    "embeddings_silhouette",
+    "orders_metric_corr_matrix",
+    "docs_rule_firing_matrix",
     # -- TPC-H shapes not yet in the artifact
     "tpch_q2_like",
     "tpch_q3_like",
@@ -396,6 +399,12 @@ BENCH_EXCLUDED = {
         "(state surviving two batch boundaries): wall time is tempdir "
         "write + 3-trigger replay + memory-sink IO; the compute body "
         "is timed as events_anomaly (witness) / events_anomaly_sql"
+    ),
+    "streaming_funnel_replay": (
+        "correctness gate for the stateful streaming funnel (reach "
+        "state surviving two batch boundaries): wall time is tempdir "
+        "write + 3-trigger replay + memory-sink IO; the compute body "
+        "is timed as funnel_conversion"
     ),
     "cosine_similarity": (
         "two-doc scalar probe (ids 4/5): wall time is fixed session "

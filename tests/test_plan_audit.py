@@ -545,6 +545,18 @@ BUDGETS = {
     # + two aggs), persisted te audited per consumer; executed shape is
     # one hash-join family per curve point
     "train_test_overlap_curve": (48, 6),
+    # streaming funnel gate: stream ran EAGERLY at build; audited
+    # surface is the memory-sink scan + map-only projection
+    "streaming_funnel_replay": (0, 0),
+    # simplified silhouette: map-only literal-centroid scoring + one
+    # bounded groupBy (the inertia shape; the 2nd exchange is the
+    # local-mode scan fan-out)
+    "embeddings_silhouette": (2, 0),
+    # corr matrix: ONE partial agg of all 14 power sums; the persisted
+    # 1-row m is audited once per pair consumer (6x)
+    "orders_metric_corr_matrix": (12, 6),
+    # rule matrix: map-only flags + doc_id equi-join + bounded groupBy
+    "docs_rule_firing_matrix": (2, 1),
     # r11 streaming sessionize gate: the stream ran EAGERLY at build
     # (applyInPandasWithState inside the streaming query); the audited
     # surface is the memory-sink scan + the session_idx recovery

@@ -600,3 +600,142 @@ def test_overlap_curve_monotone_in_n(spark):
         assert r["n_test_shingles"] >= r["n_shingle_hits"] >= 0
         assert 0.0 <= r["doc_contamination_rate"] <= 1.0
         assert 0.0 <= r["shingle_hit_rate"] <= 1.0
+
+
+# ---------------------------------------------------------------- wave 5
+
+
+def test_streaming_funnel_replay_equals_batch_reach(spark):
+    """The replayed funnel's row-level reach events must equal a naive
+    first-touch chain over the same events, and aggregate to the
+    funnel_conversion step counts."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["step_idx"]): r["reach_us"]
+        for r in em.queries()["streaming_funnel_replay"](spark, sf).collect()
+    }
+    ev = (
+        em._events(spark, sf)
+        .where("ts IS NOT NULL")
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS tus")
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in ev:
+        per[r["user_id"]].append((r["tus"], r["event_type"]))
+    want = {}
+    for u, rows in per.items():
+        last = -(2**62)
+        for idx, step in enumerate(["view", "click", "purchase"]):
+            cand = [t for t, et in rows if et == step and t > last]
+            if not cand:
+                break
+            last = min(cand)
+            want[(u, idx)] = last
+    assert got == want and len(got) > 0
+    # aggregates match the gated batch funnel
+    counts = defaultdict(int)
+    for (_, idx) in got:
+        counts[idx] += 1
+    fc = {
+        r["step_idx"]: r["n_users"]
+        for r in em.queries()["funnel_conversion"](spark, sf).collect()
+    }
+    assert {i: counts.get(i, 0) for i in fc} == fc
+
+
+def test_silhouette_in_range_and_consistent_with_inertia(spark):
+    """Silhouette values live in [-1, 1]; cluster ids and member
+    counts agree exactly with the inertia audit (same assignment
+    kernel)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    sil = {
+        r["cluster"]: r
+        for r in em.queries()["embeddings_silhouette"](spark, sf).collect()
+    }
+    inr = {
+        r["cluster"]: r["n_vectors"]
+        for r in em.queries()["embeddings_cluster_inertia"](
+            spark, sf
+        ).collect()
+    }
+    assert {c: r["n_vectors"] for c, r in sil.items()} == inr
+    for r in sil.values():
+        assert -1.0 <= r["min_silhouette"] <= r["mean_silhouette"] <= 1.0
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["metric_a"], r["metric_b"]): r["pearson_r"]
+        for r in em.queries()["orders_metric_corr_matrix"](
+            spark, sf
+        ).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum("l_discount").cast("double").alias("sum_discount"),
+    )
+    rows = (
+        o.selectExpr("o_orderkey", "o_totalprice AS total_price")
+        .join(per, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("total_price", "n_items", "sum_qty", "sum_discount")
+        .collect()
+    )
+    mat = np.array([[r[c] for c in
+                     ("total_price", "n_items", "sum_qty", "sum_discount")]
+                    for r in rows])
+    cm = np.corrcoef(mat.T)
+    names = ["total_price", "n_items", "sum_qty", "sum_discount"]
+    for (a, b), v in got.items():
+        ia, ib = names.index(a), names.index(b)
+        assert abs(v - cm[ia, ib]) < 1e-6, (a, b, v, cm[ia, ib])
+    assert len(got) == 6
+
+
+def test_rule_firing_matrix_consistent_with_flags(spark):
+    """Matrix sums re-aggregate the per-doc rule flags exactly."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in em.queries()["docs_rule_firing_matrix"](spark, sf).collect()
+    }
+    flags = {
+        r["doc_id"]: r
+        for r in em.queries()["docs_curation_rules"](spark, sf).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: defaultdict(int))
+    for d, fl in flags.items():
+        s = src[d]
+        agg[s]["n_docs"] += 1
+        agg[s]["n_keep"] += fl["keep"]
+        agg[s]["pass_n_tokens"] += fl["r_n_tokens"]
+        agg[s]["pass_alpha_ratio"] += fl["r_alpha_ratio"]
+    for s, r in got.items():
+        assert r["n_docs"] == agg[s]["n_docs"]
+        assert r["n_keep"] == agg[s]["n_keep"]
+        assert r["pass_n_tokens"] == agg[s]["pass_n_tokens"]
+        assert r["pass_alpha_ratio"] == agg[s]["pass_alpha_ratio"]
