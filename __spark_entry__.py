@@ -8165,6 +8165,202 @@ def q_docs_rule_firing_matrix(spark, sf_dir):
     )
 
 
+def q_dedup_bcubed_eval(spark, sf_dir):
+    """B-cubed clustering evaluation of the near-dup pipeline (Bagga &
+    Baldwin 1998; the ER-standard metric per Amigo et al. 2009): item-
+    level precision/recall of the LSH+CC predicted clusters against the
+    gold-pair truth clustering -- the CLUSTER-level verdict the
+    pair-level gold join (D9) cannot give: B-cubed punishes both
+    over-merging (precision) and over-splitting (recall) per ITEM, so
+    one giant wrong cluster costs proportionally to its size. Truth
+    labels come from the gold-pair CSV (disjoint pairs -> label =
+    min(id, partner)); with C(i)/T(i) the predicted/true clusters,
+    P = avg_i |C(i) cap T(i)| / |C(i)| which re-sums per (pred, true)
+    cell as joint^2/n_pred -- three partial-agg groupBys + two
+    equi-joins over the assignment table, no per-item fan-out. Terms
+    round 12 dp into DECIMAL folds; F1 evaluates on the
+    already-9dp-rounded P and R (fixed shape both engines)."""
+    pred = _dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("keep_id").alias("_p")
+    )
+    g = _gold(spark, sf_dir)
+    partner = g.select(
+        F.col("a_id").alias("doc_id"), F.col("b_id").alias("_partner")
+    ).unionByName(
+        g.select(
+            F.col("b_id").alias("doc_id"), F.col("a_id").alias("_partner")
+        )
+    )
+    lab = (
+        pred.join(F.broadcast(partner), "doc_id", "left")
+        .select(
+            "doc_id",
+            "_p",
+            F.least(
+                F.col("doc_id"), F.coalesce("_partner", F.col("doc_id"))
+            ).alias("_t"),
+        )
+        .persist()
+    )
+    cells = lab.groupBy("_p", "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_joint")
+    )
+    psz = lab.groupBy("_p").agg(F.count(F.lit(1)).cast("long").alias("_np"))
+    tsz = lab.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_nt"))
+    j = cells.join(psz, "_p").join(tsz, "_t")
+    # cast each factor BEFORE the product: BIGINT*BIGINT could wrap at
+    # the 100 TB scale in non-ANSI Spark (the session_type_pairs lesson)
+    jj = F.col("_joint").cast("double") * F.col("_joint").cast("double")
+    pterm = F.round(jj / F.col("_np").cast("double"), 12).cast("decimal(38,12)")
+    rterm = F.round(jj / F.col("_nt").cast("double"), 12).cast("decimal(38,12)")
+    sums = j.agg(
+        F.sum(pterm).cast("double").alias("_sp"),
+        F.sum(rterm).cast("double").alias("_sr"),
+    )
+    tot = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("_p").cast("long").alias("n_pred_clusters"),
+        F.count_distinct("_t").cast("long").alias("n_true_clusters"),
+    )
+    n = F.col("n_docs").cast("double")
+    p9 = F.round(F.col("_sp") / n, 9)
+    r9 = F.round(F.col("_sr") / n, 9)
+    return tot.crossJoin(F.broadcast(sums)).select(
+        "n_docs",
+        "n_pred_clusters",
+        "n_true_clusters",
+        p9.alias("bcubed_precision"),
+        r9.alias("bcubed_recall"),
+        F.round(
+            F.when(p9 + r9 > 0, 2.0 * p9 * r9 / (p9 + r9)).otherwise(0.0), 9
+        ).alias("bcubed_f1"),
+    )
+
+
+def q_embeddings_quantization_error(spark, sf_dir):
+    """int8 quantization fidelity audit: for the float brute-force
+    top-5 neighbor pairs of a deterministic 20% query subset, the
+    absolute cosine error introduced by the int8-quantized scoring
+    (X88's rerank path) summarized per rank, plus the top-k set
+    overlap -- the accept/reject table for swapping the quantized
+    corpus into production retrieval (a mean error well under the
+    typical neighbor gap and ~1.0 overlap is the green light). The
+    quantized score for EXACTLY the float pairs comes from one
+    equi-join of the pair list against the quantized table on each
+    side (never a second all-pairs pass); overlap joins the two top-k
+    tables. Score errors are differences of identically-rounded 9dp
+    doubles (engine-identical), rounded 12 dp into DECIMAL folds."""
+    from sparkbigdatatextanalysis_spark.operators.vectors import (
+        quantize_embeddings,
+        quantized_cosine,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qids = emb.where(F.col("vec_id") % 5 == 0).select("vec_id")
+    ftop = ann_ops.cosine_topk_bruteforce(emb, qids, k=ANN_K).persist()
+    qt = quantize_embeddings(emb).persist()
+    qa = qt.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("scale").alias("a_scale"),
+        F.col("qvec").alias("a_q"),
+    )
+    qb = qt.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("scale").alias("b_scale"),
+        F.col("qvec").alias("b_q"),
+    )
+    scored = (
+        ftop.join(qa, "q_id")
+        .join(qb, "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            "rank",
+            "cos",
+            quantized_cosine(
+                F.col("a_scale"), F.col("a_q"),
+                F.col("b_scale"), F.col("b_q"), round_to=9,
+            ).alias("_qcos"),
+        )
+    )
+    qtop = ann_ops.cosine_topk_quantized(emb, qids, k=ANN_K).select(
+        "q_id", "n_id"
+    )
+    err = F.round(F.abs(F.col("cos") - F.col("_qcos")), 12)
+    inq = scored.join(qtop, ["q_id", "n_id"], "left_semi").groupBy(
+        "rank"
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n_in"))
+    per = scored.groupBy("rank").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(err.cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_abs_err"),
+        F.round(F.max(err), 9).alias("max_abs_err"),
+    )
+    return per.join(F.broadcast(inq), "rank", "left").select(
+        "rank",
+        "n_pairs",
+        "mean_abs_err",
+        "max_abs_err",
+        F.round(
+            F.coalesce(F.col("_n_in"), F.lit(0)).cast("double")
+            / F.col("n_pairs").cast("double"),
+            9,
+        ).alias("quant_topk_overlap"),
+    )
+
+
+DEBOUNCE_GAP_SECONDS = 300
+
+
+def q_events_debounce(spark, sf_dir):
+    """Burst debounce / throttle: collapse each run of same-(user,
+    type) events with < 5-minute gaps to its FIRST event, reporting
+    how many duplicates it suppressed -- the client-retry / double-
+    fire cleaner that runs before any per-event metric (a purchase
+    double-click inflates revenue; a pageview burst inflates
+    engagement). Gap-chain semantics over (user_id, event_type): one
+    (user,type)-partitioned lag window + one cumulative-flag sum +
+    one partial agg -- exactly the sessionizer shape (X19) keyed by
+    (user, type), so the 100 TB story is unchanged. The kept row is
+    the (ts, event_id) struct-min of its burst (fully deterministic
+    under equal timestamps)."""
+    from pyspark.sql import Window
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_type", "event_id", F.unix_micros("ts").alias("_us")
+        )
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("_us", "event_id")
+    gap = F.col("_us") - F.lag("_us").over(w)
+    flagged = ev.withColumn(
+        "_new",
+        F.when(
+            gap.isNull() | (gap > DEBOUNCE_GAP_SECONDS * 1_000_000), 1
+        ).otherwise(0),
+    )
+    wb = Window.partitionBy("user_id", "event_type").orderBy(
+        "_us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    bursts = flagged.withColumn("_b", F.sum("_new").over(wb))
+    kept = bursts.groupBy("user_id", "event_type", "_b").agg(
+        F.min(F.struct("_us", "event_id")).alias("_first"),
+        F.count(F.lit(1)).cast("long").alias("_sz"),
+    )
+    return kept.select(
+        "user_id",
+        "event_type",
+        F.col("_first.event_id").alias("event_id"),
+        F.col("_first._us").alias("kept_us"),
+        (F.col("_sz") - 1).cast("long").alias("n_suppressed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECLARATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks the FIRST 50 declared keys. Round-11 window (the rotation
@@ -8299,6 +8495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_silhouette": q_embeddings_silhouette,
         "orders_metric_corr_matrix": q_orders_metric_corr_matrix,
         "docs_rule_firing_matrix": q_docs_rule_firing_matrix,
+        "dedup_bcubed_eval": q_dedup_bcubed_eval,
+        "embeddings_quantization_error": q_embeddings_quantization_error,
+        "events_debounce": q_events_debounce,
         # --- latest driver row r08 (50): 16 fill the r12 window, rest r13 ---
         "vocab_top_tokens": q_vocab_top_tokens,
         "train_test_ngram_overlap": q_train_test_ngram_overlap,
@@ -14711,5 +14910,191 @@ def oracle_sql() -> dict[str, str]:
         FROM ({sqls["docs_curation_rules"]}) fl
         JOIN documents d USING (doc_id)
         GROUP BY 1
+    """
+    # B-cubed: the near-clusters oracle nested for predicted labels;
+    # truth labels from the disjoint gold pairs; per-(pred,true) cell
+    # terms joint^2/size with factor-first double casts + DECIMAL folds.
+    sqls["dedup_bcubed_eval"] = f"""
+        WITH pred AS (
+          SELECT doc_id, keep_id AS p FROM ({sqls["dedup_near_clusters"]})
+        ),
+        gold AS (
+          SELECT doc_id AS a_id, doc_id + 1 AS b_id
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        partner AS (
+          SELECT a_id AS doc_id, b_id AS pp FROM gold
+          UNION ALL SELECT b_id, a_id FROM gold
+        ),
+        lab AS (
+          SELECT pred.doc_id, p,
+                 least(pred.doc_id, coalesce(pp, pred.doc_id)) AS t
+          FROM pred LEFT JOIN partner ON pred.doc_id = partner.doc_id
+        ),
+        cells AS (SELECT p, t, count(*)::BIGINT AS joint FROM lab GROUP BY 1, 2),
+        psz AS (SELECT p, count(*)::BIGINT AS np FROM lab GROUP BY 1),
+        tsz AS (SELECT t, count(*)::BIGINT AS nt FROM lab GROUP BY 1),
+        sums AS (
+          SELECT CAST(sum(CAST(round(joint::DOUBLE * joint::DOUBLE
+                       / np::DOUBLE, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+                 CAST(sum(CAST(round(joint::DOUBLE * joint::DOUBLE
+                       / nt::DOUBLE, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sr
+          FROM cells JOIN psz USING (p) JOIN tsz USING (t)
+        ),
+        tot AS (
+          SELECT count(*)::BIGINT AS n_docs,
+                 count(DISTINCT p)::BIGINT AS n_pred_clusters,
+                 count(DISTINCT t)::BIGINT AS n_true_clusters
+          FROM lab
+        )
+        SELECT n_docs, n_pred_clusters, n_true_clusters,
+               round(sp / n_docs::DOUBLE, 9) AS bcubed_precision,
+               round(sr / n_docs::DOUBLE, 9) AS bcubed_recall,
+               round(CASE WHEN round(sp / n_docs::DOUBLE, 9)
+                               + round(sr / n_docs::DOUBLE, 9) > 0
+                     THEN 2.0 * round(sp / n_docs::DOUBLE, 9)
+                          * round(sr / n_docs::DOUBLE, 9)
+                          / (round(sp / n_docs::DOUBLE, 9)
+                             + round(sr / n_docs::DOUBLE, 9))
+                     ELSE 0.0 END, 9) AS bcubed_f1
+        FROM tot CROSS JOIN sums
+    """
+
+    # Quantization error: float brute-force top-k over the %5 query
+    # subset, quantized scores re-derived for EXACTLY those pairs plus
+    # the quantized top-k for the overlap; integer dots in BIGINT, the
+    # dot/sqrt/sqrt division shape mirrored exactly.
+    def _qdot_sql(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"j -> {a}[j]::BIGINT * {b}[j]::BIGINT)), (x, y) -> x + y)"
+        )
+
+    _QQ_SQL = """
+        qraw AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS mx,
+                 embedding
+          FROM embeddings
+        ),
+        qq AS (
+          SELECT vec_id,
+                 CASE WHEN mx > 0
+                      THEN list_transform(embedding,
+                             v -> round(v::DOUBLE * 127.0 / mx)::TINYINT)
+                      ELSE list_transform(embedding, v -> 0::TINYINT)
+                 END AS qvec
+          FROM qraw
+          WHERE embedding IS NOT NULL AND isfinite(mx)
+        )
+    """
+    sqls["embeddings_quantization_error"] = f"""
+        WITH {_EMB_NORM_SQL},
+        {_QQ_SQL},
+        fq AS (
+          SELECT vec_id AS q_id, v AS qv, norm AS qn
+          FROM nv WHERE vec_id % 5 = 0
+        ),
+        fscored AS (
+          SELECT q_id, c.vec_id AS n_id,
+                 round({_emb_dot_sql("qv", "c.v")} / (qn * c.norm), 9) AS cos
+          FROM fq CROSS JOIN nv c WHERE c.vec_id <> q_id
+        ),
+        ftop AS (
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT q_id, n_id, cos,
+                   row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM fscored
+          ) WHERE rank <= {ANN_K}
+        ),
+        perr AS (
+          SELECT q_id, n_id, rank, cos,
+                 CASE WHEN na > 0 AND nb > 0
+                      THEN round(dt::DOUBLE / sqrt(na::DOUBLE)
+                                 / sqrt(nb::DOUBLE), 9) END AS qcos
+          FROM (
+            SELECT f.q_id, f.n_id, f.rank, f.cos,
+                   {_qdot_sql("a.qvec", "b.qvec")} AS dt,
+                   {_qdot_sql("a.qvec", "a.qvec")} AS na,
+                   {_qdot_sql("b.qvec", "b.qvec")} AS nb
+            FROM ftop f
+            JOIN qq a ON f.q_id = a.vec_id
+            JOIN qq b ON f.n_id = b.vec_id
+          )
+        ),
+        qsc AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                 CASE WHEN {_qdot_sql("a.qvec", "a.qvec")} > 0
+                       AND {_qdot_sql("b.qvec", "b.qvec")} > 0
+                      THEN round({_qdot_sql("a.qvec", "b.qvec")}::DOUBLE
+                           / sqrt({_qdot_sql("a.qvec", "a.qvec")}::DOUBLE)
+                           / sqrt({_qdot_sql("b.qvec", "b.qvec")}::DOUBLE), 9)
+                 END AS qcos
+          FROM qq a CROSS JOIN qq b
+          WHERE a.vec_id % 5 = 0 AND b.vec_id <> a.vec_id
+        ),
+        qtop AS (
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (
+                     PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rnk
+            FROM qsc WHERE qcos IS NOT NULL
+          ) WHERE rnk <= {ANN_K}
+        ),
+        inq AS (
+          SELECT rank, count(*)::BIGINT AS n_in FROM perr
+          WHERE EXISTS (SELECT 1 FROM qtop
+                        WHERE qtop.q_id = perr.q_id
+                          AND qtop.n_id = perr.n_id)
+          GROUP BY 1
+        ),
+        agg AS (
+          SELECT rank, count(*)::BIGINT AS n_pairs,
+                 round(CAST(sum(CAST(round(abs(cos - qcos), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9)
+                   AS mean_abs_err,
+                 round(max(round(abs(cos - qcos), 12)), 9) AS max_abs_err
+          FROM perr GROUP BY 1
+        )
+        SELECT agg.rank::INT AS rank, n_pairs, mean_abs_err, max_abs_err,
+               round(coalesce(n_in, 0)::DOUBLE / n_pairs::DOUBLE, 9)
+                 AS quant_topk_overlap
+        FROM agg LEFT JOIN inq ON agg.rank = inq.rank
+    """
+
+    # Debounce: the sessionize window shape keyed by (user, type);
+    # kept row = first of each burst, fully deterministic.
+    sqls["events_debounce"] = f"""
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_ns(ts) // 1000 AS us
+          FROM events WHERE ts IS NOT NULL
+        ),
+        m AS (
+          SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                          OR us - lag(us) OVER w
+                             > {DEBOUNCE_GAP_SECONDS * 1_000_000}
+                     THEN 1 ELSE 0 END AS is_new
+          FROM e
+          WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)
+        ),
+        s AS (
+          SELECT *, sum(is_new) OVER (
+            PARTITION BY user_id, event_type ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS b
+          FROM m
+        )
+        SELECT user_id, event_type, event_id, us AS kept_us,
+               (cnt - 1)::BIGINT AS n_suppressed
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id, event_type, b
+                   ORDER BY us, event_id) AS rn,
+                 count(*) OVER (
+                   PARTITION BY user_id, event_type, b) AS cnt
+          FROM s
+        ) WHERE rn = 1
     """
     return sqls

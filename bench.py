@@ -336,6 +336,9 @@ HEADLINE = [
     "embeddings_silhouette",
     "orders_metric_corr_matrix",
     "docs_rule_firing_matrix",
+    "dedup_bcubed_eval",
+    "embeddings_quantization_error",
+    "events_debounce",
     # -- TPC-H shapes not yet in the artifact
     "tpch_q2_like",
     "tpch_q3_like",

@@ -557,6 +557,16 @@ BUDGETS = {
     "orders_metric_corr_matrix": (12, 6),
     # rule matrix: map-only flags + doc_id equi-join + bounded groupBy
     "docs_rule_firing_matrix": (2, 1),
+    # B-cubed: nested near-clusters assignment (persisted, audited per
+    # consumer) + three partial-agg groupBys + two equi-joins
+    "dedup_bcubed_eval": (8, 5),
+    # quantization audit: two documented brute-force passes (float topk
+    # + quant topk, the hubness baseline shape) + pair equi-joins over
+    # the persisted quant table
+    "embeddings_quantization_error": (20, 11),
+    # debounce: ONE (user,type) exchange shared by lag window, burst
+    # cumsum and the burst agg
+    "events_debounce": (1, 0),
     # r11 streaming sessionize gate: the stream ran EAGERLY at build
     # (applyInPandasWithState inside the streaming query); the audited
     # surface is the memory-sink scan + the session_idx recovery

@@ -739,3 +739,112 @@ def test_rule_firing_matrix_consistent_with_flags(spark):
         assert r["n_keep"] == agg[s]["n_keep"]
         assert r["pass_n_tokens"] == agg[s]["pass_n_tokens"]
         assert r["pass_alpha_ratio"] == agg[s]["pass_alpha_ratio"]
+
+
+# ---------------------------------------------------------------- wave 6
+
+
+def test_bcubed_matches_python_replay(spark):
+    """B-cubed P/R/F from the cell decomposition must equal the naive
+    per-item definition."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = em.queries()["dedup_bcubed_eval"](spark, sf).collect()[0]
+    pred = {
+        r["doc_id"]: r["keep_id"]
+        for r in em.queries()["dedup_near_clusters"](spark, sf).collect()
+    }
+    # gold pairs are (even, even+1) generated from EXISTING even docs:
+    # an odd doc's truth label is its even base iff that base exists;
+    # an even doc is always its own label (its +1 partner row, if any,
+    # never relabels it)
+    truth = {
+        d: (d - (d % 2) if (d % 2 == 0 or (d - 1) in pred) else d)
+        for d in pred
+    }
+    from collections import defaultdict
+
+    pc, tc = defaultdict(set), defaultdict(set)
+    for d in pred:
+        pc[pred[d]].add(d)
+        tc[truth[d]].add(d)
+    n = len(pred)
+    p = sum(
+        len(pc[pred[d]] & tc[truth[d]]) / len(pc[pred[d]]) for d in pred
+    ) / n
+    r = sum(
+        len(pc[pred[d]] & tc[truth[d]]) / len(tc[truth[d]]) for d in pred
+    ) / n
+    assert got["n_docs"] == n
+    assert abs(got["bcubed_precision"] - p) < 1e-6
+    assert abs(got["bcubed_recall"] - r) < 1e-6
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    assert abs(got["bcubed_f1"] - f1) < 1e-6
+    assert 0 < got["bcubed_precision"] <= 1 and 0 < got["bcubed_recall"] <= 1
+
+
+def test_quantization_error_small_and_overlap_high(spark):
+    """int8 on 64-dim unit-scale vectors: errors must be tiny (the
+    audit's green-light regime) and rank-1 overlap near-perfect; n_pairs
+    per rank equals the query count."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["rank"]: r
+        for r in em.queries()["embeddings_quantization_error"](
+            spark, sf
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5}
+    nq = rows[1]["n_pairs"]
+    for r in rows.values():
+        assert r["n_pairs"] == nq
+        assert r["mean_abs_err"] < 0.01
+        assert r["max_abs_err"] < 0.05
+        assert 0.0 <= r["quant_topk_overlap"] <= 1.0
+    assert rows[1]["quant_topk_overlap"] >= 0.9
+
+
+def test_debounce_greedy_equivalence_and_conservation(spark):
+    """Each (user,type)'s kept+suppressed counts conserve the event
+    count, and the kept set matches a naive gap-chain replay."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = em.queries()["events_debounce"](spark, sf).collect()
+    ev = (
+        em._events(spark, sf)
+        .where("ts IS NOT NULL")
+        .selectExpr("user_id", "event_type", "event_id",
+                    "unix_micros(ts) AS us")
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in ev:
+        per[(r["user_id"], r["event_type"])].append((r["us"], r["event_id"]))
+    want = {}
+    for k, rows in per.items():
+        rows.sort()
+        cur_first, cur_n = None, 0
+        last = None
+        for us, eid in rows:
+            if last is None or us - last > 300 * 1_000_000:
+                if cur_first is not None:
+                    want[(k[0], k[1], cur_first[1])] = (cur_first[0], cur_n - 1)
+                cur_first, cur_n = (us, eid), 1
+            else:
+                cur_n += 1
+            last = us
+        want[(k[0], k[1], cur_first[1])] = (cur_first[0], cur_n - 1)
+    got_m = {
+        (r["user_id"], r["event_type"], r["event_id"]): (
+            r["kept_us"], r["n_suppressed"]
+        )
+        for r in got
+    }
+    assert got_m == want
+    assert sum(v[1] + 1 for v in got_m.values()) == len(ev)
