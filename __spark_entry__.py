@@ -341,7 +341,16 @@ def q_doc_similarity(spark, sf_dir):
 
 def q_dot_product(spark, sf_dir):
     """Sparse TF-IDF dot products per candidate pair (reference
-    calculateDotProduct, EntityResolution.scala:368-384)."""
+    calculateDotProduct, EntityResolution.scala:368-384). Same strategy
+    dispatch as the flagship cosine join (r11 optimization): on a dense
+    vocabulary the token equi-join explodes toward |pairs| * |vocab|
+    rows through an exchange, so the dot rides the shared cached flat
+    table map-only (dot > 0 <=> shares a token, weights strictly
+    positive -- the established fast_cosine_join equivalence); wide
+    vocabularies keep the sparse join."""
+    flats = _flats(spark, sf_dir)
+    if flats is not None:
+        return _round6(sim.dense_dot_products(flats), "dot")
     wa, wb = _weights_ab(spark, sf_dir)
     return _round6(sim.dot_products(wa, wb), "dot")
 

@@ -175,6 +175,36 @@ def dot_products(weights_a: DataFrame, weights_b: DataFrame) -> DataFrame:
     )
 
 
+def dense_dot_products(flats: DataFrame) -> DataFrame:
+    """:func:`dot_products` over a prebuilt dense flat table
+    (:func:`dense_flat_table` layout: side, id, w0.., norm) -- the same
+    map-only broadcast-cross-join shape as the dense cosine strategy,
+    minus the norm division. ``dot > 0 <=> the pair shares a token``
+    (weights strictly positive), so the filter reproduces the sparse
+    form's pairs-sharing->=1-token semantics with NO token-exploded
+    shuffle: on a tiny vocabulary the sparse equi-join's output explodes
+    toward |pairs| * |vocab| rows through an exchange, while this form
+    does the same multiplies in-row (guide: remove the shuffle outright,
+    then shuffle fewer bytes)."""
+    n = sum(1 for c in flats.columns if c.startswith("w") and c[1:].isdigit())
+    fa = flats.where(F.col("side") == 0).selectExpr(
+        "id AS a_id", *[f"w{i} AS a{i}" for i in range(n)]
+    )
+    fb = flats.where(F.col("side") == 1).selectExpr(
+        "id AS b_id", *[f"w{i} AS b{i}" for i in range(n)]
+    )
+    # stream side is one row per doc: keep the pair fan-out wide (AQE
+    # would coalesce it to one partition) -- same rationale as
+    # _cosine_similarity_dense_flat
+    fa = fa.repartition(fa.sparkSession.sparkContext.defaultParallelism)
+    dot = " + ".join(f"a{i} * b{i}" for i in range(n))
+    return (
+        fa.crossJoin(F.broadcast(fb))
+        .selectExpr("a_id", "b_id", f"({dot}) AS dot")
+        .where(F.col("dot") > 0)
+    )
+
+
 DENSE_VOCAB_THRESHOLD = 1024
 
 
