@@ -944,14 +944,31 @@ def q_tokens_except(spark, sf_dir):
     from sparkbigdatatextanalysis_spark.functions.hashing import word_shingles
     from sparkbigdatatextanalysis_spark.functions.text import tokenize
 
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(word_shingles(tokenize("text"), 2)).alias("shingle")
+    # One-pass set algebra (r11 optimization): the EXCEPT/INTERSECT pair
+    # re-ran the tokenize+explode lineage once per set operand (6 passes,
+    # 4 shuffles); a single presence aggregation -- groupBy(shingle) with
+    # per-side MAX flags -- computes both sets from ONE pass and ONE
+    # exchange (guide: aggregate before you shuffle, remove shuffles
+    # outright). The scalar INTERSECT count rides back as a broadcast
+    # single-row cross join instead of a driver-side .count() action.
+    # Cached (vocabulary-bounded: |distinct 2-grams|) because the EXCEPT
+    # branch and the count branch are two consumers of one aggregation.
+    def build():
+        d = _docs(spark, sf_dir, wide=True).select(
+            (F.col("doc_id") % 2 == 0).alias("_ea"),
+            F.explode(word_shingles(tokenize("text"), 2)).alias("shingle"),
+        )
+        return d.groupBy("shingle").agg(
+            F.max(F.col("_ea")).alias("_ha"),
+            F.max(~F.col("_ea")).alias("_hb"),
+        )
+
+    presence = _cached(spark, sf_dir, "tokens_except_presence", build)
+    only_a = presence.where(F.col("_ha") & ~F.col("_hb")).select("shingle")
+    n_common = presence.where(F.col("_ha") & F.col("_hb")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
     )
-    a = d.where(F.col("doc_id") % 2 == 0).select("shingle").distinct()
-    b = d.where(F.col("doc_id") % 2 == 1).select("shingle").distinct()
-    only_a = a.exceptAll(b).select("shingle")
-    n_common = a.intersect(b).count()
-    return only_a.withColumn("n_common", F.lit(n_common).cast("long"))
+    return only_a.crossJoin(F.broadcast(n_common))
 
 
 def q_user_type_pivot(spark, sf_dir):
