@@ -113,7 +113,11 @@ BUDGETS = {
     # q2's decorrelated min-subquery flips between (2,5) and (4,4)
     # depending on session history -- pin the envelope of both states
     "tpch_q2_like": (4, 4),
-    "tokens_except": (2, 0),
+    # cache-flattened: the cached presence aggregation (wide repartition
+    # + groupBy = 2-3 exchanges) counts once per consumer (EXCEPT branch
+    # + broadcast count branch); EXECUTED count is 2 shuffles once at
+    # cache build, then cache reads + 1 broadcast
+    "tokens_except": (5, 1),
     "user_type_pivot": (2, 0),
     "corpus_bigrams": (2, 0),
     "doc_fingerprint": (3, 0),
