@@ -3249,11 +3249,15 @@ def q_docs_hashed_embeddings(spark, sf_dir):
     rounded division."""
     from sparkbigdatatextanalysis_spark.operators import vectors as vec
 
-    out = vec.hashed_doc_embeddings(_tok(spark, sf_dir), dim=64)
+    # r11 optimization: the exploded relational form -- the array
+    # assembly's interpreted map probes dominated this key (15.2s ->
+    # ~1s at sf0.1); components bit-identical (integer-exact pre-norm
+    # values, one correctly-rounded division).
+    out = vec.hashed_doc_components(_tok(spark, sf_dir), dim=64)
     return out.select(
-        F.col("id").alias("doc_id"),
-        F.posexplode("embedding").alias("pos", "component"),
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "component")
+        F.col("id").alias("doc_id"), F.col("pos").cast("long").alias("pos"),
+        "component",
+    )
 
 
 def q_docs_prefix_blocking(spark, sf_dir):

@@ -230,3 +230,67 @@ def hashed_doc_embeddings(
             norm > 0, F.transform(dense, lambda x: x / norm)
         ).otherwise(dense).alias("embedding"),
     )
+
+
+def hashed_doc_components(
+    tok_df: DataFrame,
+    dim: int = 64,
+    id_col: str = "id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """:func:`hashed_doc_embeddings` in exploded relational form:
+    (id, pos, component), one row per (doc, dimension) -- for consumers
+    that explode the array anyway. Bit-identical components: the
+    pre-norm values are integer-valued (sums of +-1, exact in double),
+    the squared-norm sum is exact integer arithmetic in ANY order, and
+    component = v / sqrt(s) is one correctly-rounded division of
+    identical operands.
+
+    Scale shape (r11 optimization): the array form's dense assembly
+    (map_from_entries + per-slot map lookups + nested higher-order
+    norm/divide) is interpreted, not codegen'd, and dominated the
+    operator's wall clock (measured ~7x the aggregation cost at sf0.1);
+    this form keeps everything in codegen'd built-ins -- the same
+    explode -> ONE partial-agg groupBy(id, dim), a groupBy(id) exact
+    integer norm, and one (id, pos)-grid left join that fills the zero
+    slots relationally instead of per-slot map probes."""
+    if dim < 2:
+        raise ValueError(f"hashed_doc_components: dim must be >= 2, got {dim}")
+    from ..functions.hashing import string_hash31
+
+    h = string_hash31(F.concat(F.lit("emb:"), F.col("_tok")))
+    sign = F.when((h % (2 * dim)) < dim, F.lit(1.0)).otherwise(F.lit(-1.0))
+    ex = (
+        tok_df.select(F.col(id_col).alias("_id"), F.explode(tokens_col).alias("_tok"))
+        .where(F.col("_tok").isNotNull() & (F.col("_tok") != ""))
+        .select("_id", (h % dim).cast("int").alias("_dim"), sign.alias("_s"))
+    )
+    per_dim = ex.groupBy("_id", "_dim").agg(F.sum("_s").alias("_v"))
+    norms = per_dim.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_v") * F.col("_v"))).alias("_n")
+    )
+    ids = tok_df.select(F.col(id_col).alias("_id")).distinct()
+    slots = ids.join(norms, "_id", "left").select(
+        "_id",
+        F.coalesce(F.col("_n"), F.lit(0.0)).alias("_n"),
+        F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("pos"),
+    )
+    # fresh aliases on the probe side: slots carries per_dim's lineage
+    # through norms, so joining per_dim directly is a self-join with
+    # ambiguous attributes
+    pd = per_dim.select(
+        F.col("_id").alias("_pid"),
+        F.col("_dim").alias("_pdim"),
+        F.col("_v").alias("_pv"),
+    )
+    joined = slots.join(
+        pd,
+        (F.col("_id") == F.col("_pid")) & (F.col("pos") == F.col("_pdim")),
+        "left",
+    )
+    v = F.coalesce(F.col("_pv"), F.lit(0.0))
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.col("pos").cast("int").alias("pos"),
+        F.when(F.col("_n") > 0, v / F.col("_n")).otherwise(v).alias("component"),
+    )

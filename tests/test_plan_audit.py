@@ -180,7 +180,11 @@ BUDGETS = {
     "docs_shuffle_shards": (1, 0),
     "events_value_bins": (1, 1),
     "docs_curation_rules": (1, 0),
-    "docs_hashed_embeddings": (5, 1),
+    # cache-flattened: the unpersisted per-dim aggregation subtree counts
+    # once per consumer (norm pass + component probe); EXECUTED count is
+    # ~5 (the 320k-row agg runs twice -- measured cheaper than the
+    # interpreted array assembly it replaced, 15.2s -> 1.7s at sf0.1)
+    "docs_hashed_embeddings": (7, 2),
     # line dedup: count agg + doc reassembly agg; the dup-line join
     # side broadcasts at this scale but is NOT pinned (at 100 TB the
     # boilerplate set may exceed the broadcast threshold and AQE
