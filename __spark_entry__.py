@@ -422,11 +422,11 @@ ANN_K = 5
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dd.exact_dedup(_docs(spark, sf_dir)).select("doc_id", "content_hash", "keep")
+    return dd.exact_dedup(_docs(spark, sf_dir, wide=True)).select("doc_id", "content_hash", "keep")
 
 
 def q_minhash_signatures(spark, sf_dir):
-    sh = dd.shingle_hashes(_docs(spark, sf_dir))
+    sh = dd.shingle_hashes(_docs(spark, sf_dir, wide=True))
     return dd.minhash_signatures(sh).select(F.col("id").alias("doc_id"), "i", "sig")
 
 
@@ -435,7 +435,7 @@ def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     query AND the clustering query (a real pipeline materializes the
     candidate set once and fans out keep/drop + reporting from it)."""
     return _cached(
-        spark, sf_dir, "mh_pairs", lambda: dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        spark, sf_dir, "mh_pairs", lambda: dd.minhash_lsh_pairs(_docs(spark, sf_dir, wide=True))
     )
 
 
@@ -444,7 +444,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dd.simhash_signatures(_docs(spark, sf_dir)).select(
+    return dd.simhash_signatures(_docs(spark, sf_dir, wide=True)).select(
         F.col("id").alias("doc_id"), "sim_hi", "sim_lo"
     )
 
@@ -454,7 +454,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     signature chunks (pigeonhole covers Hamming <= 3), with the exact
     Hamming distance attached. See operators/dedup.py::simhash_near_pairs
     for the bucket-size scale analysis."""
-    sigs = dd.simhash_signatures(_docs(spark, sf_dir))
+    sigs = dd.simhash_signatures(_docs(spark, sf_dir, wide=True))
     out = dd.simhash_near_pairs(sigs)
     return out.select(
         "a_id", "b_id", F.col("hamming").cast("long").alias("hamming")
@@ -462,7 +462,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    out = dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    out = dd.ngram_jaccard_pairs(_docs(spark, sf_dir, wide=True))
     return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -553,7 +553,7 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    out = ts.doc_fingerprints(_docs(spark, sf_dir))
+    out = ts.doc_fingerprints(_docs(spark, sf_dir, wide=True))
     return out.select(
         F.col("id").alias("doc_id"), "fingerprint",
         F.col("n_shingles").cast("long").alias("n_shingles"),
@@ -1287,7 +1287,7 @@ def q_train_test_ngram_overlap(spark, sf_dir):
     from sparkbigdatatextanalysis_spark.functions.hashing import string_hash31
     from sparkbigdatatextanalysis_spark.operators import pipeline as pl
 
-    sh = dd.shingle_hashes(_docs(spark, sf_dir))
+    sh = dd.shingle_hashes(_docs(spark, sf_dir, wide=True))
     bucket = string_hash31(F.col("id").cast("string")) % 100
     return pl.contamination_overlap(sh, bucket < 80, bucket >= 90)
 
@@ -2370,7 +2370,7 @@ def q_dedup_triangle_density(spark, sf_dir):
     from sparkbigdatatextanalysis_spark.operators import components as cc
 
     pairs = dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), min_jaccard=0.05
+        _docs(spark, sf_dir, wide=True), min_jaccard=0.05
     ).select("a_id", "b_id")
     return cc.count_triangles(pairs, "a_id", "b_id")
 
@@ -3144,7 +3144,7 @@ def q_docs_bloom_decontaminate(spark, sf_dir):
     from sparkbigdatatextanalysis_spark.functions.hashing import string_hash31
     from sparkbigdatatextanalysis_spark.operators import pipeline as pl
 
-    sh = dd.shingle_hashes(_docs(spark, sf_dir)).select("id", "sh").distinct()
+    sh = dd.shingle_hashes(_docs(spark, sf_dir, wide=True)).select("id", "sh").distinct()
     bucket = string_hash31(F.col("id").cast("string")) % 100
     bits = pl.bloom_bits(sh.where(bucket >= 90))
     return pl.bloom_contamination(sh.where(bucket < 80), bits)
@@ -3848,7 +3848,7 @@ def q_dedup_kcore(spark, sf_dir):
     from sparkbigdatatextanalysis_spark.operators import components as cc
 
     pairs = dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), min_jaccard=0.05
+        _docs(spark, sf_dir, wide=True), min_jaccard=0.05
     ).select("a_id", "b_id")
     return cc.kcore_peel(pairs, "a_id", "b_id", k=2, rounds=3)
 
@@ -4251,7 +4251,7 @@ def q_dedup_containment(spark, sf_dir):
     stays under every near-dup threshold. Same one-equi-join plan as
     the Jaccard pairs; the threshold compares the unrounded IEEE
     division in both engines."""
-    return dd.containment_pairs(_docs(spark, sf_dir), min_containment=0.9)
+    return dd.containment_pairs(_docs(spark, sf_dir, wide=True), min_containment=0.9)
 
 
 def q_orders_abc_classes(spark, sf_dir):
@@ -4508,7 +4508,7 @@ def q_docs_shingle_novelty(spark, sf_dir):
     back onto the per-doc shingle sets; the score is one BIGINT/BIGINT
     double division, rounded. Docs too short to shingle keep NULL
     novelty (0 shingles -- no evidence either way)."""
-    sh = dd.shingle_hashes(_docs(spark, sf_dir)).select(
+    sh = dd.shingle_hashes(_docs(spark, sf_dir, wide=True)).select(
         F.col("id").alias("doc_id"), "sh"
     ).persist()
     df_counts = sh.groupBy("sh").agg(
@@ -5612,7 +5612,7 @@ def q_dedup_assortativity(spark, sf_dir):
     from sparkbigdatatextanalysis_spark.operators import components as cc
 
     pairs = dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), min_jaccard=0.05
+        _docs(spark, sf_dir, wide=True), min_jaccard=0.05
     ).select("a_id", "b_id")
     return cc.degree_assortativity(pairs, "a_id", "b_id")
 
@@ -6171,7 +6171,7 @@ def q_dedup_bfs_depths(spark, sf_dir):
     from sparkbigdatatextanalysis_spark.operators import components as cc
 
     pairs = dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), min_jaccard=0.05
+        _docs(spark, sf_dir, wide=True), min_jaccard=0.05
     ).select("a_id", "b_id")
     return cc.bfs_levels(pairs, "a_id", "b_id", max_hops=4)
 
@@ -6391,7 +6391,7 @@ def q_dedup_medoid_reps(spark, sf_dir):
     graph + an after-the-fact cluster filter, so the pruned join is
     proven equal to the naive shape."""
     cl = _dedup_clusters(spark, sf_dir).select("doc_id", "keep_id")
-    sh = dd.shingle_hashes(_docs(spark, sf_dir)).select(
+    sh = dd.shingle_hashes(_docs(spark, sf_dir, wide=True)).select(
         F.col("id").alias("doc_id"), "sh"
     )
     sizes_doc = sh.groupBy("doc_id").agg(
@@ -6958,7 +6958,7 @@ def q_dedup_threshold_curve(spark, sf_dir):
     membership is a distinct over (threshold, doc); the exact IEEE
     jaccard compares against the same literals on both engines."""
     pairs = dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), min_jaccard=0.0
+        _docs(spark, sf_dir, wide=True), min_jaccard=0.0
     ).select("a_id", "b_id", "jaccard").persist()
     th = F.array(*[F.lit(t) for t in _DEDUP_CURVE_THRESHOLDS])
     surv = pairs.select(
@@ -7106,7 +7106,7 @@ def q_dedup_local_clustering(spark, sf_dir):
     from sparkbigdatatextanalysis_spark.operators import components as cc
 
     pairs = dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), min_jaccard=0.05
+        _docs(spark, sf_dir, wide=True), min_jaccard=0.05
     ).select("a_id", "b_id")
     return cc.local_clustering(pairs, "a_id", "b_id")
 
@@ -7122,7 +7122,7 @@ def q_dedup_adamic_adar(spark, sf_dir):
     from sparkbigdatatextanalysis_spark.operators import components as cc
 
     pairs = dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), min_jaccard=0.05
+        _docs(spark, sf_dir, wide=True), min_jaccard=0.05
     ).select("a_id", "b_id")
     return cc.adamic_adar_edges(pairs, "a_id", "b_id")
 

