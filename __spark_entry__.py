@@ -643,7 +643,10 @@ def q_pricing_rollup(spark, sf_dir):
     fact table: filter pushed to the parquet scan, partial-agg shuffle on
     two low-cardinality keys, rollup grouping sets from Spark SQL for
     free (SURVEY.md §2.5 'lacks' column, exposed not hand-built)."""
-    li = _scan(spark, sf_dir, "lineitem")
+    # wide=True (r11): the DECIMAL rollup is the heavy per-row compute
+    # the scan fan-out exists for (single-row-group local fixtures pin
+    # the partial agg to one core otherwise; no-op on cluster splits)
+    li = _scan(spark, sf_dir, "lineitem", wide=True)
     # Money sums go through DECIMAL: double summation is order-dependent
     # at the last ulp, and over the grand-total rollup row (every
     # lineitem) the wobble reaches the 4th decimal at sf>=0.1. Exact
@@ -1713,7 +1716,9 @@ def q_tpch_q1_like(spark, sf_dir):
     independent. The group domain is 6 rows -- map-side combine
     collapses 100 TB to six partials per task before the one tiny
     shuffle."""
-    li = _scan(spark, sf_dir, "lineitem").where(
+    # wide=True (r11): five DECIMAL(28,10) sums per row are the heavy
+    # per-row compute case (measured 2.7 -> 1.6s at sf0.1)
+    li = _scan(spark, sf_dir, "lineitem", wide=True).where(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -3881,7 +3886,7 @@ def q_basket_brand_pairs(spark, sf_dir):
     generate IN-ROW (quadratic only in the per-order brand count),
     never via the self-join that squares inside hot groups; the brand
     dimension broadcasts into the line items."""
-    li = _scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _scan(spark, sf_dir, "lineitem", wide=True).select("l_orderkey", "l_partkey")
     p = _scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = li.join(
         F.broadcast(p), li.l_partkey == p.p_partkey
@@ -4663,7 +4668,7 @@ def q_parts_copurchase_cosine(spark, sf_dir):
     normalization attaches per-item order counts via one broadcast
     join (|parts| rows -- a dimension, broadcastable at any corpus
     scale)."""
-    li = _scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _scan(spark, sf_dir, "lineitem", wide=True).select("l_orderkey", "l_partkey")
     pairs = rel.cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2)
     ic = (
         li.distinct()
@@ -4982,7 +4987,7 @@ def q_orders_brand_rules(spark, sf_dir):
     unordered pair mining is the in-row generator; both directions then
     emit map-side; brand order-counts attach via one broadcast join
     (|brands| is a dimension at any scale)."""
-    li = _scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _scan(spark, sf_dir, "lineitem", wide=True).select("l_orderkey", "l_partkey")
     p = _scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -7860,7 +7865,10 @@ def q_user_brand_hits(spark, sf_dir):
         sf_dir,
         "hits_edges",
         lambda: (
-            _scan(spark, sf_dir, "lineitem")
+            # wide=True (r11): the broadcast-probe map over the fact
+            # table is the heavy stage; a single-row-group scan would
+            # run it on one core
+            _scan(spark, sf_dir, "lineitem", wide=True)
             .select("l_orderkey", "l_partkey")
             .join(
                 F.broadcast(

@@ -51,7 +51,8 @@ BUDGETS = {
     # +1: the wide scan fan-out exchange (r11 -- sha2 hashing is the
     # heavy per-row compute the fan-out exists for)
     "dedup_exact": (2, 0),
-    "pricing_rollup": (1, 0),
+  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    "pricing_rollup": (2, 0),
     "events_latest_per_user": (1, 0),
     "text_quality": (1, 0),
     "dedup_simhash": (1, 0),
@@ -342,7 +343,8 @@ BUDGETS = {
     # whole-batch manifest -- the price of partial-commit healing)
     "history_merge_replay": (4, 1),
     # Q1: one 6-row agg exchange, zero joins
-    "tpch_q1_like": (1, 0),
+  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    "tpch_q1_like": (2, 0),
     # Q8: the lineitem-orders orderkey join is the only real shuffle
     # (2 exchanges) + the per-year agg; every dim explicitly broadcasts
     "tpch_q8_like": (3, 4),
@@ -410,7 +412,8 @@ BUDGETS = {
     "orders_price_trend": (1, 0),
     # baskets: brand dim broadcasts into the scan, one basket groupBy,
     # one pair agg; the group-total scalar broadcasts
-    "basket_brand_pairs": (4, 3),
+  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    "basket_brand_pairs": (6, 3),
     # first-seen agg + daily agg + the |days| running window (the
     # documented single-partition window over days, never rows)
     "events_cumulative_users": (3, 0),
@@ -559,7 +562,8 @@ BUDGETS = {
     # HITS: ferried rounds ran EAGERLY at build (the Markov/PCA shape);
     # the audited surface is the final round (hub groupBy + edge join +
     # two bounded aggs) over the persisted edge table + the degree join
-    "user_brand_hits": (2, 3),
+  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    "user_brand_hits": (3, 3),
     # overlap curve: 3 shingle builds x (distinct train/test + semi-join
     # + two aggs), persisted te audited per consumer; executed shape is
     # one hash-join family per curve point
@@ -602,7 +606,8 @@ BUDGETS = {
     "tpch_q21_like": (5, 2),
     # CF cosine: the in-row pair generator's set agg + pair agg + two
     # broadcast item-count sides
-    "parts_copurchase_cosine": (7, 3),
+  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    "parts_copurchase_cosine": (11, 3),
     # moments: ONE partial-agg pass (four DECIMAL power sums)
     "events_value_moments": (1, 0),
     # PMI: unigram agg + in-row bigram agg + two broadcast unigram
@@ -629,7 +634,8 @@ BUDGETS = {
     # brand rules: the order-brand distinct subtree feeds three
     # consumers (pair mining + brand counts + order total) un-persisted
     # -- counted per consumer; directions fan out in-row
-    "orders_brand_rules": (9, 9),
+  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    "orders_brand_rules": (14, 9),
     # SCD2 lookup: the version build's user-key window SHARES the
     # interval join's user partitioning; versions broadcast
     "events_scd2_lookup": (1, 1),
