@@ -55,7 +55,6 @@ def profile_table(
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
-        aggs.append(nd(c).alias(f"nd_{c}"))
         if c in num_cols:
             aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
@@ -65,7 +64,15 @@ def profile_table(
         else:
             aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
             aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
-    wide = df.agg(*aggs)
+    # The k-column exact-distinct aggregation plans an Expand (k+1 rows
+    # per input row); mixing the plain counts/min/max into the SAME
+    # aggregate drags every non-distinct buffer through that Expand too
+    # (measured 2.6x the cost of the two pieces run apart at sf0.1).
+    # Two single-row aggregations + one broadcast cross join keep the
+    # Expand k-wide and the plain pass Expand-free (r11 optimization;
+    # same aggregate values, one extra cheap scan).
+    dist = df.agg(*[nd(c).alias(f"nd_{c}") for c in cols])
+    wide = df.agg(*aggs).crossJoin(F.broadcast(dist))
 
     def row_struct(c: str):
         is_num = c in num_cols

@@ -159,7 +159,10 @@ BUDGETS = {
     "count_tokens": (2, 0),
     "union_corpus": (2, 0),
     "approx_distinct_users": (2, 0),
-    "table_profile": (3, 0),
+    # split distinct/plain aggregation passes (r11): +1 exchange and
+    # +1 broadcast for the second single-row agg; the mixed-Expand
+    # plan it replaced was 2.6x slower
+    "table_profile": (5, 1),
     "fast_cosine_join": (8, 0),
     # +2: the wide scan fan-out exchange, counted once per self-join
     # side of the persisted chunk table (cache-flattened)
@@ -277,7 +280,8 @@ BUDGETS = {
     "events_zorder_key": (1, 1),
     # profile drift: two exact-count-distinct profile aggs (Expand,
     # partial+final each) + the two sides of the tiny full-outer join
-    "orders_profile_drift": (6, 0),
+    # split distinct/plain aggregation passes x2 profiles (r11)
+    "orders_profile_drift": (10, 2),
     # hybrid auto-salted join: the heavy-hitters measurement agg + the
     # hot/cold semi/anti splits of both inputs + the two joins, all
     # flattened cache-free. The hot-key set is explicitly
