@@ -3087,7 +3087,7 @@ def q_incremental_dedup_flags(spark, sf_dir):
     persist_bands=False: zero cache residue + honest bench repeats (the
     production shape persists and releases; bench.py's
     incremental_dedup_batch times exactly that)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, wide=True)
     hist = d.where(F.col("doc_id") % 2 == 0)
     batch = d.where(F.col("doc_id") % 2 == 1)
     # the history hash SET directly -- exact_dedup's min-id window
@@ -3243,7 +3243,7 @@ def q_docs_line_dedup(spark, sf_dir):
     still verifies the full count-join-reassemble chain on real data."""
     from sparkbigdatatextanalysis_spark.operators import pipeline as pl
 
-    return pl.dedup_lines(_docs(spark, sf_dir))
+    return pl.dedup_lines(_docs(spark, sf_dir, wide=True))
 
 
 def q_docs_hashed_embeddings(spark, sf_dir):
@@ -3457,7 +3457,7 @@ def q_incremental_lines_batch(spark, sf_dir):
     persist)."""
     from sparkbigdatatextanalysis_spark.operators import pipeline as pl
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, wide=True)
     hist = d.where(F.col("doc_id") % 2 == 0)
     batch = d.where(F.col("doc_id") % 2 == 1)
     return pl.incremental_dedup_lines(batch, pl.line_counts(hist)).result
@@ -3726,7 +3726,7 @@ def q_history_merge_replay(spark, sf_dir):
     count would double and the hash would fail."""
     from sparkbigdatatextanalysis_spark.operators import pipeline as pl
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, wide=True)
     hist0 = (
         pl.line_counts(d.where(F.col("doc_id") % 2 == 0))
         .withColumn("batch_id", F.lit(0).cast("long"))
@@ -4788,7 +4788,7 @@ def q_dedup_blocking_quality(spark, sf_dir):
     split): both metrics are ratios, sample-stable by construction."""
     from sparkbigdatatextanalysis_spark.operators import evaluation as eva
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, wide=True)
     cand = _mh_pairs(spark, sf_dir).select("a_id", "b_id")
     truth = dd.ngram_jaccard_pairs(docs, min_jaccard=0.5).select("a_id", "b_id")
     n_docs = docs.count()
@@ -7003,7 +7003,7 @@ def q_dedup_lsh_band_curve(spark, sf_dir):
     sharing no shingle CAN collide by minhash chance -- they join as
     jaccard 0). Recall denominates in all true pairs (scalar
     broadcast)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, wide=True)
     flat = _cached(
         spark,
         sf_dir,

@@ -200,7 +200,8 @@ BUDGETS = {
     # side broadcasts at this scale but is NOT pinned (at 100 TB the
     # boilerplate set may exceed the broadcast threshold and AQE
     # decides), so no floor
-    "docs_line_dedup": (2, 0),
+  # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
+    "docs_line_dedup": (4, 1),
     # token-budget downsampling: one per-shard hash-order sort window
     "docs_token_budget": (1, 0),
     # BM25: cache-free flattening shows the _tok fan-out + stats/df agg
@@ -256,7 +257,8 @@ BUDGETS = {
     # 100 TB the history side must NOT broadcast (it is the bucketed
     # side) and dup sets are data-dependent -- AQE decides ---
     "docs_substring_clean": (4, 0),
-    "incremental_dedup_flags": (12, 0),
+  # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
+    "incremental_dedup_flags": (14, 0),
     "incremental_spans_batch": (6, 0),
     # r6 Bloom decontamination: the probe side is JOIN-FREE by
     # construction (bitmap embedded as a plan literal); the exchanges
@@ -301,7 +303,8 @@ BUDGETS = {
     # equi-join + the per-doc reassembly agg; history/dup sides
     # broadcast at this scale but take no floor (at 100 TB the bucketed
     # history must NOT broadcast -- AQE decides)
-    "incremental_lines_batch": (4, 0),
+  # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
+    "incremental_lines_batch": (6, 0),
     # MinHash estimator accuracy: cache-free flattening re-expands the
     # shingle pipeline once per consumer (candidate pairs + signature
     # est join + intersection sides + set sizes -- the common_token_
@@ -345,7 +348,8 @@ BUDGETS = {
     # r10 per-(batch_id,key) guard derives its broadcast side from
     # history itself (one more small-side agg exchange than the old
     # whole-batch manifest -- the price of partial-commit healing)
-    "history_merge_replay": (4, 1),
+  # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
+    "history_merge_replay": (8, 1),
     # Q1: one 6-row agg exchange, zero joins
   # +fan-out exchange (r11 wide scan; no-op on cluster splits)
     "tpch_q1_like": (2, 0),
@@ -621,7 +625,8 @@ BUDGETS = {
     # re-count under every consumer (LSH bands + jaccard truth +
     # 3 scalar counts); executed plan is far smaller (cache-flattened
     # ceiling, the dedup-chain precedent)
-    "dedup_blocking_quality": (37, 10),
+  # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
+    "dedup_blocking_quality": (41, 10),
     # EWMA: ONE user-keyed window (8 in-frame lags)
     "events_ewma": (1, 0),
     # grouped band join: bucket key includes the customer equi-key;
