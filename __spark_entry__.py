@@ -422,7 +422,7 @@ ANN_K = 5
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dd.exact_dedup(_docs(spark, sf_dir, wide=True)).select("doc_id", "content_hash", "keep")
+    return dd.exact_dedup(_docs(spark, sf_dir)).select("doc_id", "content_hash", "keep")
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -3243,7 +3243,7 @@ def q_docs_line_dedup(spark, sf_dir):
     still verifies the full count-join-reassemble chain on real data."""
     from sparkbigdatatextanalysis_spark.operators import pipeline as pl
 
-    return pl.dedup_lines(_docs(spark, sf_dir, wide=True))
+    return pl.dedup_lines(_docs(spark, sf_dir))
 
 
 def q_docs_hashed_embeddings(spark, sf_dir):
@@ -3457,7 +3457,7 @@ def q_incremental_lines_batch(spark, sf_dir):
     persist)."""
     from sparkbigdatatextanalysis_spark.operators import pipeline as pl
 
-    d = _docs(spark, sf_dir, wide=True)
+    d = _docs(spark, sf_dir)
     hist = d.where(F.col("doc_id") % 2 == 0)
     batch = d.where(F.col("doc_id") % 2 == 1)
     return pl.incremental_dedup_lines(batch, pl.line_counts(hist)).result
@@ -3726,7 +3726,7 @@ def q_history_merge_replay(spark, sf_dir):
     count would double and the hash would fail."""
     from sparkbigdatatextanalysis_spark.operators import pipeline as pl
 
-    d = _docs(spark, sf_dir, wide=True)
+    d = _docs(spark, sf_dir)
     hist0 = (
         pl.line_counts(d.where(F.col("doc_id") % 2 == 0))
         .withColumn("batch_id", F.lit(0).cast("long"))

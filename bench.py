@@ -562,7 +562,12 @@ def _dedup_history(spark, sf_dir):
 
     key = ("dedup_history", sf_dir)
     if key not in _SETUP_CACHE:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # fan out like _spans_history: the in-row shingle+minhash build
+        # is CPU-bound per row and the generated parquet is one input
+        # split (r11 -- without it the history band build runs on one
+        # core)
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
         hist = docs.where(FF.col("doc_id") % 2 == 0)
         # the hash SET directly -- exact_dedup's min-id window computes
         # a keep flag this set never reads
@@ -599,7 +604,10 @@ def bench_incremental_dedup(spark, sf_dir):
     prev = _SETUP_CACHE.pop(("dedup_bands_prev", sf_dir), None)
     if prev is not None:
         release(prev)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan out like bench_incremental_spans: the batch band build is the
+    # timed CPU-bound stage and the parquet is one split (r11)
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     batch = docs.where(FF.col("doc_id") % 2 == 1)
     res = dd.incremental_dedup(batch, hh, hb)
     _SETUP_CACHE[("dedup_bands_prev", sf_dir)] = res.bands
