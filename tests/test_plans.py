@@ -193,14 +193,18 @@ def test_rolling_1h_single_shuffle_range_frame(spark):
     assert "RangeFrame" in plan
 
 
-def test_table_profile_single_scan(spark):
-    """Profiling is one pass: a single FileScan of the table feeds every
-    per-column statistic (the Expand for exact distincts multiplies rows,
-    it must not re-scan)."""
+def test_table_profile_two_pass_split(spark):
+    """Profiling is exactly TWO passes since r11: the plain
+    counts/min/max aggregation and the multi-distinct aggregation run
+    as separate scans joined on their single rows -- mixing them into
+    one aggregate dragged every non-distinct buffer through the
+    multi-distinct Expand (k+1 row copies; measured 2.6x slower than
+    the two pieces apart at sf0.1). The Expand must appear exactly once
+    (the distinct branch only), and nothing may add a third scan."""
     plan = plan_str(entry_mod.q_table_profile(spark, SF))
     # formatted mode prints one Location line per scan node
-    assert plan.count("Location: InMemoryFileIndex") == 1
-    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan
+    assert plan.count("Expand") == 1, plan
 
 
 def test_stratified_sample_map_only(spark):
