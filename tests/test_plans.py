@@ -204,7 +204,9 @@ def test_table_profile_two_pass_split(spark):
     plan = plan_str(entry_mod.q_table_profile(spark, SF))
     # formatted mode prints one Location line per scan node
     assert plan.count("Location: InMemoryFileIndex") == 2, plan
-    assert plan.count("Expand") == 1, plan
+    # one Expand NODE (formatted mode mentions each node twice: once in
+    # the tree, once in the details section)
+    assert plan.count("+- Expand") == 1, plan
 
 
 def test_stratified_sample_map_only(spark):
