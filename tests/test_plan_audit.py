@@ -51,11 +51,13 @@ BUDGETS = {
     # +1: the wide scan fan-out exchange (r11 -- sha2 hashing is the
     # heavy per-row compute the fan-out exists for)
     "dedup_exact": (2, 0),
-  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    # +fan-out exchange (r11 wide scan; no-op on cluster splits)
     "pricing_rollup": (2, 0),
     "events_latest_per_user": (1, 0),
     "text_quality": (1, 0),
-    "dedup_simhash": (1, 0),
+    # +1: the r11 wide scan fan-out (md5 per shingle is the heavy
+    # per-row compute); executed count is 2 (fan-out + final agg)
+    "dedup_simhash": (2, 0),
     "events_sessionize": (1, 0),
     "user_running_stats": (1, 0),
     "scd2_history": (1, 0),
@@ -200,7 +202,7 @@ BUDGETS = {
     # side broadcasts at this scale but is NOT pinned (at 100 TB the
     # boilerplate set may exceed the broadcast threshold and AQE
     # decides), so no floor
-  # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
+    # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
     "docs_line_dedup": (4, 1),
     # token-budget downsampling: one per-shard hash-order sort window
     "docs_token_budget": (1, 0),
@@ -257,7 +259,7 @@ BUDGETS = {
     # 100 TB the history side must NOT broadcast (it is the bucketed
     # side) and dup sets are data-dependent -- AQE decides ---
     "docs_substring_clean": (4, 0),
-  # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
+    # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
     "incremental_dedup_flags": (14, 0),
     "incremental_spans_batch": (6, 0),
     # r6 Bloom decontamination: the probe side is JOIN-FREE by
@@ -303,7 +305,7 @@ BUDGETS = {
     # equi-join + the per-doc reassembly agg; history/dup sides
     # broadcast at this scale but take no floor (at 100 TB the bucketed
     # history must NOT broadcast -- AQE decides)
-  # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
+    # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
     "incremental_lines_batch": (6, 0),
     # MinHash estimator accuracy: cache-free flattening re-expands the
     # shingle pipeline once per consumer (candidate pairs + signature
@@ -348,10 +350,10 @@ BUDGETS = {
     # r10 per-(batch_id,key) guard derives its broadcast side from
     # history itself (one more small-side agg exchange than the old
     # whole-batch manifest -- the price of partial-commit healing)
-  # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
+    # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
     "history_merge_replay": (8, 1),
     # Q1: one 6-row agg exchange, zero joins
-  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    # +fan-out exchange (r11 wide scan; no-op on cluster splits)
     "tpch_q1_like": (2, 0),
     # Q8: the lineitem-orders orderkey join is the only real shuffle
     # (2 exchanges) + the per-year agg; every dim explicitly broadcasts
@@ -420,7 +422,7 @@ BUDGETS = {
     "orders_price_trend": (1, 0),
     # baskets: brand dim broadcasts into the scan, one basket groupBy,
     # one pair agg; the group-total scalar broadcasts
-  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    # +fan-out exchange (r11 wide scan; no-op on cluster splits)
     "basket_brand_pairs": (6, 3),
     # first-seen agg + daily agg + the |days| running window (the
     # documented single-partition window over days, never rows)
@@ -570,7 +572,7 @@ BUDGETS = {
     # HITS: ferried rounds ran EAGERLY at build (the Markov/PCA shape);
     # the audited surface is the final round (hub groupBy + edge join +
     # two bounded aggs) over the persisted edge table + the degree join
-  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    # +fan-out exchange (r11 wide scan; no-op on cluster splits)
     "user_brand_hits": (3, 3),
     # overlap curve: 3 shingle builds x (distinct train/test + semi-join
     # + two aggs), persisted te audited per consumer; executed shape is
@@ -614,7 +616,7 @@ BUDGETS = {
     "tpch_q21_like": (5, 2),
     # CF cosine: the in-row pair generator's set agg + pair agg + two
     # broadcast item-count sides
-  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    # +fan-out exchange (r11 wide scan; no-op on cluster splits)
     "parts_copurchase_cosine": (11, 3),
     # moments: ONE partial-agg pass (four DECIMAL power sums)
     "events_value_moments": (1, 0),
@@ -625,7 +627,7 @@ BUDGETS = {
     # re-count under every consumer (LSH bands + jaccard truth +
     # 3 scalar counts); executed plan is far smaller (cache-flattened
     # ceiling, the dedup-chain precedent)
-  # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
+    # +fan-out exchange(s) (r11 wide scan; no-op on cluster splits)
     "dedup_blocking_quality": (41, 10),
     # EWMA: ONE user-keyed window (8 in-frame lags)
     "events_ewma": (1, 0),
@@ -643,7 +645,7 @@ BUDGETS = {
     # brand rules: the order-brand distinct subtree feeds three
     # consumers (pair mining + brand counts + order total) un-persisted
     # -- counted per consumer; directions fan out in-row
-  # +fan-out exchange (r11 wide scan; no-op on cluster splits)
+    # +fan-out exchange (r11 wide scan; no-op on cluster splits)
     "orders_brand_rules": (14, 9),
     # SCD2 lookup: the version build's user-key window SHARES the
     # interval join's user partitioning; versions broadcast
