@@ -1004,6 +1004,35 @@ def main() -> None:
     )
     print(json.dumps({"queries_median": medians, "sf": sf_val}))
     sys.stdout.flush()
+    # Durable per-query record (r11 verdict item 2): the driver keeps
+    # only a ~2 KiB stdout tail, so the full per-query dict above
+    # head-truncates at 264 entries and PERF's per_query/scaling came
+    # back empty in r11. Write the complete per-query data as a sidecar
+    # file beside this script -- one per core count so the driver's
+    # low-core scaling run does not overwrite the main run -- plus a
+    # "latest run" alias; the summary line names the sidecar so any
+    # tail reader knows where the full data lives.
+    sidecar = {
+        "metric": "bench_queries_sidecar",
+        "value": total,
+        "unit": "sec",
+        "value_median": total_median,
+        "cpus": int(CPUS),
+        "sf": sf_val,
+        "queries": timings,
+        "queries_median": medians,
+        "queries_cold": cold,
+        "witness_queries": witness,
+        "settle": settle_meta,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar_name = f"bench_queries_c{int(CPUS)}.json"
+    for fname in (sidecar_name, "bench_queries.json"):
+        try:
+            with open(os.path.join(here, fname), "w") as f:
+                json.dump(sidecar, f)
+        except OSError:
+            pass  # read-only checkout: stdout lines remain the record
     print(
         json.dumps(
             {
@@ -1029,6 +1058,7 @@ def main() -> None:
                 "dispersion": dispersion,
                 "witness": witness,
                 "settle": settle_meta,
+                "per_query_sidecar": sidecar_name,
                 "sf": sf_val,
             }
         )
