@@ -185,6 +185,15 @@ def bm25_batch_scores(
     ex = _exploded(tok_df, id_col, tokens_col).join(
         F.broadcast(qt.select("_t")), "_t", "left_semi"
     )
+    # dfs is an aggregate OF tf, so the explode+prune+tf subtree
+    # evaluates once per consumer (twice per action: the broadcast df
+    # build and the scoring path). r12 measured a lazy localCheckpoint
+    # barrier on tf and REVERTED it: interleaved A/B at sf0.1 neutral
+    # -- the explode reads the caller's cached token table and the two
+    # branch evaluations overlap, while the barrier adds a block-store
+    # sync. At 100 TB the caller passes a persisted/bucketed token
+    # table and the same overlap argument holds per §2.1 (the df build
+    # is term-count-sized and rides the broadcast).
     tf, dfs = _tf_dfs(ex)
     stats = _corpus_stats(tok_df, tokens_col)
     return (

@@ -179,13 +179,22 @@ def dense_dot_products(flats: DataFrame) -> DataFrame:
     """:func:`dot_products` over a prebuilt dense flat table
     (:func:`dense_flat_table` layout: side, id, w0.., norm) -- the same
     map-only broadcast-cross-join shape as the dense cosine strategy,
-    minus the norm division. ``dot > 0 <=> the pair shares a token``
-    (weights strictly positive), so the filter reproduces the sparse
-    form's pairs-sharing->=1-token semantics with NO token-exploded
-    shuffle: on a tiny vocabulary the sparse equi-join's output explodes
-    toward |pairs| * |vocab| rows through an exchange, while this form
-    does the same multiplies in-row (guide: remove the shuffle outright,
-    then shuffle fewer bytes)."""
+    minus the norm division. ``dot > 0 <=> the pair shares a token``,
+    so the filter reproduces the sparse form's pairs-sharing->=1-token
+    semantics with NO token-exploded shuffle: on a tiny vocabulary the
+    sparse equi-join's output explodes toward |pairs| * |vocab| rows
+    through an exchange, while this form does the same multiplies
+    in-row (guide: remove the shuffle outright, then shuffle fewer
+    bytes).
+
+    REQUIRES strictly positive weights in ``flats``. The equivalence
+    above is exactly the strict-positivity argument (true for this
+    engine's idf = N/df >= 1 times tf > 0, the only flats builder);
+    with a zero-capable weighting (e.g. log-idf where a token appears
+    in every doc) a pair sharing only zero-weight tokens has dot = 0
+    and would be silently dropped here while the sparse join emits it.
+    Do not point this at a foreign flats table without checking that
+    precondition."""
     n = sum(1 for c in flats.columns if c.startswith("w") and c[1:].isdigit())
     fa = flats.where(F.col("side") == 0).selectExpr(
         "id AS a_id", *[f"w{i} AS a{i}" for i in range(n)]
